@@ -1,0 +1,101 @@
+"""Search correctness vs brute-force oracle — the reference's core test
+pattern (MemoryVectorIndexTests.cs:136-207): zero false positives, zero
+false negatives, exact id-set equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.index_build import build_index
+from vector_database_spark.operators.search import (
+    brute_force_search,
+    knn,
+    search,
+    search_candidates,
+)
+from vector_database_spark.sources.generators import grid_2d, random_uniform
+
+
+def _id_sets(df):
+    out = {}
+    for r in df.select("qid", "id").collect():
+        out.setdefault(r.qid, set()).add(r.id)
+    return out
+
+
+GRID_PANEL = [(0, [0.5, 0.9]), (1, [0.3, 0.3]), (2, [-1.0, -1.0]), (3, [0.0, 0.0])]
+
+
+@pytest.mark.parametrize("domain", [0.6, 0.3, 0.05])
+def test_grid_search_matches_oracle(spark, domain):
+    vecs = grid_2d(spark, 10)
+    idx = build_index(vecs, local_threshold=25)
+    got = _id_sets(search(idx, vecs, GRID_PANEL, domain))
+    want = _id_sets(brute_force_search(vecs, GRID_PANEL, domain))
+    for qid, _ in GRID_PANEL:
+        assert got.get(qid, set()) == want.get(qid, set()), f"qid={qid}"
+
+
+def test_embeddings_search_matches_oracle(spark, embeddings):
+    vecs = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    idx = build_index(vecs, local_threshold=64)
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin([0, 7, 42, 123, 250])).collect()
+    ]
+    domain = 1.5
+    got = _id_sets(search(idx, vecs, panel, domain))
+    want = _id_sets(brute_force_search(vecs, panel, domain))
+    assert got == want
+    # sanity: every query matches at least itself
+    for qid, _ in panel:
+        assert qid in want[qid]
+
+
+def test_candidates_are_superset_and_pruned(spark):
+    vecs = grid_2d(spark, 32)
+    n = 32 * 32
+    idx = build_index(vecs, local_threshold=64)
+    panel = [(0, [0.25, -0.25])]
+    domain = 0.1
+    cands = search_candidates(idx, panel, domain).count()
+    true = brute_force_search(vecs, panel, domain).count()
+    assert cands >= true
+    # pruning actually prunes: far fewer candidates than points
+    assert cands < n / 4, f"pruning too weak: {cands}/{n}"
+
+
+def test_knn_matches_sorted_bruteforce(spark):
+    vecs = random_uniform(spark, 300, 8, seed=11)
+    panel = [(0, [0.0] * 8), (1, [0.5] * 8)]
+    res = knn(vecs, panel, k=10)
+    rows = res.collect()
+    assert len(rows) == 20
+    brute = brute_force_search(vecs, panel, domain=1e9)
+    for qid in (0, 1):
+        want = sorted(
+            [(r.dist, r.id) for r in brute.collect() if r.qid == qid]
+        )[:10]
+        got = sorted(
+            [(r.dist, r.id) for r in rows if r.qid == qid]
+        )
+        assert [i for _, i in got] == [i for _, i in want]
+
+
+def test_search_chebyshev_box(spark):
+    vecs = grid_2d(spark, 10)
+    idx = build_index(vecs, local_threshold=25)
+    got = _id_sets(search(idx, vecs, GRID_PANEL, 0.3, metric="chebyshev"))
+    # oracle: direct box filter
+    from vector_database_spark.functions.vector import linf_distance
+
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in GRID_PANEL], "qid long, qvec array<double>"
+    )
+    want = _id_sets(
+        vecs.crossJoin(qdf)
+        .where(linf_distance(F.col("vector"), F.col("qvec")) <= 0.3)
+        .select("qid", "id")
+    )
+    assert got == want

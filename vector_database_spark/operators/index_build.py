@@ -1,0 +1,313 @@
+"""Level-synchronous BSP-tree index build.
+
+Semantics (must match the reference — SURVEY.md §1.3):
+
+* heap numbering: root range 0, children ``2r+1`` (low) / ``2r+2``
+  (high) — DDL.sql:120,147,195-196; IndexBuilder.cs:99-104;
+* split dimension: per-range argmax of stdev on even depths, argmin on
+  odd depths (DDL.sql:91-92,151; IndexBuilder.cs:75-79), deterministic
+  lowest-idx tie-break (the C# ``MaxBy`` picks the first extremum);
+* split point: the mean of that dimension (DDL.sql:100,162-163);
+* routing: value < mid → low, value > mid → high, tie → compare the
+  point id against the range's mean id (``id <= mean_id`` → low) —
+  DDL.sql:161-167, IndexBuilder.cs:115. The mean id is the *truncated*
+  integer mean (T-SQL integer avg; C# Int128 division);
+* degenerate split (chosen stdev == 0, i.e. all values equal in every
+  informative sense): ``dimension``/``mid`` null, route purely by id
+  (DDL.sql:100,190-193) — search then descends both children;
+* leaf (count == 1): child ids null, ``id`` set (DDL.sql:190-199).
+
+Execution strategy (Spark-first, NOT the reference's sequential DFS —
+README.md:93-100 rationale inverted, see SURVEY.md §4):
+
+1. *Distributed phase*: one DataFrame job per tree level. Per-dimension
+   stats for every open range in ONE aggregation
+   (``groupBy(doc_id, range_id, idx)`` after ``posexplode`` — partial
+   map-side combine keeps the shuffle tiny: #ranges × dims rows).
+   The per-range split choice is collected to the driver (≤ a few
+   hundred open ranges once deep) and re-broadcast as a join table, so
+   point routing is a broadcast join + ``element_at`` — the big points
+   table is never shuffled during routing.
+2. *Local phase*: once a range holds ≤ ``local_threshold`` points its
+   whole subtree is built inside one task via ``applyInPandas`` (same
+   trick as MLlib decision trees). This bounds the driver loop to
+   ~log2(N/threshold) levels regardless of data size.
+
+At 100 TB: phase 1 runs ~log2(rows/threshold) ≈ 15-25 levels, each a
+narrow scan + tiny shuffle; phase 2 is embarrassingly parallel across
+ranges. No stage ever materializes per-node state on the driver beyond
+the open-range split table.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.plans.iterate import LineageBudget
+
+_MAX_RANGE_ID = 1 << 62
+
+INDEX_COLS = [
+    "doc_id",
+    "range_id",
+    "dimension",
+    "mid",
+    "low_range_id",
+    "high_range_id",
+    "id",
+]
+
+_INDEX_DDL = (
+    "doc_id long, range_id long, dimension int, mid double, "
+    "low_range_id long, high_range_id long, id long"
+)
+
+
+def _depth_of(range_id: int) -> int:
+    """Tree depth of a heap-numbered range (root 0 → depth 0)."""
+    return (range_id + 1).bit_length() - 1
+
+
+@dataclass
+class _LevelPlan:
+    leaves: list[tuple]  # (doc, rid, id)
+    local_rids: list[tuple]  # (doc, rid) going to the pandas subtree phase
+    splits: list[tuple]  # (doc, rid, dim|None, mid|None, mean_id)
+
+    @property
+    def done(self) -> bool:
+        return not self.splits
+
+
+def build_index(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    doc_col: str | None = None,
+    local_threshold: int = 20_000,
+    checkpoint_every: int = 4,
+    max_levels: int = 62,
+) -> DataFrame:
+    """Build the BSP-tree index over ``df`` (one tree per document if
+    ``doc_col`` given). Returns the index DataFrame
+    ``(doc_id, range_id, dimension, mid, low_range_id, high_range_id, id)``.
+    """
+    spark = df.sparkSession
+    doc_expr = F.col(doc_col) if doc_col else F.lit(0).cast("long")
+    pts = df.select(
+        doc_expr.cast("long").alias("doc_id"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).alias("vector"),
+        F.lit(0).cast("long").alias("range_id"),
+    )
+
+    budget = LineageBudget(checkpoint_every)
+    driver_rows: list[tuple] = []  # finished index rows (leaves + split nodes)
+    local_pool: list[DataFrame] = []  # point sets handed to the pandas phase
+    depth = 0
+
+    while True:
+        if depth > max_levels:
+            raise RuntimeError(
+                f"build_index exceeded {max_levels} distributed levels — "
+                "pathological split sequence (range ids would overflow)"
+            )
+        plan = _plan_level(pts, depth, local_threshold)
+        driver_rows.extend(
+            (doc, rid, None, None, None, None, pid) for doc, rid, pid in plan.leaves
+        )
+        driver_rows.extend(
+            (
+                doc,
+                rid,
+                dim,
+                mid,
+                2 * rid + 1,
+                2 * rid + 2,
+                None,
+            )
+            for doc, rid, dim, mid, _mean_id in plan.splits
+        )
+        if plan.local_rids:
+            keys = spark.createDataFrame(
+                plan.local_rids, "doc_id long, range_id long"
+            )
+            local_pool.append(
+                pts.join(F.broadcast(keys), ["doc_id", "range_id"], "left_semi")
+            )
+        if plan.done:
+            break
+
+        for _doc, rid, *_ in plan.splits:
+            if 2 * rid + 2 > _MAX_RANGE_ID:
+                raise RuntimeError("range id overflow — tree too deep")
+
+        splits_df = spark.createDataFrame(
+            plan.splits,
+            "doc_id long, range_id long, split_dim int, mid double, mean_id long",
+        )
+        v = F.try_element_at(F.col("vector"), F.col("split_dim") + F.lit(1)).cast(
+            "double"
+        )
+        go_low = F.when(
+            F.col("split_dim").isNull(), F.col("id") <= F.col("mean_id")
+        ).otherwise(
+            (v < F.col("mid"))
+            | ((v == F.col("mid")) & (F.col("id") <= F.col("mean_id")))
+        )
+        pts = (
+            pts.join(F.broadcast(splits_df), ["doc_id", "range_id"], "inner")
+            .withColumn(
+                "range_id",
+                F.col("range_id") * 2 + F.when(go_low, F.lit(1)).otherwise(F.lit(2)),
+            )
+            .select("doc_id", "id", "vector", "range_id")
+        )
+        pts = budget.maybe_checkpoint(pts)
+        depth += 1
+
+    parts: list[DataFrame] = []
+    if driver_rows:
+        parts.append(spark.createDataFrame(driver_rows, _INDEX_DDL))
+    if local_pool:
+        pool = local_pool[0]
+        for extra in local_pool[1:]:
+            pool = pool.unionByName(extra)
+        parts.append(
+            pool.groupBy("doc_id", "range_id").applyInPandas(
+                _make_subtree_builder(), schema=_INDEX_DDL
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _INDEX_DDL)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _plan_level(pts: DataFrame, depth: int, local_threshold: int) -> _LevelPlan:
+    """Aggregate per-range/per-dimension stats (single shuffle) and pick
+    each open range's split. Mirrors DDL.sql:118-152 but decorrelated:
+    all ranges of the level share one groupBy + one window argmax."""
+    exploded = pts.select(
+        "doc_id", "range_id", "id", F.posexplode("vector").alias("idx", "value")
+    )
+    stats = exploded.groupBy("doc_id", "range_id", "idx").agg(
+        F.avg(F.col("value").cast("double")).alias("mean"),
+        F.var_pop(F.col("value").cast("double")).alias("var"),
+        F.count(F.lit(1)).alias("cnt"),
+        # Truncated integer mean id (T-SQL integer avg / C# Int128
+        # division both floor for non-negative ids); decimal(38,0) sum
+        # is overflow-safe (Stats.cs:26 uses Int128 for the same
+        # reason). floor(), NOT a decimal cast — decimal casts round
+        # half-up, which can empty a child on an id-split of two
+        # consecutive ids.
+        F.floor(F.sum(F.col("id").cast("decimal(38,0)")) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_id"),
+    )
+    # argmax stdev on even depths, argmin on odd (DDL.sql:151); ties to
+    # the lowest dimension index, like C# MaxBy's first-extremum.
+    order = F.col("var").desc() if depth % 2 == 0 else F.col("var").asc()
+    w = Window.partitionBy("doc_id", "range_id").orderBy(order, F.col("idx").asc())
+    chosen = (
+        stats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "range_id", "idx", "mean", "var", "cnt", "mean_id")
+        .collect()
+    )
+
+    plan = _LevelPlan(leaves=[], local_rids=[], splits=[])
+    for r in chosen:
+        if r.cnt == 1:
+            # mean_id of a singleton IS the point id — no extra lookup.
+            plan.leaves.append((r.doc_id, r.range_id, r.mean_id))
+        elif r.cnt <= local_threshold:
+            plan.local_rids.append((r.doc_id, r.range_id))
+        elif r.var == 0.0:
+            plan.splits.append((r.doc_id, r.range_id, None, None, r.mean_id))
+        else:
+            plan.splits.append((r.doc_id, r.range_id, r.idx, r.mean, r.mean_id))
+    return plan
+
+
+def _make_subtree_builder():
+    """Return the per-range subtree builder for `applyInPandas`.
+
+    Deliberately a *nested, self-contained* function: cloudpickle
+    serializes closures by value, so executors never need this package
+    on their PYTHONPATH (no --py-files required on a real cluster).
+
+    Identical split semantics to the distributed phase; an explicit
+    stack like the reference's out-of-core walker
+    (IndexBuilder.cs:23-157) but over an in-memory numpy matrix.
+    """
+    max_range_id = _MAX_RANGE_ID
+    cols = list(INDEX_COLS)
+
+    def build_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as _pd
+
+        doc = int(pdf["doc_id"].iloc[0])
+        root = int(pdf["range_id"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vector"]],
+            dtype=np.float64,
+        )
+
+        out: list[tuple] = []
+        # (range_id, row-index array). Alternation flag derives from depth.
+        stack = [(root, np.arange(len(ids)))]
+        big_ids = bool(len(ids)) and int(ids.max()) > (1 << 45)
+
+        while stack:
+            rid, sel = stack.pop()
+            n = len(sel)
+            if n == 1:
+                out.append((doc, rid, None, None, None, None, int(ids[sel[0]])))
+                continue
+            sub = mat[sel]
+            mean = sub.mean(axis=0)
+            var = sub.var(axis=0)  # population variance, like var_pop
+            depth = (rid + 1).bit_length() - 1
+            if depth % 2 == 0:
+                dim = int(np.argmax(var))  # first max on ties (lowest idx)
+            else:
+                dim = int(np.argmin(var))
+            sub_ids = ids[sel]
+            id_sum = sum(int(x) for x in sub_ids) if big_ids else int(sub_ids.sum())
+            mean_id = id_sum // n
+            low_rid, high_rid = 2 * rid + 1, 2 * rid + 2
+            if high_rid > max_range_id:
+                raise RuntimeError("range id overflow in local subtree build")
+            if var[dim] == 0.0:
+                out.append((doc, rid, None, None, low_rid, high_rid, None))
+                low_mask = sub_ids <= mean_id
+            else:
+                mid = float(mean[dim])
+                out.append((doc, rid, dim, mid, low_rid, high_rid, None))
+                vals = sub[:, dim]
+                low_mask = (vals < mid) | ((vals == mid) & (sub_ids <= mean_id))
+            stack.append((low_rid, sel[low_mask]))
+            stack.append((high_rid, sel[~low_mask]))
+
+        res = _pd.DataFrame(out, columns=cols)
+        for c in ("low_range_id", "high_range_id", "id"):
+            res[c] = res[c].astype("Int64")
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["range_id"] = res["range_id"].astype("int64")
+        res["mid"] = res["mid"].astype("float64")
+        res["dimension"] = res["dimension"].astype("Int32")
+        return res
+
+    return build_subtree

@@ -1,0 +1,217 @@
+"""Vicinity / similarity search over the BSP-tree index.
+
+Two result semantics, mirroring the reference (SURVEY.md §2 semantics
+note):
+
+* ``search_candidates`` — the SQL ``dbo.Search`` contract
+  (DDL.sql:234-295): every leaf whose cell intersects the axis-aligned
+  box ``[q_i - domain, q_i + domain]``; a *superset* of the true
+  matches (no final distance check in the reference SQL).
+* ``search`` — the tested behavior of ``MemoryVectorIndex.Find``
+  (MemoryVectorIndex.cs:242-345 + the tests' Euclidean predicate):
+  candidates refined by an exact L2 filter. Since the L2 ball of
+  radius d is contained in the L∞ box of radius d, box candidates are
+  a correct superset for L2 refinement.
+
+Execution: the recursive CTE the reference uses has no direct Spark
+equivalent at scale, so traversal is a driver loop over frontier
+self-joins — one job per tree level, frontier shrinking as subtrees
+prune. Many queries traverse TOGETHER in one frontier (batch panel);
+the per-level join against the index is a broadcast join when the
+per-doc index fits (it is ~2N rows per doc), else a shuffle join on
+``range_id`` with partition pruning on ``doc_id``.
+
+A brute-force path (`brute_force_search`, `knn`) doubles as the oracle
+(reference pattern: MemoryVectorIndexTests.cs:161-163) and as the
+baseline ANN comparison point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.vector import cosine_similarity, euclidean
+from vector_database_spark.plans.iterate import LineageBudget
+
+
+def _as_queries_df(index_or_vectors: DataFrame, queries: DataFrame | list) -> DataFrame:
+    """Accept either a DataFrame (qid, qvec) or a python list of
+    (qid, vector) pairs."""
+    if isinstance(queries, DataFrame):
+        return queries
+    spark = index_or_vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid long, qvec array<double>",
+    )
+
+
+def search_candidates(
+    index_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    doc_id: int | None = None,
+    broadcast_index: bool = True,
+    checkpoint_every: int = 8,
+    max_levels: int = 64,
+) -> DataFrame:
+    """Box-semantics candidate ids: ``(qid, doc_id, id)``.
+
+    Pruning predicates per DDL.sql:272-293: descend the low child
+    unless ``mid < q[dim] - domain``, the high child unless
+    ``mid > q[dim] + domain``; id-split nodes (dimension null) descend
+    both.
+    """
+    qdf = _as_queries_df(index_df, queries).select(
+        "qid", F.col("qvec").cast("array<double>").alias("qvec")
+    )
+    idx = index_df
+    if doc_id is not None:
+        idx = idx.where(F.col("doc_id") == F.lit(doc_id))
+    idx = F.broadcast(idx) if broadcast_index else idx
+
+    # Frontier: one row per (query, doc tree) at the roots.
+    roots = idx.where(F.col("range_id") == 0).select("doc_id").distinct()
+    frontier = qdf.crossJoin(roots).select(
+        "qid", "qvec", "doc_id", F.lit(0).cast("long").alias("range_id")
+    )
+
+    budget = LineageBudget(checkpoint_every)
+    hits: list[DataFrame] = []
+    level = 0
+    while True:
+        if level > max_levels:
+            raise RuntimeError("search exceeded max tree depth")
+        nodes = frontier.join(idx, ["doc_id", "range_id"], "inner")
+        nodes = budget.maybe_checkpoint(nodes)
+        leaf = nodes.where(F.col("id").isNotNull()).select("qid", "doc_id", "id")
+        hits.append(leaf)
+
+        internal = nodes.where(F.col("low_range_id").isNotNull())
+        qv = F.try_element_at(F.col("qvec"), F.col("dimension") + F.lit(1))
+        keep_low = F.col("dimension").isNull() | (F.col("mid") >= qv - F.lit(domain))
+        keep_high = F.col("dimension").isNull() | (F.col("mid") <= qv + F.lit(domain))
+        empty = F.array().cast("array<long>")
+        children = internal.select(
+            "qid",
+            "qvec",
+            "doc_id",
+            F.explode(
+                F.concat(
+                    F.when(keep_low, F.array(F.col("low_range_id"))).otherwise(empty),
+                    F.when(keep_high, F.array(F.col("high_range_id"))).otherwise(empty),
+                )
+            ).alias("range_id"),
+        )
+        frontier = children
+        if frontier.isEmpty():
+            break
+        level += 1
+
+    out = hits[0]
+    for extra in hits[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def search(
+    index_df: DataFrame,
+    vectors_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    doc_id: int | None = None,
+    metric: str = "euclidean",
+    **kwargs,
+) -> DataFrame:
+    """Exact vicinity search: tree candidates + exact distance filter.
+
+    Returns ``(qid, id, dist)`` with ``dist <= domain`` under `metric`
+    ('euclidean' | 'chebyshev').
+    """
+    cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
+    qdf = _as_queries_df(index_df, queries)
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    joined = (
+        cands.select("qid", "id")
+        .join(vecs, "id")
+        .join(F.broadcast(qdf), "qid")
+    )
+    if metric == "euclidean":
+        dist = euclidean(F.col("_vec"), F.col("qvec"))
+    elif metric == "chebyshev":
+        from vector_database_spark.functions.vector import linf_distance
+
+        dist = linf_distance(F.col("_vec"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        joined.withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(float(domain)))
+        .select("qid", "id", "dist")
+    )
+
+
+def brute_force_search(
+    vectors_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Linear-scan oracle (MemoryVectorIndexTests.cs:161-163):
+    ``(qid, id, dist)`` for every vector with L2 distance <= domain."""
+    qdf = _as_queries_df(vectors_df, queries)
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    return (
+        vecs.crossJoin(F.broadcast(qdf))
+        .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+        .where(F.col("dist") <= F.lit(float(domain)))
+        .select("qid", "id", "dist")
+    )
+
+
+def knn(
+    vectors_df: DataFrame,
+    queries: DataFrame | list,
+    k: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Exact k-nearest-neighbors per query: ``(qid, id, dist, rank)``.
+
+    Brute-force + per-query top-k window; deterministic (dist, id)
+    ordering. At scale, Spark rewrites the window into a per-partition
+    top-k + merge under AQE; for the billion-row path use
+    `ann.ivf_knn` / LSH instead.
+    """
+    qdf = _as_queries_df(vectors_df, queries)
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    crossed = vecs.crossJoin(F.broadcast(qdf))
+    if metric == "euclidean":
+        dist = euclidean(F.col("_vec"), F.col("qvec"))
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col("_vec"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        crossed.withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )

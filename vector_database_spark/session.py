@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target the test rig (local[32], 128 GiB) but every knob is the
+one you'd set on a real cluster: AQE on (runtime join re-planning, skew
+splitting, partition coalescing), Arrow on (pandas UDF transfer),
+sensible shuffle parallelism, dynamic partition overwrite (per-document
+index upsert without clobbering sibling partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # Runtime re-planning: join strategy switch, skew-join splitting and
+    # post-shuffle coalescing all matter at 100 TB and cost nothing locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for pandas UDFs / applyInPandas (local subtree builds,
+    # multimodal decode) — 10-100x over row-at-a-time Python.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Per-document index refresh = overwrite only the doc_id partitions
+    # present in the written DataFrame (reference: IndexDocument's
+    # delete+insert swap, DDL.sql:397-418).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Broadcast generously: per-level split tables and per-doc indexes are
+    # small; shuffling the big points table instead would dominate cost.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(
+    app_name: str = "vector-database-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    `master` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    `shuffle_partitions` defaults to the core count — at cluster scale
+    you'd size this to ~2-3x total cores or rely on AQE coalescing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    # Make this package importable by executor-side Python workers even
+    # when the driver script runs from another directory (local mode
+    # workers inherit PYTHONPATH, not the driver's sys.path).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
