@@ -1,0 +1,337 @@
+"""Deduplication operator family for training-data pipelines.
+
+Five strategies, each designed scale-first:
+
+* ``exact_dedup`` — hash-groupBy on a normalized key. One shuffle,
+  map-side partial aggregation; the canonical 100 TB dedup.
+* ``minhash_signatures`` + ``lsh_candidate_pairs`` + ``jaccard_pairs``
+  — MinHash/LSH: shingle → k independent min-hashes → band buckets →
+  bucket join. The candidate join is an equi-join on (band, key), so
+  Spark shuffles only signature rows (#docs × #bands), never the
+  cross product. All hashes are md5-derived (`functions.hashing`) so
+  an external SQL oracle reproduces them bit-for-bit.
+* ``simhash_signatures`` + ``simhash_pairs`` — 60-bit SimHash over
+  word shingles; near-dup = small Hamming distance.
+* ``ngram_jaccard_pairs`` — exact Jaccard via an inverted-index
+  self-join (pairs sharing ≥1 shingle), correct for any threshold
+  t > 0 and never materializes the doc×doc cross product.
+* ``embedding_neardup_pairs`` — cosine-similarity near-dups over an
+  embedding column (brute pair join locally; the ANN module provides
+  the bucketed scale path).
+
+At 100 TB the shape that matters: every strategy is
+shingle/signature-parallel (explode → equi-join → aggregate), no
+driver-side state, no cross joins except where a threshold provably
+bounds candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.hashing import h60, word_shingles
+from vector_database_spark.functions.vector import cosine_similarity
+
+SIMHASH_BITS = 60
+
+
+def normalize_text(col) -> "F.Column":
+    """Whitespace-collapsed, trimmed, lowercased text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exactly-equal (normalized) texts: representative =
+    min id, plus group size. One hash-aggregate shuffle."""
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("key"))
+        .groupBy("key")
+        .agg(
+            F.min("id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash: array<long>) — k independent md5-salted min-hashes
+    over distinct word shingles. All JVM-side expression work."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    aggs = [F.min(h60("shingle", salt=j)).alias(f"h{j}") for j in range(num_perm)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-key): docs
+    agreeing on any band become a candidate pair ``(a_id, b_id)``.
+
+    Shuffle volume is #docs × #bands rows — never quadratic. Skewed
+    buckets (a degenerate band key shared by everything) are the known
+    hazard at scale; AQE skew-join splitting handles moderate skew and
+    a salt-and-recheck pass is the escape hatch beyond that.
+    """
+    sig = signatures
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("minhash")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Refine candidate pairs with exact Jaccard over shingle sets:
+    ``(a_id, b_id, jaccard)`` with jaccard >= threshold."""
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sa"), "a_id")
+        .join(sets.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sb"), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.where(F.col("jaccard") >= F.lit(threshold)).select(
+        "a_id", "b_id", "jaccard"
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full MinHash-LSH dedup pipeline: signatures → band join →
+    exact-Jaccard refinement. With J >= 0.5 pairs and 8×2 banding the
+    miss probability is (1 - J²)^8 ≲ 1e-4, vanishing for the J ≳ 0.9
+    near-dups dedup targets."""
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
+    return jaccard_pairs(
+        df,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index self-join.
+
+    Any pair with J >= t > 0 shares at least one shingle, so joining
+    on the shingle (then distinct) finds every qualifying pair without
+    a cross join. Hot shingles fan out quadratically — at scale, drop
+    ultra-frequent shingles first (they cannot create NEW qualifying
+    pairs beyond those found via rarer shared shingles unless a pair
+    shares ONLY hot shingles, which a document-frequency cap bounds).
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    inv = sets.select("id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return jaccard_pairs(
+        df,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """60-bit SimHash over word shingles: ``(id, simhash: long)``.
+
+    bit_b(doc) = 1 iff Σ_features (±1 by feature-hash bit b) > 0.
+    Expressed as 60 conditional-sum aggregates in ONE groupBy — a
+    single shuffle regardless of bit width.
+    """
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).withColumn("h", h60("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = feats.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame, *, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance between simhashes.
+
+    Locally a pair join; at scale, block on bit-bands of the simhash
+    (split the 60 bits into (max_hamming+1) chunks — any pair within
+    the Hamming budget agrees exactly on ≥1 chunk, pigeonhole) so the
+    join is again an equi-join. Both forms return identical results;
+    the banded form is used when the pair count would explode.
+    """
+    a = signatures.select(
+        F.col("id").alias("a_id"), F.col("simhash").alias("ha")
+    )
+    b = signatures.select(
+        F.col("id").alias("b_id"), F.col("simhash").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_pairs_banded(
+    signatures: DataFrame, *, max_hamming: int = 6
+) -> DataFrame:
+    """Equi-join form of `simhash_pairs` (pigeonhole blocking on
+    max_hamming+1 bit chunks) — the 100 TB path."""
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks + (1 if SIMHASH_BITS % chunks else 0)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    blocked = signatures.select(
+        "id", "simhash", F.explode(keys).alias("ck")
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(a_id, b_id, cos_sim)``.
+
+    Brute pair join with a<b; for billion-row tables use the ANN
+    module's random-projection bucketing to turn this into an
+    equi-join first, then refine exactly."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vector_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vector_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("a_id", "b_id", "cos_sim")
+    )

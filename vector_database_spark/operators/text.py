@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (no Python UDFs): language-ID heuristic,
+quality scoring, token counting, and a polynomial document fingerprint
+— each reproducible in ANSI SQL so the DuckDB oracle can hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.hashing import tokens
+
+# Tiny per-language stopword panels for the n-gram/stopword language
+# heuristic. Ordered dict of language -> markers.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "que"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "für", "mit", "von"],
+}
+
+# A BPE-ish pre-tokenization: words | numbers | single non-space symbol.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1, Mersenne prime
+
+
+def token_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics:
+    (id, n_tokens, n_unique_tokens, avg_token_len, n_chars)."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def stopword_ratio(text_col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokens(text_col)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def language_scores(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-panel language ID: per-language ratio + argmax pick.
+
+    (id, <lang>_ratio..., pred_lang). Deterministic tie-break: first
+    language in panel order wins (greatest(...) comparison chain).
+    """
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"{lang}_ratio", stopword_ratio(F.col("_t"), lang))
+    langs = list(STOPWORDS)
+    pred = F.lit(langs[0])
+    best = F.col(f"{langs[0]}_ratio")
+    for lang in langs[1:]:
+        cur = F.col(f"{lang}_ratio")
+        pred = F.when(cur > best, F.lit(lang)).otherwise(pred)
+        best = F.when(cur > best, cur).otherwise(best)
+    return out.select(
+        "id", *[F.round(F.col(f"{lang}_ratio"), 4).alias(f"{lang}_ratio") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length band, mean word length band, stopword presence, uniqueness.
+    (id, len_ok, wordlen_ok, stop_ok, uniq_ratio, score)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    avg_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / n
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = stopword_ratio(F.col(text_col))
+    len_ok = (n >= 5) & (n <= 100000)
+    wordlen_ok = (avg_len >= 2.0) & (avg_len <= 12.0)
+    stop_ok = stop >= 0.05
+    score = (
+        len_ok.cast("double") * 0.3
+        + wordlen_ok.cast("double") * 0.3
+        + stop_ok.cast("double") * 0.2
+        + uniq * 0.2
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        len_ok.alias("len_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        stop_ok.alias("stop_ok"),
+        F.round(uniq, 4).alias("uniq_ratio"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def regex_token_count(text_col: Column | str) -> Column:
+    """BPE-ish pre-tokenizer count (words/numbers/symbols)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Polynomial rolling hash of the normalized text modulo 2^31-1.
+
+    fold(acc, ch) = (acc * 31 + ascii(ch)) % p, acc0 = 0 — identical
+    to DuckDB's ``list_reduce`` over the same codes, enabling exact
+    cross-engine fingerprint comparison.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(norm)
+    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    codes = F.transform(idxs, lambda i: F.ascii(F.substr(norm, i, F.lit(1))))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + ch) % F.lit(FINGERPRINT_MOD),
+    )

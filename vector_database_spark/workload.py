@@ -1,0 +1,962 @@
+"""Driver-contract workload: named queries + DuckDB oracle SQL.
+
+Each entry in `REGISTRY` pairs a Spark implementation (DataFrame-first,
+(spark, sf_dir) -> DataFrame) with the ANSI-SQL statement a DuckDB
+oracle runs over the same parquet tables. Column names/aliases are
+identical on both sides (the correctness gate sorts columns by name and
+hashes values). Floating-point outputs are rounded identically on both
+sides; distance math is expression-for-expression identical and
+verified bit-exact across engines.
+
+Query families and the SURVEY.md §2 operators they cover:
+
+* v* — vector engine core: index build/search (O1-O16), per-dimension
+  stats aggregate (O5/O17), argmax (O6/O18), kNN/brute oracle (O24/O30)
+* d* — dedup family (north-star): exact, MinHash-LSH, SimHash,
+  n-gram Jaccard, embedding-cosine near-dup
+* t* — text analysis (north-star): token stats, language ID, quality,
+  regex token counts, fingerprinting
+* r* — relational surface (§2.2): scan/filter/project, aggregates,
+  joins, windows, rollup, set ops, semi/anti, scalar funcs, sort/limit,
+  distinct agg, correlated subquery, case projection
+* e* — events: tumbling windows, sessionization, latest-per-key
+  (batch semantics of the streaming path)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.operators import dedup as dd
+from vector_database_spark.operators import text as tx
+from vector_database_spark.operators.index_build import build_index
+from vector_database_spark.operators.search import knn, search, search_candidates
+from vector_database_spark.functions.vector import (
+    cosine_similarity,
+    euclidean,
+    l2_norm,
+)
+
+# --------------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, dict] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = {"spark": fn, "oracle": oracle}
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["spark"] for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec["oracle"]
+        for name, spec in REGISTRY.items()
+        if spec["oracle"] is not None
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture carries TIMESTAMP(NANOS) parquet timestamps,
+    which Spark 4 refuses by default. Read the raw int64 nanos with an
+    explicit schema and convert to a microsecond timestamp with integer
+    division (a double division would lose precision at 1.7e18)."""
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shared constants + SQL fragment builders (oracle side)
+# --------------------------------------------------------------------------
+
+PANEL_IDS = [3, 99, 250]  # query vectors drawn from the embeddings table
+SEARCH_DOMAIN = 1.4
+KNN_K = 5
+JACCARD_T = 0.5
+NGRAM_JACCARD_T = 0.3
+SIMHASH_MAX_HAMMING = 6
+COSINE_NEARDUP_T = 0.45
+
+_PANEL = ", ".join(str(i) for i in PANEL_IDS)
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Bit-exact DuckDB twin of functions.vector.euclidean (verified)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {d} * {d})))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+)
+"""
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    j = (
+        "len(list_intersect(a.s, b.s))::DOUBLE / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, round({j}, 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {j} >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# vector core
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+def embeddings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per session+sf) and cache the BSP-tree index over the
+    embeddings table."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = build_index(
+            _embeddings(spark, sf_dir), local_threshold=4096
+        ).persist()
+        idx.count()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _panel(spark: SparkSession, sf_dir: str) -> list:
+    vecs = _embeddings(spark, sf_dir)
+    return [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin(PANEL_IDS)).collect()
+    ]
+
+
+@query(
+    "v01_search_exact",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT qid, vec_id, round(d, 4) AS dist
+FROM (SELECT q.qid, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q)
+WHERE d <= {SEARCH_DOMAIN}
+""",
+)
+def v01_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: BSP-tree search + exact refinement == brute force."""
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    res = search(idx, vecs, _panel(spark, sf_dir), SEARCH_DOMAIN)
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), F.round("dist", 4).alias("dist")
+    )
+
+
+@query(
+    "v02_index_leaves",
+    oracle="SELECT count(*)::BIGINT AS n_leaves, count(*)::BIGINT AS n_input FROM embeddings",
+)
+def v02_index_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index integrity through the gate: #leaves == #input vectors
+    (every id lands in exactly one leaf)."""
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    leaves = idx.where(F.col("id").isNotNull()).count()
+    n = vecs.count()
+    return spark.createDataFrame(
+        [(leaves, n)], "n_leaves long, n_input long"
+    )
+
+
+@query(
+    "v03_knn_l2",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL})),
+d AS (SELECT q.qid, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT qid, vec_id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+      FROM d)
+SELECT qid, vec_id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= {KNN_K}
+""",
+)
+def v03_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _embeddings(spark, sf_dir)
+    res = knn(vecs, _panel(spark, sf_dir), KNN_K)
+    return res.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+@query(
+    "v04_knn_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL})),
+d AS (SELECT q.qid, e.vec_id,
+             1.0 - {_cos_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT qid, vec_id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+      FROM d)
+SELECT qid, vec_id, rank::BIGINT AS rank FROM r WHERE rank <= {KNN_K}
+""",
+)
+def v04_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _embeddings(spark, sf_dir)
+    res = knn(vecs, _panel(spark, sf_dir), KNN_K, metric="cosine")
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "v05_dim_stats",
+    oracle="""
+SELECT idx, round(avg(v), 4) AS mean, round(var_pop(v), 4) AS var,
+       count(*)::BIGINT AS cnt
+FROM (SELECT (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+GROUP BY idx
+""",
+)
+def v05_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build's per-dimension stats aggregate (O5/O17) as a query."""
+    vecs = _embeddings(spark, sf_dir)
+    return (
+        vecs.select(F.posexplode("vector").alias("idx", "value"))
+        .groupBy(F.col("idx").cast("long").alias("idx"))
+        .agg(
+            F.round(F.avg(F.col("value").cast("double")), 4).alias("mean"),
+            F.round(F.var_pop(F.col("value").cast("double")), 4).alias("var"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "v06_range_count",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT q.qid, count(*) FILTER ({_l2_sql('e.embedding', 'q.qv')} <= {SEARCH_DOMAIN})::BIGINT AS n_matches
+FROM embeddings e CROSS JOIN q
+GROUP BY q.qid
+""",
+)
+def v06_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity: per-query match count via the index path."""
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    res = search(idx, vecs, _panel(spark, sf_dir), SEARCH_DOMAIN)
+    return res.groupBy("qid").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+@query(
+    "v07_norms",
+    oracle=f"""
+SELECT vec_id, round(sqrt({_dot_sql('embedding', 'embedding')}), 4) AS l2
+FROM embeddings
+""",
+)
+def v07_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings")
+    return vecs.select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 4).alias("l2")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))::BIGINT AS n_groups,
+       (count(*) - count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT AS n_dup_docs
+FROM documents
+""",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    groups = dd.exact_dedup(docs)
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
+    )
+
+
+@query("d02_dedup_minhash_lsh", oracle=_jaccard_pairs_sql(JACCARD_T))
+def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact refinement; the oracle is the
+    exact all-pairs Jaccard — the gate verifies LSH recall is total."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+f AS (SELECT doc_id, ('0x' || substr(md5(shingle), 18, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)),
+sums AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM sums)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("d03_dedup_simhash", oracle=_simhash_oracle())
+def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = dd.simhash_signatures(docs)
+    pairs = dd.simhash_pairs_banded(sig, max_hamming=SIMHASH_MAX_HAMMING)
+    return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query("d04_ngram_jaccard", oracle=_jaccard_pairs_sql(NGRAM_JACCARD_T))
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=NGRAM_JACCARD_T)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_T}
+""",
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(emb, threshold=COSINE_NEARDUP_T)
+    return pairs.select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t01_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_unique_tokens,
+       round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4) AS avg_token_len
+FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents)
+""",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = tx.token_stats(docs)
+    return st.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+    )
+
+
+def _lang_oracle() -> str:
+    ratio_exprs = []
+    for lang, words in tx.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratio_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t)))::DOUBLE"
+            f" / len(toks) AS {lang}_r"
+        )
+    langs = list(tx.STOPWORDS)
+    # sequential-argmax tie-break: earliest language wins ties
+    pred = "CASE "
+    for i in range(len(langs) - 1, 0, -1):
+        prior = ", ".join(f"{l}_r" for l in langs[:i])
+        pred += f"WHEN {langs[i]}_r > greatest({prior}) THEN '{langs[i]}' "
+    pred += f"ELSE '{langs[0]}' END"
+    rounded = ", ".join(f"round({l}_r, 4) AS {l}_ratio" for l in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+r AS (SELECT doc_id, {', '.join(ratio_exprs)} FROM toks)
+SELECT doc_id, {rounded}, {pred} AS pred_lang FROM r
+"""
+
+
+@query("t02_language_id", oracle=_lang_oracle())
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.language_scores(docs).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "t03_regex_tokens",
+    oracle=rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{tx.TOKEN_REGEX}'))::BIGINT AS n_regex_tokens
+FROM documents
+""",
+)
+def t03_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.regex_token_count("text").cast("long").alias("n_regex_tokens"),
+    )
+
+
+@query(
+    "t04_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN len(codes) = 0 THEN 0
+            ELSE list_reduce(codes, (a, b) -> (a * 31 + b) % {tx.FINGERPRINT_MOD})
+       END::BIGINT AS fp
+FROM (SELECT doc_id,
+             list_transform(range(1, len(norm)+1), i -> ascii(norm[i])::BIGINT) AS codes
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents))
+""",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query(
+    "t05_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS avg_len,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS uniq,
+             len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x)))::DOUBLE / len(toks) AS stop
+      FROM t)
+SELECT doc_id,
+       (n >= 5 AND n <= 100000) AS len_ok,
+       (avg_len >= 2.0 AND avg_len <= 12.0) AS wordlen_ok,
+       (stop >= 0.05) AS stop_ok,
+       round(uniq, 4) AS uniq_ratio,
+       round((n >= 5 AND n <= 100000)::INTEGER * 0.3
+           + (avg_len >= 2.0 AND avg_len <= 12.0)::INTEGER * 0.3
+           + (stop >= 0.05)::INTEGER * 0.2 + uniq * 0.2, 4) AS score
+FROM m
+""",
+)
+def t05_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_score(docs).withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# relational surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "r01_q1_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def r01_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 50)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "r02_join_revenue",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def r02_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join: big fact tables joined, small dims
+    broadcast (nation/region always; customer under AQE's eye)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "r03_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, rank::BIGINT AS rank, round(o_totalprice, 2) AS price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+WHERE rank <= 3
+""",
+)
+def r03_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "r04_window_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS run_total,
+       round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+FROM orders
+""",
+)
+def r04_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("run_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+    )
+
+
+@query(
+    "r05_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       count(*)::BIGINT AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       (grouping(r_name) * 2 + grouping(n_name))::BIGINT AS lvl
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def r05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        (F.grouping("r_name") * 2 + F.grouping("n_name"))
+        .cast("long")
+        .alias("lvl"),
+    )
+
+
+@query(
+    "r06_setops",
+    oracle="""
+SELECT 'both' AS op, n_nationkey::BIGINT AS nationkey
+FROM (SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_only' AS op, n_nationkey::BIGINT AS nationkey
+FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'any' AS op, n_nationkey::BIGINT AS nationkey
+FROM (SELECT c_nationkey AS n_nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+""",
+)
+def r06_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("op"), "nationkey")
+    cust_only = (
+        c.distinct().exceptAll(s.distinct()).select(F.lit("cust_only").alias("op"), "nationkey")
+    )
+    any_ = c.union(s).distinct().select(F.lit("any").alias("op"), "nationkey")
+    return both.unionByName(cust_only).unionByName(any_)
+
+
+@query(
+    "r07_semi_anti",
+    oracle="""
+SELECT 'has_orders' AS op, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'no_orders' AS op, c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def r07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("has_orders").alias("op"), "c_custkey"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("op"), "c_custkey"
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "r08_scalar_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)::BIGINT AS yr,
+       month(o_orderdate)::BIGINT AS mon,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+       upper(o_orderpriority) AS pri_up,
+       substr(o_orderpriority, 1, 1) AS pri_code,
+       concat(o_orderstatus, '-', o_orderpriority) AS tag,
+       length(o_orderpriority)::BIGINT AS pri_len,
+       abs(round(o_totalprice - 100000.0, 2)) AS price_delta
+FROM orders
+""",
+)
+def r08_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.upper("o_orderpriority").alias("pri_up"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+            "tag"
+        ),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.abs(F.round(F.col("o_totalprice") - 100000.0, 2)).alias("price_delta"),
+    )
+
+
+@query(
+    "r09_sort_limit",
+    oracle="""
+SELECT p_partkey, round(p_retailprice, 2) AS price
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+""",
+)
+def r09_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@query(
+    "r10_distinct_agg",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_cust,
+       count(DISTINCT strftime(o_orderdate, '%Y-%m-%d'))::BIGINT AS n_days
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def r10_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("n_days"),
+    )
+
+
+@query(
+    "r11_corr_subquery",
+    oracle="""
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+""",
+)
+def r11_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (O14's relational analog),
+    decorrelated into a window average — the Spark-idiomatic plan."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@query(
+    "r12_case_buckets",
+    oracle="""
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 25 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*)::BIGINT AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY 1
+""",
+)
+def r12_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 25, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events (batch semantics of the streaming path)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "e01_tumbling_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "e02_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event
+FROM s GROUP BY user_id, session_id
+""",
+)
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + running-sum windows;
+    the Structured Streaming twin lives in streaming/ as a
+    session-window aggregation."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+@query(
+    "e03_latest_per_key",
+    oracle="""
+SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def e03_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key — the batch twin of streaming
+    dropDuplicates-with-watermark."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+@query(
+    "e04_json_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
