@@ -28,10 +28,11 @@ GRID_PANEL = [(0, [0.5, 0.9]), (1, [0.3, 0.3]), (2, [-1.0, -1.0]), (3, [0.0, 0.0
 
 
 @pytest.mark.parametrize("domain", [0.6, 0.3, 0.05])
-def test_grid_search_matches_oracle(spark, domain):
+@pytest.mark.parametrize("strategy", ["iterative", "broadcast"])
+def test_grid_search_matches_oracle(spark, domain, strategy):
     vecs = grid_2d(spark, 10)
     idx = build_index(vecs, local_threshold=25)
-    got = _id_sets(search(idx, vecs, GRID_PANEL, domain))
+    got = _id_sets(search(idx, vecs, GRID_PANEL, domain, strategy=strategy))
     want = _id_sets(brute_force_search(vecs, GRID_PANEL, domain))
     for qid, _ in GRID_PANEL:
         assert got.get(qid, set()) == want.get(qid, set()), f"qid={qid}"

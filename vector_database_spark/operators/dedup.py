@@ -71,7 +71,19 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    aggs = [F.min(h60("shingle", salt=j)).alias(f"h{j}") for j in range(num_perm)]
+    # ONE md5 per shingle; the k permutations are affine maps of it
+    # (classic MinHash h_j(x) = (a_j*x + b_j) mod p). p = 2^31-1 keeps
+    # a_j*x inside int64. Pure arithmetic — reproducible in any SQL.
+    p = 2147483647
+    base = (h60("shingle") % F.lit(p)).alias("hb")
+    sh = sh.select("id", base)
+    aggs = [
+        F.min(
+            (F.lit((1103515245 * (j + 1) + 12345) % p) * F.col("hb") + F.lit(j))
+            % F.lit(p)
+        ).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select(
         "id", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("minhash")
@@ -326,12 +338,27 @@ def embedding_neardup_pairs(
     Brute pair join with a<b; for billion-row tables use the ANN
     module's random-projection bucketing to turn this into an
     equi-join first, then refine exactly."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vector_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vector_col).alias("vb"))
+    from vector_database_spark.functions.vector import dot, l2_norm
+
+    # Precompute each side's norm ONCE (the naive per-pair cosine does
+    # 3 dot products; this does 1 dot + 1 multiply per pair — same
+    # expression tree as dot/(sqrt(na)*sqrt(nb)), so results are
+    # bit-identical to the oracle formula).
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vector_col).alias("va"),
+        l2_norm(F.col(vector_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vector_col).alias("vb"),
+        l2_norm(F.col(vector_col)).alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select("a_id", "b_id", "cos_sim")
     )

@@ -117,6 +117,89 @@ def search_candidates(
     return out
 
 
+def search_candidates_broadcast(
+    index_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    doc_id: int | None = None,
+) -> DataFrame:
+    """Single-job candidate search: ship the (per-doc) index to the
+    executors as a broadcast variable and walk the tree in-process per
+    query (`mapInPandas`), instead of one frontier-join job per level.
+
+    Right when the index fits in executor memory (~2N rows per doc —
+    the reference's design unit is one tree per document, DDL.sql:
+    217-221, so this is the common case). The iterative
+    `search_candidates` remains the path for indexes too large to
+    broadcast. Results are identical.
+    """
+    import numpy as np
+
+    spark = index_df.sparkSession
+    idx = index_df
+    if doc_id is not None:
+        idx = idx.where(F.col("doc_id") == F.lit(doc_id))
+    rows = idx.collect()
+    # columnar tree image keyed by (doc, range_id)
+    trees: dict[int, dict] = {}
+    for r in rows:
+        t = trees.setdefault(
+            r.doc_id,
+            {"node": {}},
+        )
+        t["node"][r.range_id] = (r.dimension, r.mid, r.low_range_id, r.high_range_id, r.id)
+    bc = spark.sparkContext.broadcast(trees)
+
+    qdf = _as_queries_df(index_df, queries).select(
+        "qid", F.col("qvec").cast("array<double>").alias("qvec")
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        forest = bc.value
+        for pdf in batches:
+            out_qid, out_doc, out_id = [], [], []
+            for qid, qvec in zip(pdf["qid"], pdf["qvec"]):
+                q = np.asarray(qvec, dtype=np.float64)
+                for doc, tree in forest.items():
+                    node = tree["node"]
+                    stack = [0]
+                    while stack:
+                        rid = stack.pop()
+                        ent = node.get(rid)
+                        if ent is None:
+                            continue
+                        dim, mid, low, high, leaf = ent
+                        if leaf is not None:
+                            out_qid.append(qid)
+                            out_doc.append(doc)
+                            out_id.append(leaf)
+                            continue
+                        if dim is None:
+                            stack.append(low)
+                            stack.append(high)
+                        else:
+                            qv = q[dim] if dim < len(q) else None
+                            if qv is None:
+                                continue
+                            if mid >= qv - domain:
+                                stack.append(low)
+                            if mid <= qv + domain:
+                                stack.append(high)
+                    # end tree walk
+            yield pd.DataFrame(
+                {"qid": out_qid, "doc_id": out_doc, "id": out_id}
+            ).astype({"qid": "int64", "doc_id": "int64", "id": "int64"})
+
+    return qdf.mapInPandas(walk, "qid long, doc_id long, id long")
+
+
+# Index sizes up to this many rows use the broadcast walker in search().
+BROADCAST_INDEX_MAX_ROWS = 500_000
+
+
 def search(
     index_df: DataFrame,
     vectors_df: DataFrame,
@@ -127,14 +210,27 @@ def search(
     vector_col: str = "vector",
     doc_id: int | None = None,
     metric: str = "euclidean",
+    strategy: str = "auto",
     **kwargs,
 ) -> DataFrame:
     """Exact vicinity search: tree candidates + exact distance filter.
 
     Returns ``(qid, id, dist)`` with ``dist <= domain`` under `metric`
-    ('euclidean' | 'chebyshev').
+    ('euclidean' | 'chebyshev'). `strategy`: 'auto' picks the broadcast
+    walker for small indexes, the iterative frontier join otherwise.
     """
-    cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if index_df.count() <= BROADCAST_INDEX_MAX_ROWS
+            else "iterative"
+        )
+    if strategy == "broadcast":
+        cands = search_candidates_broadcast(
+            index_df, queries, domain, doc_id=doc_id
+        )
+    else:
+        cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
     qdf = _as_queries_df(index_df, queries)
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")

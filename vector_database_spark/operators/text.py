@@ -124,13 +124,14 @@ def fingerprint(text_col: Column | str) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    n = F.length(norm)
-    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    codes = F.transform(idxs, lambda i: F.ascii(F.substr(norm, i, F.lit(1))))
-    return F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + ch) % F.lit(FINGERPRINT_MOD),
+    # split('') gives one-char elements in one pass; per-index substr
+    # would rescan the string per character (O(n^2)).
+    chars = F.split(norm, "")
+    codes = F.transform(chars, F.ascii)
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + ch) % F.lit(FINGERPRINT_MOD),
+        )
     )
