@@ -1,0 +1,63 @@
+"""ANN strategies: recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.ann import ivf_build, ivf_knn, rp_lsh_knn
+from vector_database_spark.operators.search import knn
+
+
+def _queries_df(spark, vecs, ids):
+    return (
+        vecs.where(F.col("id").isin(ids))
+        .select(F.col("id").alias("qid"), F.col("vector").cast("array<double>").alias("qvec"))
+    )
+
+
+def test_ivf_knn_recall(spark, embeddings):
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    assigned, cents = ivf_build(vecs, n_cells=8, iters=2)
+    assigned = assigned.persist()
+    qids = [3, 99, 250]
+    qdf = _queries_df(spark, vecs, qids)
+    approx = ivf_knn(assigned, cents, qdf, k=10, nprobe=6)
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs, panel, k=10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.id)
+    # recall@10 with nprobe=4 of 8 cells should be high on clustered data
+    for q in qids:
+        recall = len(ex[q] & ap.get(q, set())) / 10
+        assert recall >= 0.7, f"qid={q} recall={recall}"
+    assigned.unpersist()
+
+
+def test_rp_lsh_knn_recall(spark, embeddings):
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qids = [3, 99]
+    qdf = _queries_df(spark, vecs, qids)
+    approx = rp_lsh_knn(
+        vecs, qdf, k=5, dims=64, n_bits=4, n_tables=16, seed=11
+    )
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs, panel, k=5, metric="cosine")
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.id)
+    for q in qids:
+        recall = len(ex[q] & ap.get(q, set())) / 5
+        assert recall >= 0.6, f"qid={q} recall={recall}"
+        # the query point itself always shares every bucket with itself
+        assert q in ap[q]

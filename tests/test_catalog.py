@@ -1,0 +1,81 @@
+"""Catalog lifecycle: per-doc index upsert (O15/O16), cascade delete
+(O25/O32), id assignment (O31), introspection (O26)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.catalog import (
+    assign_ids,
+    delete_documents,
+    index_documents,
+    index_hierarchy,
+    index_stats,
+    load_index,
+)
+from vector_database_spark.sources.generators import random_uniform
+
+
+def _text_table(spark, n_docs=3, per_doc=40):
+    return (
+        random_uniform(spark, n_docs * per_doc, 4, seed=5)
+        .withColumn("doc_id", F.col("id") % n_docs)
+        .withColumnRenamed("id", "text_id")
+    )
+
+
+def test_index_documents_roundtrip_and_partition_swap(spark):
+    txt = _text_table(spark)
+    path = tempfile.mkdtemp() + "/text_index"
+    index_documents(txt, path, local_threshold=16)
+    idx = load_index(spark, path)
+    assert idx.select("doc_id").distinct().count() == 3
+    leaves = idx.where(F.col("text_id").isNotNull())
+    assert leaves.count() == txt.count()
+
+    # Re-index only doc 1 — docs 0/2 partitions must be untouched.
+    before_0 = idx.where(F.col("doc_id") == 0).count()
+    index_documents(txt, path, doc_ids=[1], local_threshold=16)
+    idx2 = load_index(spark, path)
+    assert idx2.where(F.col("doc_id") == 0).count() == before_0
+    assert idx2.select("doc_id").distinct().count() == 3
+
+
+def test_delete_documents_cascade(spark):
+    txt = _text_table(spark)
+    path = tempfile.mkdtemp() + "/text_index"
+    index_documents(txt, path, local_threshold=16)
+    out = delete_documents(spark, path, [2], table_dfs={"text": txt})
+    idx = load_index(spark, path)
+    assert idx.where(F.col("doc_id") == 2).count() == 0
+    assert idx.select("doc_id").distinct().count() == 2
+    assert out["text"].where(F.col("doc_id") == 2).count() == 0
+
+
+def test_assign_ids(spark):
+    df = spark.range(100).select((F.col("id") * 2).alias("x"))
+    sparse = assign_ids(df, id_col="sid")
+    assert sparse.select("sid").distinct().count() == 100
+    dense = assign_ids(df, id_col="did", dense=True, order_by="x")
+    vals = sorted(r.did for r in dense.collect())
+    assert vals == list(range(100))
+
+
+def test_hierarchy_and_stats(spark):
+    txt = _text_table(spark, n_docs=1, per_doc=64)
+    path = tempfile.mkdtemp() + "/text_index"
+    index_documents(txt, path, local_threshold=16)
+    idx = load_index(spark, path)
+    h = index_hierarchy(idx)
+    rows = {r.range_id: r for r in h.collect()}
+    assert rows[0].parent_range_id is None and rows[0].depth == 0
+    for rid, r in rows.items():
+        if rid > 0:
+            assert r.parent_range_id == (rid - 1) // 2
+            assert r.depth == (rid + 1).bit_length() - 1
+    st = index_stats(idx).collect()[0]
+    assert st.n_leaves == 64
+    assert st.n_nodes == len(rows)
+    assert st.max_depth >= 6

@@ -1,0 +1,108 @@
+"""Dedup + text-analysis operator tests (oracle logic is exercised via
+tools/check_oracle.py; here: structural/recall properties)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators import dedup as dd
+from vector_database_spark.operators import text as tx
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE QUICK  brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark engines"),  # exact dup of 3
+        (5, "spark engines process completely different workloads daily"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    g = dd.exact_dedup(_docs(spark))
+    rows = {r.rep_id: r.n_copies for r in g.collect()}
+    assert rows[0] == 2  # 0 and 2 normalize equal
+    assert rows[3] == 2  # 3 and 4
+    assert rows[1] == 1 and rows[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dd.minhash_dedup_pairs(_docs(spark), threshold=0.4)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (0, 2) in got  # identical after normalization (J = 1)
+    assert (3, 4) in got
+    assert (0, 1) in got  # high word-shingle overlap
+    for a, b in got:
+        assert a < b
+
+
+def test_ngram_jaccard_matches_minhash_on_strong_pairs(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    mh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.4).collect()
+    }
+    assert set(mh) == set(exact)
+    for k in mh:
+        assert abs(mh[k] - exact[k]) < 1e-12
+
+
+def test_simhash_near_dups(spark):
+    sig = dd.simhash_signatures(_docs(spark))
+    rows = {r.id: r.simhash for r in sig.collect()}
+    assert rows[0] == rows[2]  # identical normalized text -> same hash
+    pairs = dd.simhash_pairs(sig, max_hamming=10)
+    got = {(r.a_id, r.b_id): r.hamming for r in pairs.collect()}
+    assert got[(0, 2)] == 0
+    assert (3, 4) in got and got[(3, 4)] == 0
+    banded = dd.simhash_pairs_banded(sig, max_hamming=10)
+    got_b = {(r.a_id, r.b_id): r.hamming for r in banded.collect()}
+    assert got == got_b  # banded equi-join == brute pair join
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dd.embedding_neardup_pairs(df, threshold=0.95)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_token_stats_and_quality(spark):
+    docs = _docs(spark)
+    st = {r.id: r for r in tx.token_stats(docs).collect()}
+    assert st[0].n_tokens == 9
+    assert st[0].n_unique_tokens == 8  # 'the' twice
+    q = {r.id: r for r in tx.quality_score(docs).collect()}
+    assert q[0].len_ok and q[0].stop_ok
+    assert 0 <= q[0].score <= 1
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house"),
+        (1, "le chat est pour la maison et les chiens de paris"),
+        (2, "el perro es para la casa y los gatos de madrid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.pred_lang for r in tx.language_scores(df).collect()}
+    assert out == {0: "en", 1: "fr", 2: "es"}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    rows = [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]

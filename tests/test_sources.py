@@ -1,0 +1,99 @@
+"""Sources/sinks: CSV export, HDF5 staging (faked chunks), multimodal
+plumbing, JSON-vector ingest."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.index_build import build_index
+from vector_database_spark.schemas import explode_points, ingest_json_vectors
+from vector_database_spark.sources.export import export_index_csv, export_vectors_csv
+from vector_database_spark.sources.generators import random_uniform
+from vector_database_spark.sources.hdf5 import (
+    HAS_H5PY,
+    iter_hdf5_chunks,
+    stage_chunks_to_parquet,
+)
+from vector_database_spark.sources.multimodal import (
+    extract_features,
+    fake_feature,
+    resize_stub,
+    sample_media,
+)
+
+
+def test_export_csv_roundtrip(spark):
+    vecs = random_uniform(spark, 50, 3, seed=9)
+    idx = build_index(vecs, local_threshold=16)
+    tmp = tempfile.mkdtemp()
+    export_index_csv(idx, f"{tmp}/idx_csv")
+    back = spark.read.option("header", "true").csv(f"{tmp}/idx_csv")
+    assert back.count() == idx.count()
+    export_vectors_csv(vecs, f"{tmp}/vec_csv")
+    vback = spark.read.option("header", "true").option("sep", "|").csv(f"{tmp}/vec_csv")
+    row = vback.where(F.col("id") == "0").collect()[0]
+    assert len(row.vector.split(",")) == 3
+
+
+def test_hdf5_gated_and_staging(spark):
+    if not HAS_H5PY:
+        with pytest.raises(NotImplementedError):
+            list(iter_hdf5_chunks("/nonexistent.h5", "/train"))
+    # fake chunk iterator exercises the staging path the HDF5 reader uses
+    chunks = iter(
+        [(0, [[0.1, 0.2], [0.3, 0.4]]), (2, [[0.5, 0.6]])]
+    )
+    tmp = tempfile.mkdtemp()
+    stage_chunks_to_parquet(spark, chunks, f"{tmp}/staged")
+    df = spark.read.parquet(f"{tmp}/staged")
+    rows = {r.id: list(r.vector) for r in df.collect()}
+    assert len(rows) == 3 and rows[2] == pytest.approx([0.5, 0.6])
+
+
+def test_multimodal_features(spark):
+    media = sample_media(spark, n=12)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r.feature) == 8
+        assert r.n_bytes > 0
+    # determinism: same payload -> same feature
+    one = [r for r in rows if r.media_id == 0][0]
+    local = fake_feature(
+        media.where(F.col("media_id") == 0).collect()[0].payload
+    )
+    assert list(one.feature) == pytest.approx(local)
+
+
+def test_multimodal_metadata_pruning(spark):
+    """Metadata-only query must not deserialize payload bytes — check
+    the parquet scan prunes the binary column (ReadSchema)."""
+    media = sample_media(spark, n=6)
+    tmp = tempfile.mkdtemp()
+    media.write.parquet(f"{tmp}/media")
+    scan = spark.read.parquet(f"{tmp}/media").select("media_id", "kind", "mime")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_resize_stub_raises(spark):
+    media = sample_media(spark, n=3)
+    with pytest.raises(Exception):
+        resize_stub(media, width=32, height=32).collect()
+
+
+def test_json_vector_ingest(spark):
+    df = spark.createDataFrame(
+        [(1, "[0.1, 0.2, 0.3]"), (2, "[1.5, -2.0, 0.0]")],
+        "id long, vector_json string",
+    )
+    parsed = ingest_json_vectors(df)
+    rows = {r.id: list(r.vector) for r in parsed.collect()}
+    assert rows[1] == pytest.approx([0.1, 0.2, 0.3], abs=1e-6)
+    pts = explode_points(parsed)
+    assert pts.count() == 6
+    assert pts.where((F.col("id") == 2) & (F.col("idx") == 1)).collect()[0].value == -2.0

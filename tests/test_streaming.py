@@ -1,0 +1,138 @@
+"""Structured Streaming: micro-batch ingest + reindex, windowed aggs.
+
+Streams are driven from parquet file sources with availableNow
+triggers so tests are hermetic and deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.catalog import load_index
+from vector_database_spark.sources.generators import random_uniform
+from vector_database_spark.streaming.ingest import foreach_batch_reindex
+from vector_database_spark.streaming.windows import (
+    latest_per_key,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def test_foreach_batch_reindex(spark):
+    tmp = tempfile.mkdtemp()
+    src, base, idxp, ckpt = (
+        f"{tmp}/src",
+        f"{tmp}/base",
+        f"{tmp}/index",
+        f"{tmp}/ckpt",
+    )
+    vecs = (
+        random_uniform(spark, 60, 3, seed=1)
+        .withColumn("doc_id", F.col("id") % 2)
+    )
+    vecs.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, vector array<float>, doc_id long"
+    ).parquet(src)
+    q = foreach_batch_reindex(
+        stream, base, idxp, ckpt, local_threshold=16, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    idx = load_index(spark, idxp)
+    assert idx.select("doc_id").distinct().count() == 2
+    assert idx.where(F.col("id").isNotNull()).count() == 60
+
+    # second batch: new vectors for doc 0 only -> doc 1 partition stable
+    doc1_before = idx.where(F.col("doc_id") == 1).count()
+    more = (
+        random_uniform(spark, 10, 3, seed=2)
+        .withColumn("id", F.col("id") + 1000)
+        .withColumn("doc_id", F.lit(0))
+    )
+    more.write.mode("append").parquet(src)
+    q2 = foreach_batch_reindex(
+        spark.readStream.schema("id long, vector array<float>, doc_id long").parquet(src),
+        base,
+        idxp,
+        ckpt,
+        local_threshold=16,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    idx2 = load_index(spark, idxp)
+    assert idx2.where(F.col("doc_id") == 1).count() == doc1_before
+    assert idx2.where((F.col("doc_id") == 0) & F.col("id").isNotNull()).count() == 40
+
+
+def _event_stream(spark, tmp):
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 10:10:00", 1, "click", 2.0),
+        (2, "2024-01-01 11:05:00", 1, "view", 3.0),
+        (3, "2024-01-01 10:20:00", 2, "click", 4.0),
+        (4, "2024-01-01 12:00:00", 2, "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    path = f"{tmp}/events_src"
+    df.write.parquet(path)
+    return spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).parquet(path)
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_counts(spark):
+    tmp = tempfile.mkdtemp()
+    ev = _event_stream(spark, tmp)
+    out = tumbling_counts(ev, watermark="10 hours")
+    _run_to_memory(out, "tumb", mode="complete")
+    rows = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    assert rows[("2024-01-01 10:00:00", "click")] == 3
+    assert rows[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_streaming_session_counts(spark):
+    tmp = tempfile.mkdtemp()
+    ev = _event_stream(spark, tmp)
+    out = session_counts(ev, gap="30 minutes", watermark="10 hours")
+    _run_to_memory(out, "sess", mode="complete")
+    rows = [
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess ORDER BY user_id, session_start").collect()
+    ]
+    # user 1: events at 10:00/10:10 in one session, 11:05 its own;
+    # user 2: 10:20 and 12:00 separate sessions
+    assert rows == [(1, 2), (1, 1), (2, 1), (2, 1)]
+
+
+def test_streaming_latest_per_key(spark):
+    tmp = tempfile.mkdtemp()
+    ev = _event_stream(spark, tmp)
+    out = latest_per_key(ev, watermark="10 hours")
+    _run_to_memory(out, "latest", mode="complete")
+    rows = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.sql("SELECT * FROM latest").collect()
+    }
+    assert rows[(1, "click")] == 1
+    assert rows[(2, "click")] == 4

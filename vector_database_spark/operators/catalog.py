@@ -1,0 +1,162 @@
+"""Catalog lifecycle: per-document index maintenance.
+
+Reference surface (SURVEY.md §2/§3):
+
+* ``index_document`` / ``index_documents`` — the `dbo.IndexDocument`
+  orchestration (DDL.sql:352-419): scan the text table for the doc,
+  build the tree, swap the doc's index rows atomically. In Spark the
+  swap is a *dynamic partition overwrite* of the ``doc_id=...``
+  partitions — sibling documents' partitions are untouched (the
+  delete+insert of the reference without a transaction, because
+  partition replacement is atomic per partition).
+* ``delete_documents`` — FK-cascade analog (DDL.sql:332-343): remove a
+  document's rows from documents/text/index tables (anti-join
+  rewrite or partition drop).
+* ``assign_ids`` — sequence-based id assignment (DDL.sql:328-330):
+  dense ids via window row_number, or sparse-but-parallel ids via
+  monotonically_increasing_id.
+* ``index_hierarchy`` — `MemoryVectorIndex.IndexHierarchy`
+  introspection (MemoryVectorIndex.cs:491-574): the index IS a
+  DataFrame, so introspection is a self-join query producing
+  (range_id, parent_range_id, depth, is_leaf, n_descendant_leaves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.operators.index_build import build_index
+
+
+def index_documents(
+    text_df: DataFrame,
+    index_path: str,
+    *,
+    doc_ids: list[int] | None = None,
+    id_col: str = "text_id",
+    vector_col: str = "vector",
+    doc_col: str = "doc_id",
+    local_threshold: int = 20_000,
+) -> None:
+    """Build/refresh the BSP-tree index for the given documents (all
+    documents when ``doc_ids`` is None) and swap it into the Parquet
+    index table at ``index_path``.
+
+    The write uses dynamic partition overwrite: only the doc_id
+    partitions present in the new index are replaced — the Spark
+    rendering of IndexDocument's per-doc delete+insert
+    (DDL.sql:397-418)."""
+    df = text_df
+    if doc_ids is not None:
+        df = df.where(F.col(doc_col).isin([int(d) for d in doc_ids]))
+    idx = build_index(
+        df,
+        id_col=id_col,
+        vector_col=vector_col,
+        doc_col=doc_col,
+        local_threshold=local_threshold,
+    )
+    (
+        idx.withColumnRenamed("id", id_col)
+        .repartition(doc_col)
+        .write.mode("overwrite")
+        .partitionBy(doc_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_path)
+    )
+
+
+def load_index(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(index_path)
+
+
+def delete_documents(
+    spark: SparkSession,
+    index_path: str,
+    doc_ids: list[int],
+    *,
+    table_dfs: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Cascade-delete documents: rewrite the index without the given
+    doc partitions and return filtered versions of any supplied base
+    tables (documents/text/...) — the FK cascade of DDL.sql:332-343
+    expressed as anti-filters. The caller persists the returned tables
+    wherever they live."""
+    ids = [int(d) for d in doc_ids]
+    idx = spark.read.parquet(index_path)
+    # Materialize BEFORE overwriting the same path (read-under-write),
+    # and force STATIC overwrite: under the session's dynamic
+    # partition-overwrite default the deleted doc's partition would
+    # simply be left in place (dynamic mode only replaces partitions
+    # present in the new data). At scale use a table format with
+    # DROP PARTITION (Delta/Iceberg) instead of a rewrite.
+    remaining = idx.where(~F.col("doc_id").isin(ids)).localCheckpoint(eager=True)
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("doc_id")
+        .parquet(index_path)
+    )
+    out = {}
+    for name, df in (table_dfs or {}).items():
+        out[name] = df.where(~F.col("doc_id").isin(ids))
+    return out
+
+
+def assign_ids(
+    df: DataFrame, *, id_col: str = "id", dense: bool = False, order_by: str | None = None
+) -> DataFrame:
+    """Sequence-style id assignment (DDL.sql:328-330).
+
+    dense=False (default): `monotonically_increasing_id` — parallel,
+    sparse, collision-free; the right choice at scale. dense=True:
+    contiguous 0..N-1 via a global row_number window — single-partition
+    bottleneck, use only for small dimension tables."""
+    if dense:
+        w = Window.orderBy(F.col(order_by) if order_by else F.monotonically_increasing_id())
+        return df.withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def index_hierarchy(index_df: DataFrame) -> DataFrame:
+    """Introspection query over the index DataFrame
+    (O26, MemoryVectorIndex.cs:491-574):
+    (doc_id, range_id, parent_range_id, depth, is_leaf).
+
+    parent = (range_id - 1) div 2 by the heap numbering — no join
+    needed; depth = floor(log2(range_id + 1))."""
+    parent = F.when(
+        F.col("range_id") > 0, F.expr("(range_id - 1) div 2")
+    ).otherwise(F.lit(None).cast("long"))
+    # exact integer depth: bit_length(range_id + 1) - 1 (a float log2
+    # misrounds near 2^k for large ids)
+    depth = (F.length(F.conv(F.col("range_id") + 1, 10, 2)) - 1).cast("int")
+    # persisted indexes carry the leaf id under the caller's id column
+    # name (e.g. text_id after index_documents)
+    leaf_col = "id" if "id" in index_df.columns else "text_id"
+    index_df = index_df.withColumn("_leaf_id", F.col(leaf_col))
+    return index_df.select(
+        "doc_id",
+        "range_id",
+        parent.alias("parent_range_id"),
+        depth.alias("depth"),
+        F.col("_leaf_id").isNotNull().alias("is_leaf"),
+        "dimension",
+        "mid",
+    )
+
+
+def index_stats(index_df: DataFrame) -> DataFrame:
+    """Per-document tree statistics: node/leaf counts, max depth,
+    id-split count — the EXPLAIN-style summary."""
+    h = index_hierarchy(index_df)
+    return h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("is_leaf").cast("long")).alias("n_leaves"),
+        F.max("depth").alias("max_depth"),
+        F.sum(
+            ((~F.col("is_leaf")) & F.col("dimension").isNull()).cast("long")
+        ).alias("n_id_splits"),
+    )

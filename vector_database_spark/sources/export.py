@@ -1,0 +1,48 @@
+"""Export sinks (reference O28: CSV dumps of index rows and vector
+sets, VectorIndex.MainTest/Program.cs:76-80,93-131,145-149)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_index_csv(index_df: DataFrame, path: str, *, header: bool = True) -> None:
+    """Index rows as CSV: RangeID,Dimension,Mid,ID shape of the
+    reference plus our doc/child columns."""
+    (
+        index_df.select(
+            "doc_id",
+            "range_id",
+            "dimension",
+            "mid",
+            "low_range_id",
+            "high_range_id",
+            "id",
+        )
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def export_vectors_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    header: bool = True,
+) -> None:
+    """Vectors as `id|comma-joined components` — the reference's
+    train/test dump format (Program.cs:145-149)."""
+    (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws(",", F.col(vector_col).cast("array<string>")).alias("vector"),
+        )
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", "|")
+        .csv(path)
+    )

@@ -1,0 +1,97 @@
+"""Structured Streaming ingestion + index maintenance.
+
+The reference's only mutation paths are per-record insert/delete on
+the in-memory trie (MemoryVectorIndex.Add/Remove, O23/O25) and the
+per-document rebuild (IndexDocument, O15). In Spark both become
+micro-batch operations:
+
+* ``stream_vectors_to_table`` — append incoming (doc_id, id, vector)
+  micro-batches to the base Parquet table (watermarked dedup by id).
+* ``foreach_batch_reindex`` — after each micro-batch, rebuild the
+  BSP-tree for exactly the documents touched by that batch (dynamic
+  partition overwrite — the same swap as the batch path). This is the
+  reference's incremental insert re-expressed as per-partition
+  compaction: cost is O(doc size) per touched doc, amortized by
+  batching, instead of O(log n) per record with unbounded tree decay.
+
+Windowed/sessionized analytics over the events stream live in
+`streaming.windows`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators.catalog import index_documents
+
+
+def stream_vectors_to_table(
+    stream_df: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    *,
+    dedup_id_col: str = "id",
+    watermark_col: str | None = None,
+    watermark: str = "10 minutes",
+):
+    """Append a vector stream to the base table with optional
+    watermarked exactly-once-per-id dedup. Returns the StreamingQuery."""
+    df = stream_df
+    if watermark_col is not None:
+        df = df.withWatermark(watermark_col, watermark).dropDuplicates(
+            [dedup_id_col, watermark_col]
+        )
+    return (
+        df.writeStream.format("parquet")
+        .option("path", base_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def foreach_batch_reindex(
+    stream_df: DataFrame,
+    base_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    doc_col: str = "doc_id",
+    local_threshold: int = 20_000,
+    trigger_once: bool = False,
+):
+    """foreachBatch sink: append the micro-batch to the base table,
+    then rebuild the index partitions of the touched documents only."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").partitionBy(doc_col).parquet(base_path)
+            touched = [r[0] for r in batch_df.select(doc_col).distinct().collect()]
+            full = spark.read.parquet(base_path)
+            index_documents(
+                full,
+                index_path,
+                doc_ids=touched,
+                id_col=id_col,
+                vector_col=vector_col,
+                doc_col=doc_col,
+                local_threshold=local_threshold,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

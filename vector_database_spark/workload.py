@@ -960,3 +960,117 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN, catalog introspection, streaming twins, multimodal (round-1 adds)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "v08_index_stats",
+    oracle="""
+SELECT 0::BIGINT AS doc_id,
+       (2 * count(*) - 1)::BIGINT AS n_nodes,
+       count(*)::BIGINT AS n_leaves
+FROM embeddings
+""",
+)
+def v08_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Introspection invariant through the gate: a BSP tree over n
+    points is a full binary tree — exactly 2n-1 nodes (every internal
+    node has two non-empty children by the mean/id-split rule)."""
+    from vector_database_spark.operators.catalog import index_stats
+
+    idx = embeddings_index(spark, sf_dir)
+    st = index_stats(idx)
+    return st.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_leaves").cast("long").alias("n_leaves"),
+    )
+
+
+@query("a01_ivf_knn")  # approximate: rows-only check, recall tested in tests/
+def a01_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_spark.operators.ann import ivf_build, ivf_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    assigned, cents = ivf_build(vecs, n_cells=8, iters=2)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = ivf_knn(assigned, cents, qdf, k=10, nprobe=6)
+    return res.select(
+        "qid", "id", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("a02_lsh_knn")  # approximate: rows-only check, recall tested in tests/
+def a02_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_spark.operators.ann import rp_lsh_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = rp_lsh_knn(vecs, qdf, k=10, dims=64, n_bits=4, n_tables=16, seed=11)
+    return res.select(
+        "qid", "id", F.round("cos_dist", 4).alias("cos_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "e05_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) >= 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events,
+       min(event_id)::BIGINT AS first_event
+FROM s GROUP BY user_id, sid
+""",
+)
+def e05_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the streaming-first form;
+    oracle = gap-sessionization SQL. Spark merges events with
+    gap < 30min into one session window)."""
+    from vector_database_spark.streaming.windows import session_counts
+
+    ev = _events(spark, sf_dir)
+    out = session_counts(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("first_event").cast("long").alias("first_event"),
+    )
+
+
+@query("m01_multimodal_features")  # synthetic payloads: rows-only check
+def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_database_spark.sources.multimodal import (
+        extract_features,
+        sample_media,
+    )
+
+    media = sample_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
