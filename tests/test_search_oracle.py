@@ -100,3 +100,35 @@ def test_search_chebyshev_box(spark):
         .select("qid", "id")
     )
     assert got == want
+
+
+def test_ball_pruning_tighter_and_exact(spark):
+    """O24 budget pruning: fewer candidates than box, same exact result."""
+    from vector_database_spark.operators.search import (
+        search_candidates_broadcast,
+    )
+
+    vecs = grid_2d(spark, 32)
+    idx = build_index(vecs, local_threshold=64)
+    panel = [(0, [0.25, -0.25]), (1, [-0.8, 0.8])]
+    domain = 0.15
+    box = search_candidates_broadcast(idx, panel, domain, pruning="box").count()
+    ball = search_candidates_broadcast(idx, panel, domain, pruning="ball").count()
+    assert ball <= box
+    got = _id_sets(search(idx, vecs, panel, domain, strategy="broadcast"))
+    want = _id_sets(brute_force_search(vecs, panel, domain))
+    assert got == want
+
+
+def test_ball_pruning_embeddings_oracle(spark, embeddings):
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    idx = build_index(vecs, local_threshold=64)
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin([7, 123])).collect()
+    ]
+    got = _id_sets(search(idx, vecs, panel, 1.3, strategy="broadcast"))
+    want = _id_sets(brute_force_search(vecs, panel, 1.3))
+    assert got == want

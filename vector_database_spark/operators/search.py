@@ -123,6 +123,7 @@ def search_candidates_broadcast(
     domain: float,
     *,
     doc_id: int | None = None,
+    pruning: str = "box",
 ) -> DataFrame:
     """Single-job candidate search: ship the (per-doc) index to the
     executors as a broadcast variable and walk the tree in-process per
@@ -133,6 +134,17 @@ def search_candidates_broadcast(
     217-221, so this is the common case). The iterative
     `search_candidates` remains the path for indexes too large to
     broadcast. Results are identical.
+
+    `pruning`:
+    * 'box'  — per-split-plane interval pruning, the SQL Search
+      semantics (DDL.sql:272-293). Candidates = leaves intersecting
+      the L∞ box.
+    * 'ball' — squared-Euclidean budget pruning, the
+      MemoryVectorIndex.Find semantics (MemoryVectorIndex.cs:279-308):
+      track the cell's squared distance to the query incrementally as
+      planes are crossed; prune when it exceeds domain². Strictly
+      fewer candidates; still a superset of the exact-L2 result, so
+      refinement semantics are unchanged.
     """
     import numpy as np
 
@@ -155,6 +167,9 @@ def search_candidates_broadcast(
         "qid", F.col("qvec").cast("array<double>").alias("qvec")
     )
 
+    use_ball = pruning == "ball"
+    budget = float(domain) * float(domain)
+
     def walk(batches):
         import pandas as pd
 
@@ -165,9 +180,12 @@ def search_candidates_broadcast(
                 q = np.asarray(qvec, dtype=np.float64)
                 for doc, tree in forest.items():
                     node = tree["node"]
-                    stack = [0]
+                    # stack entries: (rid, cell_sq_dist, {dim: offset})
+                    # offsets track the cell's nearest point per crossed
+                    # dimension (ball pruning only).
+                    stack = [(0, 0.0, {})]
                     while stack:
-                        rid = stack.pop()
+                        rid, cd, offs = stack.pop()
                         ent = node.get(rid)
                         if ent is None:
                             continue
@@ -178,16 +196,38 @@ def search_candidates_broadcast(
                             out_id.append(leaf)
                             continue
                         if dim is None:
-                            stack.append(low)
-                            stack.append(high)
-                        else:
-                            qv = q[dim] if dim < len(q) else None
-                            if qv is None:
-                                continue
+                            stack.append((low, cd, offs))
+                            stack.append((high, cd, offs))
+                            continue
+                        qv = q[dim] if dim < len(q) else None
+                        if qv is None:
+                            continue
+                        if not use_ball:
                             if mid >= qv - domain:
-                                stack.append(low)
+                                stack.append((low, cd, offs))
                             if mid <= qv + domain:
-                                stack.append(high)
+                                stack.append((high, cd, offs))
+                            continue
+                        # ball pruning: crossing the plane at `mid`
+                        # moves the cell's nearest point in `dim` to
+                        # the plane (unless already further away).
+                        old = offs.get(dim, 0.0)
+                        off = qv - mid
+                        # near child keeps the current cell distance
+                        if off < 0:
+                            near, far = low, high
+                        else:
+                            near, far = high, low
+                        stack.append((near, cd, offs))
+                        new_off = abs(off)
+                        if new_off > abs(old):
+                            far_cd = cd - old * old + new_off * new_off
+                        else:
+                            far_cd = cd
+                        if far_cd <= budget:
+                            far_offs = dict(offs)
+                            far_offs[dim] = new_off
+                            stack.append((far, far_cd, far_offs))
                     # end tree walk
             yield pd.DataFrame(
                 {"qid": out_qid, "doc_id": out_doc, "id": out_id}
@@ -227,7 +267,13 @@ def search(
         )
     if strategy == "broadcast":
         cands = search_candidates_broadcast(
-            index_df, queries, domain, doc_id=doc_id
+            index_df,
+            queries,
+            domain,
+            doc_id=doc_id,
+            # Euclidean refinement admits the tighter squared-budget
+            # pruning (O24); Chebyshev needs the full box.
+            pruning="ball" if metric == "euclidean" else "box",
         )
     else:
         cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)

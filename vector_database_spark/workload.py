@@ -1074,3 +1074,63 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("feature", 1), 4).alias("f0"),
     )
+
+
+@query(
+    "r13_outer_join",
+    oracle="""
+SELECT n.n_nationkey::BIGINT AS nationkey, n.n_name,
+       coalesce(c.n_cust, 0)::BIGINT AS n_cust,
+       coalesce(s.n_supp, 0)::BIGINT AS n_supp
+FROM nation n
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+       ON c.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+       ON s.s_nationkey = n.n_nationkey
+""",
+)
+def r13_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer joins with aggregated sides + null coalescing."""
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .select(
+            F.col("n_nationkey").cast("long").alias("nationkey"),
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "r14_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS lvl
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def r14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("lvl"),
+    )
