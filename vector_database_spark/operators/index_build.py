@@ -194,16 +194,46 @@ def build_index(
 
 
 def _plan_level(pts: DataFrame, depth: int, local_threshold: int) -> _LevelPlan:
-    """Aggregate per-range/per-dimension stats (single shuffle) and pick
-    each open range's split. Mirrors DDL.sql:118-152 but decorrelated:
-    all ranges of the level share one groupBy + one window argmax."""
-    exploded = pts.select(
+    """Plan one level in two aggregates:
+
+    1. a cheap count pass over the un-exploded points decides each
+       range's fate (leaf / local subtree / distributed split);
+    2. the expensive per-dimension stats aggregate (posexplode, dims×
+       the data) runs ONLY over ranges that actually split — at the
+       late levels most ranges fall under the local threshold and the
+       stats pass touches nothing.
+
+    Mirrors DDL.sql:118-152 decorrelated: all splitting ranges share
+    one groupBy + one window argmax.
+    """
+    spark = pts.sparkSession
+    counts = (
+        pts.groupBy("doc_id", "range_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("id").alias("min_id"))
+        .collect()
+    )
+    plan = _LevelPlan(leaves=[], local_rids=[], splits=[])
+    big: list[tuple] = []
+    for r in counts:
+        if r.cnt == 1:
+            # the single point's id IS min(id) — no extra lookup.
+            plan.leaves.append((r.doc_id, r.range_id, r.min_id))
+        elif r.cnt <= local_threshold:
+            plan.local_rids.append((r.doc_id, r.range_id))
+        else:
+            big.append((r.doc_id, r.range_id))
+    if not big:
+        return plan
+
+    big_df = F.broadcast(
+        spark.createDataFrame(big, "doc_id long, range_id long")
+    )
+    exploded = pts.join(big_df, ["doc_id", "range_id"], "left_semi").select(
         "doc_id", "range_id", "id", F.posexplode("vector").alias("idx", "value")
     )
     stats = exploded.groupBy("doc_id", "range_id", "idx").agg(
         F.avg(F.col("value").cast("double")).alias("mean"),
         F.var_pop(F.col("value").cast("double")).alias("var"),
-        F.count(F.lit(1)).alias("cnt"),
         # Truncated integer mean id (T-SQL integer avg / C# Int128
         # division both floor for non-negative ids); decimal(38,0) sum
         # is overflow-safe (Stats.cs:26 uses Int128 for the same
@@ -221,18 +251,11 @@ def _plan_level(pts: DataFrame, depth: int, local_threshold: int) -> _LevelPlan:
     chosen = (
         stats.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", "range_id", "idx", "mean", "var", "cnt", "mean_id")
+        .select("doc_id", "range_id", "idx", "mean", "var", "mean_id")
         .collect()
     )
-
-    plan = _LevelPlan(leaves=[], local_rids=[], splits=[])
     for r in chosen:
-        if r.cnt == 1:
-            # mean_id of a singleton IS the point id — no extra lookup.
-            plan.leaves.append((r.doc_id, r.range_id, r.mean_id))
-        elif r.cnt <= local_threshold:
-            plan.local_rids.append((r.doc_id, r.range_id))
-        elif r.var == 0.0:
+        if r.var == 0.0:
             plan.splits.append((r.doc_id, r.range_id, None, None, r.mean_id))
         else:
             plan.splits.append((r.doc_id, r.range_id, r.idx, r.mean, r.mean_id))
