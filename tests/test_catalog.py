@@ -79,3 +79,40 @@ def test_hierarchy_and_stats(spark):
     assert st.n_leaves == 64
     assert st.n_nodes == len(rows)
     assert st.max_depth >= 6
+
+
+def test_asof_join_semantics(spark):
+    from vector_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 15, "e3"), (3, 5, "e4")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (2, 15, 300.0)],
+        "k long, ts long, val double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_values=["val"]
+    )
+    rows = {r.ev: r.val_asof for r in out.collect()}
+    assert rows == {
+        "e1": 100.0,  # right ts 5 <= 10
+        "e2": 200.0,  # right ts 15 <= 20
+        "e3": 300.0,  # equal ts counts (<=)
+        "e4": None,  # no preceding right row
+    }
+
+
+def test_range_join_boundaries(spark):
+    from vector_database_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 4.0), (2, 5.0), (3, 9.99), (4, 10.0)], "id long, v double"
+    )
+    b = spark.createDataFrame(
+        [("lo", 0.0, 5.0), ("hi", 5.0, 10.0)], "bucket string, lo double, hi double"
+    )
+    out = {r.id: r.bucket for r in range_join(facts, b, value_col="v").collect()}
+    # half-open [lo, hi): 5.0 goes to 'hi', 10.0 matches nothing
+    assert out == {1: "lo", 2: "hi", 3: "hi", 4: None}

@@ -1,0 +1,94 @@
+"""Join operators beyond Catalyst's built-ins: as-of and range joins.
+
+Spark has no native AS OF join (SURVEY.md §2.2); the distributed
+rendering here is the union+window trick: tag both inputs, union them,
+sort each key group by (ts, side) and carry the latest right-side
+attributes forward with `last(ignorenulls)`. One shuffle on the join
+key, no per-row probing, no broadcast requirement — the canonical
+scale shape (both sides can be arbitrarily large).
+
+Range joins against a small boundary table stay a broadcast
+nested-loop join, which is exactly right when one side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    right_on: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` in the same ``on`` group (direction
+    'backward'; ties on the timestamp must be pre-deduplicated by the
+    caller for determinism).
+
+    Returns all left columns + ``<right_value><suffix>`` columns
+    (null when no right row precedes the left row).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    right_on = right_on or on
+
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+    )
+    r_tag = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts => right_ts <= left_ts
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "_lrow",
+        "_side",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_values
+        ],
+    ).where(F.col("_side") == 1)
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_values]
+    return carried.select(*out_cols)
+
+
+def range_join(
+    df: DataFrame,
+    boundaries: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Theta-join a fact table to a (small) boundary table on
+    ``lo <= value < hi``. Broadcasts the boundary side — with a tiny
+    boundary table Catalyst plans a BroadcastNestedLoopJoin, the right
+    physical strategy for non-equi conditions."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return df.join(F.broadcast(boundaries), cond, "left")

@@ -152,15 +152,26 @@ def search_candidates_broadcast(
     idx = index_df
     if doc_id is not None:
         idx = idx.where(F.col("doc_id") == F.lit(doc_id))
-    rows = idx.collect()
-    # columnar tree image keyed by (doc, range_id)
-    trees: dict[int, dict] = {}
-    for r in rows:
-        t = trees.setdefault(
-            r.doc_id,
-            {"node": {}},
-        )
-        t["node"][r.range_id] = (r.dimension, r.mid, r.low_range_id, r.high_range_id, r.id)
+    # Arrow transfer + columnar tree image: per doc, arrays sorted by
+    # range_id with child pointers remapped to array POSITIONS
+    # (searchsorted), so walkers never do per-node dict lookups.
+    pdx = idx.select(
+        "doc_id", "range_id", "dimension", "mid", "low_range_id", "high_range_id", "id"
+    ).toPandas()
+    import numpy as np_  # alias to avoid closure shadowing
+
+    trees: dict[int, tuple] = {}
+    for doc, g in pdx.groupby("doc_id"):
+        g = g.sort_values("range_id")
+        rids = g["range_id"].to_numpy(dtype="int64")
+        dim = g["dimension"].fillna(-1).to_numpy(dtype="int32")
+        mid = g["mid"].fillna(0.0).to_numpy(dtype="float64")
+        leaf = g["id"].fillna(-1).to_numpy(dtype="int64")
+        low_r = g["low_range_id"].fillna(-1).to_numpy(dtype="int64")
+        high_r = g["high_range_id"].fillna(-1).to_numpy(dtype="int64")
+        low_i = np_.searchsorted(rids, low_r).astype("int64")
+        high_i = np_.searchsorted(rids, high_r).astype("int64")
+        trees[int(doc)] = (dim, mid, low_i, high_i, leaf, True)
     bc = spark.sparkContext.broadcast(trees)
 
     qdf = _as_queries_df(index_df, queries).select(
@@ -179,61 +190,86 @@ def search_candidates_broadcast(
             for qid, qvec in zip(pdf["qid"], pdf["qvec"]):
                 q = np.asarray(qvec, dtype=np.float64)
                 for doc, tree in forest.items():
-                    node = tree["node"]
-                    # stack entries: (rid, cell_sq_dist, {dim: offset})
-                    # offsets track the cell's nearest point per crossed
-                    # dimension (ball pruning only).
-                    stack = [(0, 0.0, {})]
-                    while stack:
-                        rid, cd, offs = stack.pop()
-                        ent = node.get(rid)
-                        if ent is None:
-                            continue
-                        dim, mid, low, high, leaf = ent
-                        if leaf is not None:
+                    dim, mid, low_i, high_i, leaf, dims_ok = tree
+                    if use_ball:
+                        _walk_ball(
+                            q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id
+                        )
+                        continue
+                    # vectorized level-synchronous frontier walk: all
+                    # node metadata lives in numpy arrays with child
+                    # pointers pre-remapped to array positions, so a
+                    # whole frontier advances per numpy op — no
+                    # per-node Python.
+                    frontier = np.array([0], dtype=np.int64)
+                    while frontier.size:
+                        d = dim[frontier]
+                        lf = leaf[frontier]
+                        is_leaf = lf >= 0
+                        for x in lf[is_leaf]:
                             out_qid.append(qid)
                             out_doc.append(doc)
-                            out_id.append(leaf)
-                            continue
-                        if dim is None:
-                            stack.append((low, cd, offs))
-                            stack.append((high, cd, offs))
-                            continue
-                        qv = q[dim] if dim < len(q) else None
-                        if qv is None:
-                            continue
-                        if not use_ball:
-                            if mid >= qv - domain:
-                                stack.append((low, cd, offs))
-                            if mid <= qv + domain:
-                                stack.append((high, cd, offs))
-                            continue
-                        # ball pruning: crossing the plane at `mid`
-                        # moves the cell's nearest point in `dim` to
-                        # the plane (unless already further away).
-                        old = offs.get(dim, 0.0)
-                        off = qv - mid
-                        # near child keeps the current cell distance
-                        if off < 0:
-                            near, far = low, high
-                        else:
-                            near, far = high, low
-                        stack.append((near, cd, offs))
-                        new_off = abs(off)
-                        if new_off > abs(old):
-                            far_cd = cd - old * old + new_off * new_off
-                        else:
-                            far_cd = cd
-                        if far_cd <= budget:
-                            far_offs = dict(offs)
-                            far_offs[dim] = new_off
-                            stack.append((far, far_cd, far_offs))
-                    # end tree walk
+                            out_id.append(int(x))
+                        inner = frontier[~is_leaf]
+                        if inner.size == 0:
+                            break
+                        di = dim[inner]
+                        mi = mid[inner]
+                        idsplit = di < 0
+                        qv = np.where(
+                            (di >= 0) & (di < len(q)), q[np.clip(di, 0, len(q) - 1)], np.nan
+                        )
+                        keep_low = idsplit | (mi >= qv - domain)
+                        keep_high = idsplit | (mi <= qv + domain)
+                        # out-of-range dims (NaN comparisons) prune both
+                        keep_low &= idsplit | ~np.isnan(qv)
+                        keep_high &= idsplit | ~np.isnan(qv)
+                        frontier = np.concatenate(
+                            [low_i[inner[keep_low]], high_i[inner[keep_high]]]
+                        )
             yield pd.DataFrame(
                 {"qid": out_qid, "doc_id": out_doc, "id": out_id}
             ).astype({"qid": "int64", "doc_id": "int64", "id": "int64"})
 
     return qdf.mapInPandas(walk, "qid long, doc_id long, id long")
+
+
+def _walk_ball(q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id):
+    """Depth-first ball-pruned walk (O24 budget semantics,
+    MemoryVectorIndex.cs:279-308) over the columnar tree image.
+    Python per-node — use for selective queries; the box walk is the
+    vectorized default."""
+    dim, mid, low_i, high_i, leaf, _ = tree
+    # stack: (node_index, cell_sq_dist, {dim: offset})
+    stack = [(0, 0.0, {})]
+    nq = len(q)
+    while stack:
+        i, cd, offs = stack.pop()
+        lf = leaf[i]
+        if lf >= 0:
+            out_qid.append(qid)
+            out_doc.append(doc)
+            out_id.append(int(lf))
+            continue
+        d = dim[i]
+        if d < 0:  # id-split: descend both
+            stack.append((low_i[i], cd, offs))
+            stack.append((high_i[i], cd, offs))
+            continue
+        if d >= nq:
+            continue
+        qv = q[d]
+        m = mid[i]
+        old = offs.get(d, 0.0)
+        off = qv - m
+        near, far = (low_i[i], high_i[i]) if off < 0 else (high_i[i], low_i[i])
+        stack.append((near, cd, offs))
+        new_off = abs(off)
+        far_cd = cd - old * old + new_off * new_off if new_off > abs(old) else cd
+        if far_cd <= budget:
+            far_offs = dict(offs)
+            far_offs[d] = new_off
+            stack.append((far, far_cd, far_offs))
 
 
 # Index sizes up to this many rows use the broadcast walker in search().

@@ -1134,3 +1134,107 @@ def r14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lvl"),
     )
+
+
+@query(
+    "r15_range_join",
+    oracle="""
+WITH b(bucket, lo, hi) AS (VALUES ('cheap', 0.0, 925.0),
+                                  ('mid', 925.0, 950.0),
+                                  ('pricey', 950.0, 975.0),
+                                  ('lux', 975.0, 1e9))
+SELECT b.bucket, count(*)::BIGINT AS n, round(sum(p.p_retailprice), 2) AS sum_price
+FROM part p JOIN b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.bucket
+""",
+)
+def r15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast boundary table."""
+    from vector_database_spark.operators.joins import range_join
+
+    p = _t(spark, sf_dir, "part")
+    b = spark.createDataFrame(
+        [
+            ("cheap", 0.0, 925.0),
+            ("mid", 925.0, 950.0),
+            ("pricey", 950.0, 975.0),
+            ("lux", 975.0, 1e9),
+        ],
+        "bucket string, lo double, hi double",
+    )
+    joined = range_join(p, b, value_col="p_retailprice")
+    return (
+        joined.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "r16_asof_join",
+    oracle="""
+WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+           FROM orders GROUP BY o_custkey, o_orderdate),
+a AS (SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(r2.o_orderdate) FROM r r2
+              WHERE r2.o_custkey = e.user_id AND r2.o_orderdate <= e.ts) AS ad
+      FROM events e)
+SELECT a.event_id, a.user_id,
+       (SELECT max(r3.ok) FROM r r3
+        WHERE r3.o_custkey = a.user_id AND r3.o_orderdate = a.ad) AS asof_orderkey,
+       strftime(a.ad, '%Y-%m-%d') AS asof_date
+FROM a
+""",
+)
+def r16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF join (latest order per user at event time) via the
+    union+window carry-forward — one shuffle, both sides unbounded."""
+    from vector_database_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["ok", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ok_asof").alias("asof_orderkey"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("asof_date"),
+    )
+
+
+@query(
+    "v09_json_ingest",
+    oracle=f"""
+SELECT vec_id, round(sqrt({_dot_sql('embedding', 'embedding')}), 4) AS l2
+FROM embeddings
+""",
+)
+def v09_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 end-to-end: vectors serialized to JSON strings (the
+    reference's storage encoding, DDL.sql:320) and re-ingested via
+    from_json, then queried — the roundtrip must be lossless."""
+    from vector_database_spark.schemas import ingest_json_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    as_json = emb.select(
+        "vec_id", F.to_json(F.col("embedding")).alias("vector_json")
+    )
+    parsed = ingest_json_vectors(as_json)
+    return parsed.select(
+        "vec_id", F.round(l2_norm(F.col("vector")), 4).alias("l2")
+    )
