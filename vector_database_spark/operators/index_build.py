@@ -287,42 +287,87 @@ def _make_subtree_builder():
             [np.asarray(v, dtype=np.float64) for v in pdf["vector"]],
             dtype=np.float64,
         )
+        n_total = len(ids)
+        big_ids = bool(n_total) and int(ids.max()) > (1 << 45)
 
         out: list[tuple] = []
-        # (range_id, row-index array). Alternation flag derives from depth.
-        stack = [(root, np.arange(len(ids)))]
-        big_ids = bool(len(ids)) and int(ids.max()) > (1 << 45)
+        # Level-synchronous build with per-level compaction: the
+        # working arrays hold only ACTIVE (multi-point) segments,
+        # contiguously tiled, so one np.add.reduceat per level yields
+        # every node's sums/sq-sums (reduceat sums start->next start —
+        # valid exactly because finished leaves are compacted away and
+        # coverage stays gapless). Per-node Python is ~6 ops; the
+        # heavy lifting is C loops. Same split semantics as the
+        # distributed phase.
+        P = mat
+        Ii = ids
+        segs: list[tuple[int, int, int]] = [(root, 0, n_total)]  # (rid, a, b)
 
-        while stack:
-            rid, sel = stack.pop()
-            n = len(sel)
-            if n == 1:
-                out.append((doc, rid, None, None, None, None, int(ids[sel[0]])))
-                continue
-            sub = mat[sel]
-            mean = sub.mean(axis=0)
-            var = sub.var(axis=0)  # population variance, like var_pop
-            depth = (rid + 1).bit_length() - 1
-            if depth % 2 == 0:
-                dim = int(np.argmax(var))  # first max on ties (lowest idx)
+        while segs:
+            starts = np.fromiter((a for _, a, _ in segs), dtype=np.int64)
+            sums = np.add.reduceat(P, starts, axis=0)
+            sqs = np.add.reduceat(P * P, starts, axis=0)
+            counts = np.fromiter((b - a for _, a, b in segs), dtype=np.int64)
+            means = sums / counts[:, None]
+            # E[x^2] - m^2 (clamped): cheap one-pass variance. Tiny
+            # residues on (near-)constant data are handled by the
+            # empty-side guard below, which degrades to the id-split.
+            vars = np.maximum(sqs / counts[:, None] - means * means, 0.0)
+            if big_ids:
+                id_sums = [sum(int(x) for x in Ii[a:b]) for _, a, b in segs]
             else:
-                dim = int(np.argmin(var))
-            sub_ids = ids[sel]
-            id_sum = sum(int(x) for x in sub_ids) if big_ids else int(sub_ids.sum())
-            mean_id = id_sum // n
-            low_rid, high_rid = 2 * rid + 1, 2 * rid + 2
-            if high_rid > max_range_id:
-                raise RuntimeError("range id overflow in local subtree build")
-            if var[dim] == 0.0:
-                out.append((doc, rid, None, None, low_rid, high_rid, None))
-                low_mask = sub_ids <= mean_id
-            else:
-                mid = float(mean[dim])
-                out.append((doc, rid, dim, mid, low_rid, high_rid, None))
-                vals = sub[:, dim]
-                low_mask = (vals < mid) | ((vals == mid) & (sub_ids <= mean_id))
-            stack.append((low_rid, sel[low_mask]))
-            stack.append((high_rid, sel[~low_mask]))
+                id_sums = np.add.reduceat(Ii, starts)
+
+            blocks_P: list = []
+            blocks_I: list = []
+            next_segs: list[tuple[int, int, int]] = []
+            pos = 0
+            for k, (rid, a, b) in enumerate(segs):
+                cnt = b - a
+                if cnt == 1:  # defensive: only possible for a 1-row group
+                    out.append((doc, rid, None, None, None, None, int(Ii[a])))
+                    continue
+                depth = (rid + 1).bit_length() - 1
+                v = vars[k]
+                dim = int(np.argmax(v)) if depth % 2 == 0 else int(np.argmin(v))
+                mean_id = int(id_sums[k]) // cnt
+                low_rid, high_rid = 2 * rid + 1, 2 * rid + 2
+                if high_rid > max_range_id:
+                    raise RuntimeError("range id overflow in local subtree build")
+                seg_ids = Ii[a:b]
+                low_mask = None
+                if v[dim] != 0.0:
+                    mid = float(means[k, dim])
+                    vals = P[a:b, dim]
+                    low_mask = (vals < mid) | ((vals == mid) & (seg_ids <= mean_id))
+                    nlo = int(low_mask.sum())
+                    if nlo == 0 or nlo == cnt:
+                        # one-pass variance left a tiny positive residue
+                        # on (near-)constant data AND the float mean sits
+                        # an ulp off every value — no tie-break fires.
+                        # Degrade to the id-split the exact-variance path
+                        # would have taken.
+                        low_mask = None
+                if low_mask is None:
+                    out.append((doc, rid, None, None, low_rid, high_rid, None))
+                    low_mask = seg_ids <= mean_id
+                else:
+                    out.append((doc, rid, dim, mid, low_rid, high_rid, None))
+                for child_rid, mask in ((low_rid, low_mask), (high_rid, ~low_mask)):
+                    c = int(mask.sum())
+                    if c == 1:
+                        out.append(
+                            (doc, child_rid, None, None, None, None, int(seg_ids[mask][0]))
+                        )
+                        continue
+                    blocks_P.append(P[a:b][mask])
+                    blocks_I.append(seg_ids[mask])
+                    next_segs.append((child_rid, pos, pos + c))
+                    pos += c
+            if next_segs:
+                P = np.concatenate(blocks_P, axis=0)
+                Ii = np.concatenate(blocks_I)
+            segs = next_segs
 
         res = _pd.DataFrame(out, columns=cols)
         for c in ("low_range_id", "high_range_id", "id"):
