@@ -61,3 +61,28 @@ def test_rp_lsh_knn_recall(spark, embeddings):
         assert recall >= 0.6, f"qid={q} recall={recall}"
         # the query point itself always shares every bucket with itself
         assert q in ap[q]
+
+
+def test_ivf_persisted_partition_pruning(spark, embeddings):
+    """The persisted inverted file must let a probe read only its
+    cells: the scan's partition filters mention `cell`."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import ivf_read, ivf_write
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    assigned, cents = ivf_build(vecs, n_cells=4, iters=1)
+    path = tempfile.mkdtemp() + "/ivf"
+    ivf_write(assigned, cents, path)
+    assigned2, cents2 = ivf_read(spark, path)
+    assert [len(c) for c in cents2] == [64] * 4
+    probe = assigned2.where(F.col("cell").isin([0, 2]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # counts preserved through the persisted layout
+    assert assigned2.count() == vecs.count()
+    qdf = _queries_df(spark, vecs, [3])
+    res = ivf_knn(assigned2, cents2, qdf, k=5, nprobe=4)
+    assert res.count() == 5

@@ -136,3 +136,56 @@ def test_streaming_latest_per_key(spark):
     }
     assert rows[(1, "click")] == 1
     assert rows[(2, "click")] == 4
+
+
+def test_stateful_running_stats_across_batches(spark):
+    """applyInPandasWithState: keyed state persists across separate
+    availableNow runs sharing a checkpoint."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import running_user_stats
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    b1 = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 5.0), (3, 2, 1.0)],
+        "event_id long, user_id long, value double",
+    )
+    b1.write.parquet(src)
+
+    def run(out):
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(f"{tmp}/out1")
+    rows = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{tmp}/out1").collect()
+    }
+    assert rows == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second batch continues the same state via the shared checkpoint
+    spark.createDataFrame(
+        [(4, 1, 2.0), (5, 3, 7.0)], "event_id long, user_id long, value double"
+    ).write.mode("append").parquet(src)
+    run(f"{tmp}/out2")
+    rows2 = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{tmp}/out2").collect()
+    }
+    assert rows2[1] == (3, 17.0)  # accumulated across runs
+    assert rows2[3] == (1, 7.0)

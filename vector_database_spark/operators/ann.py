@@ -234,3 +234,28 @@ def ivf_knn(
         .where(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
+
+
+def ivf_write(
+    assigned_df: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist the inverted file: vectors partitioned by cell (the
+    physical layout that makes nprobe search touch nprobe partitions),
+    plus the centroid table alongside."""
+    spark = assigned_df.sparkSession
+    assigned_df.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    assigned = spark.read.parquet(f"{path}/vectors")
+    cents = [
+        list(r.cvec)
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    return assigned, cents

@@ -79,14 +79,12 @@ def search_candidates(
         "qid", "qvec", "doc_id", F.lit(0).cast("long").alias("range_id")
     )
 
-    budget = LineageBudget(checkpoint_every)
     hits: list[DataFrame] = []
     level = 0
     while True:
         if level > max_levels:
             raise RuntimeError("search exceeded max tree depth")
         nodes = frontier.join(idx, ["doc_id", "range_id"], "inner")
-        nodes = budget.maybe_checkpoint(nodes)
         leaf = nodes.where(F.col("id").isNotNull()).select("qid", "doc_id", "id")
         hits.append(leaf)
 
@@ -107,9 +105,15 @@ def search_candidates(
             ).alias("range_id"),
         )
         frontier = children
-        if frontier.isEmpty():
-            break
         level += 1
+        # One action per `checkpoint_every` levels, not per level: the
+        # checkpoint both cuts lineage AND tells us whether the
+        # frontier is exhausted — descending an already-empty frontier
+        # for a few levels costs only plan nodes, not jobs.
+        if level % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
 
     out = hits[0]
     for extra in hits[1:]:
