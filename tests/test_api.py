@@ -1,0 +1,55 @@
+"""End-to-end facade test: the reference's procedure lifecycle
+(ingest → IndexDocument → Search → delete) through `VectorDatabase`."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.api import VectorDatabase
+from vector_database_spark.sources.generators import random_uniform
+
+
+def _mk_vdb(spark):
+    vdb = VectorDatabase(spark, tempfile.mkdtemp() + "/vdb", local_threshold=32)
+    txt = (
+        random_uniform(spark, 90, 4, seed=21)
+        .withColumn("doc_id", F.col("id") % 3)
+        .select(
+            "doc_id",
+            F.col("id").alias("text_id"),
+            F.concat(F.lit("chunk "), F.col("id")).alias("text"),
+            "vector",
+        )
+    )
+    vdb.add_documents(txt)
+    return vdb
+
+
+def test_lifecycle(spark):
+    vdb = _mk_vdb(spark)
+    st = {r.doc_id: r for r in vdb.stats().collect()}
+    assert set(st) == {0, 1, 2}
+    assert sum(r.n_leaves for r in st.values()) == 90
+
+    q = [0.1, -0.2, 0.3, 0.0]
+    exact = {(r.text_id,) for r in vdb.search(q, 0.8).collect()}
+    brute = {(r.text_id,) for r in vdb.brute_force(q, 0.8).collect()}
+    assert exact == brute and exact
+
+    # candidates are a superset of exact matches (box semantics)
+    cands = {r.text_id for r in vdb.search_candidates(q, 0.8).collect()}
+    assert {t for (t,) in exact} <= cands
+
+    # doc-scoped search only returns that doc's chunks
+    scoped = vdb.search(q, 0.8, doc_id=1)
+    ids = [r.text_id for r in scoped.collect()]
+    assert all(i % 3 == 1 for i in ids)
+
+    # cascade delete: doc 2 gone from index and text
+    vdb.delete_documents([2])
+    assert vdb.index().where(F.col("doc_id") == 2).count() == 0
+    assert vdb.text().where(F.col("doc_id") == 2).count() == 0
+    left = {r.doc_id for r in vdb.stats().collect()}
+    assert left == {0, 1}

@@ -21,6 +21,16 @@ multimodal column plumbing) and a Structured Streaming ingest path.
 
 from vector_database_spark.session import get_spark
 
+
+def __getattr__(name):
+    # lazy: avoid importing the full operator surface at package import
+    if name == "VectorDatabase":
+        from vector_database_spark.api import VectorDatabase
+
+        return VectorDatabase
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "VectorDatabase", "__version__"]
