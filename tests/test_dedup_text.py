@@ -106,3 +106,38 @@ def test_fingerprint_normalization_invariance(spark):
     fp = {r.doc_id: r.fp for r in df.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_connected_components_chain(spark):
+    """A 6-node path graph forces multi-round label propagation
+    (diameter 5 > one hop) — exercises the fixpoint loop, not just
+    the near-clique fast case."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (20, 21)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [10, 11, 12, 13, 14, 15, 20, 21, 30]], "id long"
+    )
+    comp = {r.id: r.component for r in dd.connected_components(pairs, nodes).collect()}
+    assert all(comp[i] == 10 for i in range(10, 16))
+    assert comp[20] == comp[21] == 20
+    assert comp[30] == 30  # singleton keeps its own label
+
+
+def test_dedup_groups_canonical(spark):
+    docs = _docs(spark)
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.4)
+    g = dd.dedup_groups(docs, pairs)
+    rows = {r.doc_id: r for r in g.collect()}
+    assert len(rows) == 6  # every doc assigned, singletons included
+    # docs 0,1,2 form one group (0-2 exact, 0-1 near); canonical = 0
+    assert rows[0].group_id == rows[1].group_id == rows[2].group_id == 0
+    assert rows[0].is_canonical == 1 and rows[1].is_canonical == 0
+    assert rows[0].group_size == 3
+    # 3,4 pair up; 5 is a singleton
+    assert rows[3].group_id == rows[4].group_id == 3
+    assert rows[5].group_id == 5 and rows[5].group_size == 1
+    # exactly one canonical per group
+    n_canon = sum(r.is_canonical for r in rows.values())
+    assert n_canon == 3

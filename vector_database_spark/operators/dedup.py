@@ -373,6 +373,101 @@ def simhash_pairs_banded(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "id",
+    max_iter: int = 50,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components over an undirected pair graph:
+    ``(id, component)`` where component = min node id reachable.
+
+    Min-label propagation with a driver-side fixpoint loop: each round
+    every node takes the minimum label over itself and its neighbors —
+    one equi-join + one groupBy per round, both map-side combinable.
+    Rounds needed = graph diameter. Duplicate-document graphs are
+    near-cliques (every copy pairs with every other), so diameter ≈ 2
+    and the loop exits in 2-3 rounds; lineage is cut with eager
+    localCheckpoints so long chains cannot blow up the analyzer
+    (same discipline as the index-build loop). For adversarial
+    long-chain graphs at 100 TB, swap the per-round step for
+    alternating large-star/small-star contraction (Kiveris et al.,
+    MapReduce CC) — O(log n) rounds; the driver loop shape and the
+    convergence test stay identical.
+
+    Capability analog of the reference's tree *consolidation* walk
+    (MemoryVectorIndex.cs:462-486) re-expressed as a set-based
+    fixpoint, the same inversion SURVEY §4 applies to the build.
+    """
+    sym = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for it in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), "component")
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup *endpoint* a training pipeline actually consumes:
+    per-document group assignment with a deterministic canonical
+    representative (the min doc id of the component) —
+    ``(doc_id, group_id, group_size, is_canonical)``.
+
+    Singletons (no near-dup pair) form their own group. Downstream
+    "keep one per group" is then `where is_canonical = 1` — a filter,
+    not another shuffle.
+    """
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, nodes)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("group_id"),
+            "group_size",
+            F.when(F.col("id") == F.col("component"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_canonical"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -1238,3 +1238,322 @@ def v09_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "vec_id", F.round(l2_norm(F.col("vector")), 4).alias("l2")
     )
+
+
+# --------------------------------------------------------------------------
+# round-1 extension batch: dedup endpoint, centroids, TPC-H multi-joins,
+# percentiles, pivot, grouping sets, corpus n-grams, hopping windows
+# --------------------------------------------------------------------------
+
+_J_EXPR = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
+
+
+@query(
+    "d06_dedup_groups",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_J_EXPR} >= {JACCARD_T}),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u),
+sz AS (SELECT group_id, count(*)::BIGINT AS group_size FROM lab GROUP BY group_id)
+SELECT l.doc_id, l.group_id, sz.group_size,
+       (CASE WHEN l.doc_id = l.group_id THEN 1 ELSE 0 END) AS is_canonical
+FROM lab l JOIN sz ON sz.group_id = l.group_id
+""",
+)
+def d06_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endpoint: near-dup pairs (MinHash-LSH + exact Jaccard
+    refinement) -> connected components -> canonical representative per
+    group. The oracle recomputes the same thing from exact all-pairs
+    Jaccard with a recursive-CTE transitive closure, so the gate checks
+    LSH recall AND the component fixpoint in one query."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    return dd.dedup_groups(docs, pairs)
+
+
+@query(
+    "v10_label_centroids",
+    oracle="""
+SELECT label::BIGINT AS label, idx, round(avg(v), 4) AS centroid,
+       count(*)::BIGINT AS n_vecs
+FROM (SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+GROUP BY label, idx
+""",
+)
+def v10_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid of an embedding column in long form
+    (label, dim, value): posexplode + one map-side-combinable groupBy.
+    The long form is the 100 TB shape — no collect, no per-group
+    array materialization; the (label × dims) output is tiny."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("idx", "v"),
+        )
+        .groupBy("label", F.col("idx").cast("long").alias("idx"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "r17_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def r17_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact tables pushed to
+    the scans, customer reduced BEFORE the join, top-k by revenue."""
+    cutoff = "1998-03-15"
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(cutoff))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(cutoff))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "r18_nation_volume",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def r18_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a cycle condition
+    (customer and supplier in the same nation). Dims broadcast; the
+    fact-fact joins shuffle on their keys and AQE picks strategy/skew
+    handling at scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "r19_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_quantity, 0.50), 4) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def r19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the
+    same continuous-quantile definition). Exact percentile needs the
+    full group sorted — at 100 TB swap to approx_percentile with a
+    bounded error; the gate pins the exact path."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(price, F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile(price, F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.50)), 4).alias(
+            "med_qty"
+        ),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRI_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@query(
+    "r20_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS high,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS medium,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS not_specified,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def r20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no discovery scan — listing the
+    values keeps it one pass; pivot without values costs an extra
+    distinct job)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return p.select(
+        "o_orderstatus",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRI_ALIASES)],
+    )
+
+
+@query(
+    "r21_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       (grouping(o_orderstatus) * 2 + grouping(o_orderpriority))::BIGINT AS lvl
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def r21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets via the SQL surface (the DataFrame API
+    exposes only rollup/cube; spark.sql is a first-class entry point
+    of this engine)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r21_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS lvl
+        FROM r21_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "t06_top_ngrams",
+    oracle="""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS ngram
+       FROM toks)
+SELECT ngram, count(*)::BIGINT AS n
+FROM bg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+""",
+)
+def t06_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigrams: the vocabulary/statistics pass of a
+    training-data pipeline. One groupBy (map-side combined) + a top-k
+    sort of the tiny aggregate; deterministic tie-break on the ngram."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = dd.shingle_rows(docs, shingle_n=2, distinct=False)
+    return (
+        bg.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "e06_hopping_window",
+    oracle="""
+WITH e AS (SELECT event_type, value,
+                  make_timestamp((floor(epoch(ts) / 1800) * 1800 * 1000000)::BIGINT) AS w0
+           FROM events),
+w AS (SELECT strftime(w0, '%Y-%m-%d %H:%M') AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT strftime(w0 - INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M'), event_type, value FROM e)
+SELECT window_start, event_type, count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value
+FROM w GROUP BY window_start, event_type
+""",
+)
+def e06_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows, batch semantics of the streaming
+    path: 1h windows every 30min — each event lands in exactly two
+    windows. Same F.window expression drives the readStream variant
+    in streaming/windows.py."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
