@@ -78,6 +78,40 @@ def asof_join(
     return carried.select(*out_cols)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with explicit key salting: the skew escape hatch when
+    one join key dominates (a hot part, a null-heavy foreign key) and
+    AQE's skew splitting isn't available or isn't enough.
+
+    Each big-side row gets a uniform salt in [0, salt_buckets); the
+    small side is replicated once per salt value. The join key becomes
+    (key, salt), so a hot key's rows spread over ``salt_buckets``
+    reducers instead of one straggler task. Results are identical to
+    the plain join — salting only changes the shuffle layout. Cost:
+    small-side shuffle volume × salt_buckets (keep the small side
+    genuinely small, or broadcast and skip salting entirely).
+
+    Supported ``how``: inner / left (semantics preserved because every
+    big row keeps exactly its original salt partition).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = (F.rand(seed) * salt_buckets).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
 def range_join(
     df: DataFrame,
     boundaries: DataFrame,

@@ -1,0 +1,139 @@
+"""Sketch / sampling operators for 100 TB-scale profiling.
+
+Spark ships HyperLogLog (`approx_count_distinct`) and GK quantiles
+(`percentile_approx`), but their estimates are engine-internal — no
+external oracle can reproduce them bit-for-bit. The operators here are
+the *deterministic* counterparts a data-quality gate can hash-check:
+
+* ``kmv_distinct`` — K-Minimum-Values distinct-count estimator
+  (Bar-Yossef et al. 2002): hash every value with the md5-derived
+  ``h60``, keep the k smallest distinct hashes per group, estimate
+  ``(k-1) / u_k`` where ``u_k`` is the k-th smallest hash mapped into
+  (0, 1]. Any engine with md5 computes the identical estimate, so the
+  *approximation itself* is oracle-checkable — unlike HLL.
+* ``hash_sample`` — deterministic Bernoulli sampling by hash bucket:
+  the same row set on every engine, every run, any partitioning. The
+  standard trick for reproducible train/eval splits and for profiling
+  a 100 TB table by reading ~1% of it.
+
+Scale shape: ``kmv_distinct`` is one distinct (map-side combined) plus
+one k-row-per-group window — the sketch state is k longs per group,
+like HLL's register array. ``hash_sample`` is a pure filter: it pushes
+into the scan, samples consistently across tables (same key ⇒ same
+fate, enabling joinable samples), and never shuffles.
+
+Reference context: the reference has no sketches (SURVEY.md §2.2);
+these belong to the north-star profiling surface alongside dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.hashing import h60, h60_sql
+
+# h60 yields 60-bit hashes; dividing by 2^60 maps them into [0, 1).
+H60_SPAN = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    *,
+    k: int = 64,
+    estimate_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values.
+
+    ``value_col`` may be a column name or a Column (cast to string
+    before hashing so the oracle's VARCHAR rendering agrees). Groups
+    with fewer than k distinct hashes report the exact distinct count
+    (the sketch is lossless below its capacity).
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.select(*group_cols, h60(val.cast("string")).alias("hv"))
+        .distinct()  # (group, hash) dedup: map-side combined, k-bounded later
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(H60_SPAN))
+    )
+    return kept.select(*group_cols, est.alias(estimate_col))
+
+
+def kmv_distinct_sql(
+    table: str,
+    group_cols: list[str],
+    value_expr: str,
+    *,
+    k: int = 64,
+    estimate_col: str = "est_distinct",
+) -> str:
+    """DuckDB rendering of the identical estimate (the oracle side)."""
+    groups = ", ".join(group_cols)
+    hv = h60_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {groups}, {hv} AS hv FROM {table}
+), ranked AS (
+  SELECT {groups}, hv,
+         row_number() OVER (PARTITION BY {groups} ORDER BY hv) AS rn
+  FROM hashed
+), kept AS (
+  SELECT {groups}, count(*) AS n_kept, max(hv) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY {groups}
+)
+SELECT {groups},
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(k - 1)} / (CAST(kth AS DOUBLE) / {H60_SPAN})
+       END AS {estimate_col}
+FROM kept
+"""
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col,
+    *,
+    fraction: float = 0.05,
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hashed key lands
+    in the first ``fraction * buckets`` of ``buckets`` hash buckets.
+
+    Sampling by a *key* (not per-row randomness) keeps the sample
+    consistent across tables and runs: every row of every table with
+    the same key value is kept or dropped together, so sampled fact
+    tables still join. ``salt`` selects an independent sample.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    cut = int(round(fraction * buckets))
+    bucket = h60(key.cast("string"), salt) % F.lit(buckets)
+    return df.where(bucket < cut)
+
+
+def hash_sample_sql(
+    key_expr: str,
+    *,
+    fraction: float = 0.05,
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> str:
+    """DuckDB WHERE-clause predicate matching ``hash_sample``."""
+    cut = int(round(fraction * buckets))
+    hv = h60_sql(f"CAST({key_expr} AS VARCHAR)", salt)
+    return f"({hv} % {buckets}) < {cut}"

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vector_database_spark.operators import dedup as dd
+from vector_database_spark.operators import sketch as sk
 from vector_database_spark.operators import text as tx
+from vector_database_spark.operators.joins import salted_join
 from vector_database_spark.operators.index_build import build_index
 from vector_database_spark.operators.search import knn, search, search_candidates
 from vector_database_spark.functions.vector import (
@@ -1556,4 +1558,85 @@ def e06_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# sketches / sampling / skew (scale-profiling surface)
+# --------------------------------------------------------------------------
+
+_S01_K = 64
+
+@query(
+    "s01_kmv_distinct",
+    oracle=(
+        "SELECT l_returnflag, round(est_distinct, 4) AS est_distinct FROM ("
+        + sk.kmv_distinct_sql(
+            "lineitem", ["l_returnflag"], "l_partkey", k=_S01_K
+        )
+        + ")"
+    ),
+)
+def s01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch: unlike HLL, the md5-based
+    estimate is deterministic and cross-engine reproducible, so the
+    *approximation itself* hash-matches the DuckDB oracle. Sketch state
+    is k longs per group — the 100 TB profiling shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = sk.kmv_distinct(li, ["l_returnflag"], "l_partkey", k=_S01_K)
+    return est.select(
+        "l_returnflag", F.round("est_distinct", 4).alias("est_distinct")
+    )
+
+
+_S02_FRACTION = 0.05
+
+@query(
+    "s02_hash_sample",
+    oracle=f"""
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE {sk.hash_sample_sql("o_orderkey", fraction=_S02_FRACTION)}
+GROUP BY o_orderstatus
+""",
+)
+def s02_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample by key hash — reproducible
+    train/eval splits and 1%-scan profiling of a 100 TB table. A pure
+    filter: no shuffle, same row fate on every engine/run."""
+    o = _t(spark, sf_dir, "orders")
+    s = sk.hash_sample(o, "o_orderkey", fraction=_S02_FRACTION)
+    return s.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "r22_salted_join",
+    oracle="""
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def r22_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join: big side salted uniformly, small
+    side replicated per salt, join key (key, salt). Result is
+    identical to the plain join (the oracle IS the plain join) — only
+    the shuffle layout changes, spreading a hot key over salt_buckets
+    reducers."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = salted_join(li, p, on="p_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
     )
