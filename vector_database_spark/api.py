@@ -25,7 +25,7 @@ from vector_database_spark.operators import catalog
 from vector_database_spark.operators.search import (
     brute_force_search,
     search as _search,
-    search_candidates_broadcast,
+    search_candidates_auto,
 )
 
 
@@ -36,6 +36,10 @@ class VectorDatabase:
         self.spark = spark
         self.root = root_path.rstrip("/")
         self.local_threshold = local_threshold
+        self._idx_cache: DataFrame | None = None
+
+    def _invalidate_index(self) -> None:
+        self._idx_cache = None
 
     # -- storage ---------------------------------------------------------
     @property
@@ -63,6 +67,7 @@ class VectorDatabase:
         df.select(*cols).write.mode("append").partitionBy("doc_id").parquet(
             self.text_path
         )
+        self._invalidate_index()
         if reindex:
             touched = [r[0] for r in df.select("doc_id").distinct().collect()]
             self.index_documents(touched)
@@ -77,9 +82,11 @@ class VectorDatabase:
             doc_ids=doc_ids,
             local_threshold=self.local_threshold,
         )
+        self._invalidate_index()
 
     def delete_documents(self, doc_ids: list[int]) -> None:
         """Cascade delete: text rows + index partitions."""
+        self._invalidate_index()
         remaining = catalog.delete_documents(
             self.spark, self.index_path, doc_ids, table_dfs={"text": self.text()}
         )
@@ -93,15 +100,22 @@ class VectorDatabase:
 
     # -- queries (dbo.Search / Find) -------------------------------------
     def _index_named(self) -> DataFrame:
-        # search operators expect the leaf id under `id`
-        return self.index().withColumnRenamed("text_id", "id")
+        # search operators expect the leaf id under `id`; the DataFrame
+        # object is cached across calls so the auto-strategy's memoized
+        # row count survives (writes invalidate it).
+        if self._idx_cache is None:
+            self._idx_cache = self.index().withColumnRenamed("text_id", "id")
+        return self._idx_cache
 
     def search_candidates(
         self, vector: list[float], domain: float, doc_id: int | None = None
     ) -> DataFrame:
         """SQL `dbo.Search` semantics: box-candidate (doc_id, text_id)
-        superset, no distance refinement (DDL.sql:234-295)."""
-        out = search_candidates_broadcast(
+        superset, no distance refinement (DDL.sql:234-295). Routed
+        through the size-guarded auto strategy — an index beyond
+        `BROADCAST_INDEX_MAX_ROWS` takes the iterative frontier join
+        instead of a single-task-per-doc walk."""
+        out = search_candidates_auto(
             self._index_named(), [(0, vector)], domain, doc_id=doc_id, pruning="box"
         )
         return out.select("doc_id", F.col("id").alias("text_id"))

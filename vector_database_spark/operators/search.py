@@ -129,15 +129,18 @@ def search_candidates_broadcast(
     doc_id: int | None = None,
     pruning: str = "box",
 ) -> DataFrame:
-    """Single-job candidate search: ship the (per-doc) index to the
-    executors as a broadcast variable and walk the tree in-process per
-    query (`mapInPandas`), instead of one frontier-join job per level.
+    """Single-job candidate search: per-document executor-side walk.
 
-    Right when the index fits in executor memory (~2N rows per doc —
-    the reference's design unit is one tree per document, DDL.sql:
-    217-221, so this is the common case). The iterative
-    `search_candidates` remains the path for indexes too large to
-    broadcast. Results are identical.
+    The query panel is cross-joined to the document list and COGROUPED
+    with the index on ``doc_id`` — each task receives one document's
+    complete tree plus the panel, builds a columnar tree image (arrays
+    sorted by range_id, child pointers remapped to array positions)
+    and walks it in-process. The index never visits the driver (the
+    round-1 version shipped it through ``toPandas`` + broadcast; the
+    name is kept for API stability). Parallelism = #documents — the
+    reference's design unit is one tree per document (DDL.sql:217-221).
+    The iterative `search_candidates` remains the path for single trees
+    too large for one task's memory. Results are identical.
 
     `pruning`:
     * 'box'  — per-split-plane interval pruning, the SQL Search
@@ -150,92 +153,110 @@ def search_candidates_broadcast(
       fewer candidates; still a superset of the exact-L2 result, so
       refinement semantics are unchanged.
     """
-    import numpy as np
-
-    spark = index_df.sparkSession
     idx = index_df
     if doc_id is not None:
         idx = idx.where(F.col("doc_id") == F.lit(doc_id))
-    # Arrow transfer + columnar tree image: per doc, arrays sorted by
-    # range_id with child pointers remapped to array POSITIONS
-    # (searchsorted), so walkers never do per-node dict lookups.
-    pdx = idx.select(
+    idx = idx.select(
         "doc_id", "range_id", "dimension", "mid", "low_range_id", "high_range_id", "id"
-    ).toPandas()
-    import numpy as np_  # alias to avoid closure shadowing
+    )
+    # Query buckets parallelize walks WITHIN a document: index rows are
+    # seven scalars (no vectors), so replicating the tree per bucket is
+    # a few MB of shuffle per bucket — cheap next to serializing a
+    # panel behind one task per doc.
+    spark = index_df.sparkSession
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_q = len(queries) if isinstance(queries, list) else 8
+    n_buckets = max(1, min(n_q, par))
+    qdf = _as_queries_df(index_df, queries).select(
+        "qid",
+        F.col("qvec").cast("array<double>").alias("qvec"),
+        F.pmod(F.xxhash64("qid"), F.lit(n_buckets)).alias("_qb"),
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").cast("long").alias("_qb"))
+    idx_rep = idx.crossJoin(F.broadcast(buckets))
+    # fresh exprId for the key (`_doc`) — both cogroup sides descend
+    # from the same index Dataset, and a shared attribute would trip
+    # the ambiguous-self-join check.
+    docs = (
+        idx.where(F.col("range_id") == 0)
+        .select(F.col("doc_id").alias("_doc"))
+        .distinct()
+    )
+    qx = docs.crossJoin(F.broadcast(qdf))
 
-    trees: dict[int, tuple] = {}
-    for doc, g in pdx.groupby("doc_id"):
-        g = g.sort_values("range_id")
+    use_ball = pruning == "ball"
+    budget = float(domain) * float(domain)
+    dom = float(domain)
+    ball_walker = _walk_ball  # resolved via package import on executors
+
+    def walk(key, qpdf, ipdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "qid": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "id": pd.array([], dtype="int64"),
+            }
+        )
+        if not len(qpdf) or not len(ipdf):
+            return empty
+        doc = int(key[0])
+        g = ipdf.sort_values("range_id")
         rids = g["range_id"].to_numpy(dtype="int64")
         dim = g["dimension"].fillna(-1).to_numpy(dtype="int32")
         mid = g["mid"].fillna(0.0).to_numpy(dtype="float64")
         leaf = g["id"].fillna(-1).to_numpy(dtype="int64")
-        low_r = g["low_range_id"].fillna(-1).to_numpy(dtype="int64")
-        high_r = g["high_range_id"].fillna(-1).to_numpy(dtype="int64")
-        low_i = np_.searchsorted(rids, low_r).astype("int64")
-        high_i = np_.searchsorted(rids, high_r).astype("int64")
-        trees[int(doc)] = (dim, mid, low_i, high_i, leaf, True)
-    bc = spark.sparkContext.broadcast(trees)
+        low_i = np.searchsorted(rids, g["low_range_id"].fillna(-1).to_numpy("int64"))
+        high_i = np.searchsorted(rids, g["high_range_id"].fillna(-1).to_numpy("int64"))
+        tree = (dim, mid, low_i.astype("int64"), high_i.astype("int64"), leaf, True)
 
-    qdf = _as_queries_df(index_df, queries).select(
-        "qid", F.col("qvec").cast("array<double>").alias("qvec")
+        out_qid, out_doc, out_id = [], [], []
+        for qid, qvec in zip(qpdf["qid"], qpdf["qvec"]):
+            q = np.asarray(qvec, dtype=np.float64)
+            if use_ball:
+                ball_walker(
+                    q, tree, budget, dom, qid, doc, out_qid, out_doc, out_id
+                )
+                continue
+            # vectorized level-synchronous frontier walk: a whole
+            # frontier advances per numpy op — no per-node Python.
+            frontier = np.array([0], dtype=np.int64)
+            while frontier.size:
+                d = dim[frontier]
+                lf = leaf[frontier]
+                is_leaf = lf >= 0
+                for x in lf[is_leaf]:
+                    out_qid.append(qid)
+                    out_doc.append(doc)
+                    out_id.append(int(x))
+                inner = frontier[~is_leaf]
+                if inner.size == 0:
+                    break
+                di = dim[inner]
+                mi = mid[inner]
+                idsplit = di < 0
+                qv = np.where(
+                    (di >= 0) & (di < len(q)), q[np.clip(di, 0, len(q) - 1)], np.nan
+                )
+                keep_low = idsplit | (mi >= qv - dom)
+                keep_high = idsplit | (mi <= qv + dom)
+                # out-of-range dims (NaN comparisons) prune both
+                keep_low &= idsplit | ~np.isnan(qv)
+                keep_high &= idsplit | ~np.isnan(qv)
+                frontier = np.concatenate(
+                    [low_i[inner[keep_low]], high_i[inner[keep_high]]]
+                )
+        return pd.DataFrame(
+            {"qid": out_qid, "doc_id": out_doc, "id": out_id}
+        ).astype({"qid": "int64", "doc_id": "int64", "id": "int64"})
+
+    return (
+        qx.groupby("_doc", "_qb")
+        .cogroup(idx_rep.groupby("doc_id", "_qb"))
+        .applyInPandas(walk, "qid long, doc_id long, id long")
     )
-
-    use_ball = pruning == "ball"
-    budget = float(domain) * float(domain)
-
-    def walk(batches):
-        import pandas as pd
-
-        forest = bc.value
-        for pdf in batches:
-            out_qid, out_doc, out_id = [], [], []
-            for qid, qvec in zip(pdf["qid"], pdf["qvec"]):
-                q = np.asarray(qvec, dtype=np.float64)
-                for doc, tree in forest.items():
-                    dim, mid, low_i, high_i, leaf, dims_ok = tree
-                    if use_ball:
-                        _walk_ball(
-                            q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id
-                        )
-                        continue
-                    # vectorized level-synchronous frontier walk: all
-                    # node metadata lives in numpy arrays with child
-                    # pointers pre-remapped to array positions, so a
-                    # whole frontier advances per numpy op — no
-                    # per-node Python.
-                    frontier = np.array([0], dtype=np.int64)
-                    while frontier.size:
-                        d = dim[frontier]
-                        lf = leaf[frontier]
-                        is_leaf = lf >= 0
-                        for x in lf[is_leaf]:
-                            out_qid.append(qid)
-                            out_doc.append(doc)
-                            out_id.append(int(x))
-                        inner = frontier[~is_leaf]
-                        if inner.size == 0:
-                            break
-                        di = dim[inner]
-                        mi = mid[inner]
-                        idsplit = di < 0
-                        qv = np.where(
-                            (di >= 0) & (di < len(q)), q[np.clip(di, 0, len(q) - 1)], np.nan
-                        )
-                        keep_low = idsplit | (mi >= qv - domain)
-                        keep_high = idsplit | (mi <= qv + domain)
-                        # out-of-range dims (NaN comparisons) prune both
-                        keep_low &= idsplit | ~np.isnan(qv)
-                        keep_high &= idsplit | ~np.isnan(qv)
-                        frontier = np.concatenate(
-                            [low_i[inner[keep_low]], high_i[inner[keep_high]]]
-                        )
-            yield pd.DataFrame(
-                {"qid": out_qid, "doc_id": out_doc, "id": out_id}
-            ).astype({"qid": "int64", "doc_id": "int64", "id": "int64"})
-
-    return qdf.mapInPandas(walk, "qid long, doc_id long, id long")
 
 
 def _walk_ball(q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id):
@@ -276,8 +297,44 @@ def _walk_ball(q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id):
             stack.append((far, far_cd, far_offs))
 
 
-# Index sizes up to this many rows use the broadcast walker in search().
+# Index sizes up to this many rows use the cogroup walker in search()
+# (bounds one document-tree per task; larger trees take the iterative
+# frontier join).
 BROADCAST_INDEX_MAX_ROWS = 500_000
+
+
+def _index_size(index_df: DataFrame) -> int:
+    """Row count with per-DataFrame-object memoization, so repeated
+    auto-strategy searches over the same index don't re-count."""
+    n = getattr(index_df, "_vds_nrows", None)
+    if n is None:
+        n = index_df.count()
+        try:
+            index_df._vds_nrows = n
+        except Exception:
+            pass
+    return int(n)
+
+
+def search_candidates_auto(
+    index_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    doc_id: int | None = None,
+    pruning: str = "box",
+    **kwargs,
+) -> DataFrame:
+    """Strategy-picking candidate search: the single-job cogroup
+    walker for indexes whose per-task tree fits comfortably, the
+    level-synchronous frontier join beyond (the iterative path only
+    does box pruning). The facade and `search` both route through
+    this guard — nothing calls the walker unconditionally."""
+    if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS:
+        return search_candidates_broadcast(
+            index_df, queries, domain, doc_id=doc_id, pruning=pruning
+        )
+    return search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
 
 
 def search(
@@ -302,7 +359,7 @@ def search(
     if strategy == "auto":
         strategy = (
             "broadcast"
-            if index_df.count() <= BROADCAST_INDEX_MAX_ROWS
+            if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS
             else "iterative"
         )
     if strategy == "broadcast":
