@@ -94,3 +94,82 @@ def test_facade_size_guard(spark, monkeypatch):
     n_counts = {"n": 0}
     idx_df = vdb._index_named()
     assert hasattr(idx_df, "_vds_nrows")
+
+
+def test_delete_vectors_lifecycle(spark):
+    """Reference Remove(vector, distance, predicate) shape
+    (MemoryVectorIndex.cs:358-489): delete the ball, search again,
+    zero stale hits; everything outside the ball survives."""
+    vdb = _mk_vdb(spark)
+    q = [0.1, -0.2, 0.3, 0.0]
+    before = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    assert before
+    total_before = vdb.text().count()
+
+    n = vdb.delete_vectors(q, 0.8)
+    assert n == len(before)
+    assert vdb.search(q, 0.8).count() == 0  # no stale hits
+    assert vdb.text().count() == total_before - n
+    # index stays consistent: leaves == remaining rows per doc
+    st = vdb.stats().collect()
+    by_doc = {r.doc_id: r.n_leaves for r in st}
+    txt_by_doc = {
+        r.doc_id: r.cnt
+        for r in vdb.text().groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_doc == txt_by_doc
+    # far-away vectors still searchable
+    far = vdb.brute_force([5.0, 5.0, 5.0, 5.0], 100.0).count()
+    assert far == total_before - n
+
+
+def test_delete_vectors_predicate(spark):
+    """The predicate VERIFIES the match: only even text_ids inside the
+    ball are removed."""
+    vdb = _mk_vdb(spark)
+    q = [0.1, -0.2, 0.3, 0.0]
+    hits = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    evens = {t for t in hits if t % 2 == 0}
+    assert evens and evens != hits
+    n = vdb.delete_vectors(q, 0.8, predicate="text_id % 2 = 0")
+    assert n == len(evens)
+    after = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    assert after == hits - evens
+
+
+def test_tail_add_and_compaction(spark):
+    """Per-record add: reindex=False serves new rows from the exact
+    brute-forced tail; 'auto' compacts once the threshold trips."""
+    from vector_database_spark.sources.generators import random_uniform
+
+    vdb = _mk_vdb(spark)
+    q = [0.1, -0.2, 0.3, 0.0]
+    base = {r.text_id for r in vdb.search(q, 0.8).collect()}
+
+    extra = (
+        random_uniform(spark, 12, 4, seed=77)
+        .select(
+            (F.col("id") % 3).alias("doc_id"),
+            (F.col("id") + 1000).alias("text_id"),
+            "vector",
+        )
+    )
+    vdb.add_documents(extra, reindex=False)
+    assert vdb.tail().count() == 12
+    got = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    brute = {r.text_id for r in vdb.brute_force(q, 0.8).collect()}
+    assert got == brute and base <= got  # exact including the tail
+    # candidates superset too
+    cands = {r.text_id for r in vdb.search_candidates(q, 0.8).collect()}
+    assert got <= cands
+    # index untouched so far
+    assert vdb.index().where(F.col("text_id") >= 1000).count() == 0
+
+    # 12 new rows on 90 old = ~12% per doc: below a 0.5 threshold,
+    # above a 0.05 one
+    assert vdb.compact(threshold=0.5) == []
+    compacted = sorted(vdb.compact(threshold=0.05))
+    assert compacted == [0, 1, 2]
+    assert vdb.tail().count() == 0
+    after = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    assert after == got

@@ -105,6 +105,29 @@ def delete_documents(
     return out
 
 
+def tail_rows(
+    text_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    id_col: str = "text_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Rows present in the text table but absent from the index
+    leaves — each document's un-compacted LSM *tail*.
+
+    The reference mutates its in-memory trie per record
+    (MemoryVectorIndex.cs:86-228); the Spark rendering keeps the
+    indexed part immutable and serves fresh rows from this tail
+    (brute-force searched — exact, and small by construction until
+    compaction rebuilds the document). No extra state table: the tail
+    IS the anti-join, so it survives restarts and cannot drift."""
+    leaf_col = id_col if id_col in index_df.columns else "id"
+    leaves = index_df.where(F.col(leaf_col).isNotNull()).select(
+        F.col(doc_col).alias(doc_col), F.col(leaf_col).alias(id_col)
+    )
+    return text_df.join(leaves, [doc_col, id_col], "left_anti")
+
+
 def assign_ids(
     df: DataFrame, *, id_col: str = "id", dense: bool = False, order_by: str | None = None
 ) -> DataFrame:

@@ -64,9 +64,17 @@ def foreach_batch_reindex(
     doc_col: str = "doc_id",
     local_threshold: int = 20_000,
     trigger_once: bool = False,
+    compaction_threshold: float | None = None,
 ):
     """foreachBatch sink: append the micro-batch to the base table,
-    then rebuild the index partitions of the touched documents only."""
+    then rebuild the index partitions of touched documents.
+
+    ``compaction_threshold=None`` rebuilds every touched document each
+    batch (strictest freshness). A fraction (e.g. ``0.2``) enables the
+    LSM-style policy: a touched document is rebuilt only once its
+    un-indexed tail exceeds that share of its rows — the amortized
+    per-record insert (reference ``Add``); reads stay exact because
+    `catalog.tail_rows` rows are brute-force served by the facade."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -77,15 +85,43 @@ def foreach_batch_reindex(
             batch_df.write.mode("append").partitionBy(doc_col).parquet(base_path)
             touched = [r[0] for r in batch_df.select(doc_col).distinct().collect()]
             full = spark.read.parquet(base_path)
-            index_documents(
-                full,
-                index_path,
-                doc_ids=touched,
-                id_col=id_col,
-                vector_col=vector_col,
-                doc_col=doc_col,
-                local_threshold=local_threshold,
-            )
+            if compaction_threshold is not None:
+                from vector_database_spark.operators.catalog import tail_rows
+
+                scoped = full.where(F.col(doc_col).isin(touched))
+                try:
+                    idx = spark.read.parquet(index_path)
+                except Exception:
+                    idx = None
+                if idx is not None:
+                    totals = scoped.groupBy(doc_col).agg(
+                        F.count(F.lit(1)).alias("n")
+                    )
+                    tails = (
+                        tail_rows(scoped, idx, id_col=id_col, doc_col=doc_col)
+                        .groupBy(doc_col)
+                        .agg(F.count(F.lit(1)).alias("n_tail"))
+                    )
+                    touched = [
+                        r[0]
+                        for r in totals.join(tails, doc_col)
+                        .where(
+                            F.col("n_tail")
+                            > F.lit(float(compaction_threshold)) * F.col("n")
+                        )
+                        .select(doc_col)
+                        .collect()
+                    ]
+            if touched:
+                index_documents(
+                    full,
+                    index_path,
+                    doc_ids=touched,
+                    id_col=id_col,
+                    vector_col=vector_col,
+                    doc_col=doc_col,
+                    local_threshold=local_threshold,
+                )
         finally:
             batch_df.unpersist()
 
