@@ -54,6 +54,42 @@ def test_ngram_jaccard_matches_minhash_on_strong_pairs(spark):
         assert abs(mh[k] - exact[k]) < 1e-12
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One stop-shingle shared by EVERY doc must not fan the candidate
+    join out quadratically: with the df cap, candidate pairs come only
+    from sub-cap shingles, and real near-dups (sharing rare shingles)
+    are still found with exact Jaccard values."""
+    n = 60
+    rows = [
+        # every doc starts with the same stop-shingle 'aaa bbb ccc';
+        # the rest is unique filler except two planted near-dups
+        (i, f"aaa bbb ccc unique{i} filler{i} tail{i} end{i}")
+        for i in range(n)
+    ]
+    rows[1] = (1, "aaa bbb ccc unique0 filler0 tail0 diverge1")  # near-dup of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=10)
+    got = {(r.a_id, r.b_id): r.jaccard for r in capped.collect()}
+    assert (0, 1) in got  # found via its sub-cap shared shingles
+    # Jaccard is computed over FULL shingle sets (incl. the hot one)
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_shingle_df=None
+        ).collect()
+    }
+    assert got[(0, 1)] == exact[(0, 1)]
+    # the candidate-generation plan never joins the hot shingle: pair
+    # count stays near-linear (every exact pair here shares a sub-cap
+    # shingle, so capped == exact on this corpus)
+    assert got == exact
+    # the hot-shingle-only pairs the cap drops: docs sharing NOTHING
+    # but 'aaa bbb ccc' do not appear (their true J is below 0.2
+    # anyway on this corpus, so exact agrees)
+    assert all(a == 0 and b == 1 for (a, b) in got)
+
+
 def test_simhash_near_dups(spark):
     sig = dd.simhash_signatures(_docs(spark))
     rows = {r.id: r.simhash for r in sig.collect()}

@@ -246,20 +246,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_shingle_df: int | None = 5000,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index self-join.
 
     Any pair with J >= t > 0 shares at least one shingle, so joining
     on the shingle (then distinct) finds every qualifying pair without
-    a cross join. Hot shingles fan out quadratically — at scale, drop
-    ultra-frequent shingles first (they cannot create NEW qualifying
-    pairs beyond those found via rarer shared shingles unless a pair
-    shares ONLY hot shingles, which a document-frequency cap bounds).
+    a cross join.
+
+    ``max_shingle_df`` bounds the hot-shingle hazard: a stop-shingle
+    appearing in ``f`` documents fans the self-join out to ``f²`` rows
+    — one shingle shared by 10^6 docs would alone produce 10^12
+    candidate rows. Shingles with document frequency above the cap are
+    excluded from CANDIDATE GENERATION only (one extra small aggregate
+    over the inverted index); the Jaccard itself is still computed
+    over the full shingle sets, so reported similarities are exact.
+    The approximation: a pair sharing ONLY above-cap shingles is not
+    discovered. Such a pair consists of documents built almost
+    entirely from ubiquitous shingles — at a df cap of 5000 this is a
+    no-op below ~5k docs (every pair still shares a sub-cap shingle or
+    shares nothing), and at corpus scale dropping stop-shingle-only
+    matches is the standard inverted-index practice. ``None`` disables
+    the cap (fully exact, quadratic-hazard accepted).
     """
     inv = shingle_rows(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    join_inv = inv
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(int(max_shingle_df)))
+            .select("shingle")
+        )
+        join_inv = inv.join(hot, "shingle", "left_anti")
     cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
+        join_inv.alias("a")
+        .join(join_inv.alias("b"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
@@ -434,6 +456,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without a fixpoint means labels are WRONG
+        # (some component still carries multiple labels) — never return
+        # silently-corrupt groups (graph diameter > max_iter, e.g. a
+        # pathological chain); raise so the caller can re-run with a
+        # higher budget or the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("u").alias(id_col), "component")
 
 

@@ -104,12 +104,18 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    # collision-proof temp column: a user column named `_salt` on
+    # either side would otherwise be silently overwritten here and
+    # dropped from the output
+    sc = "_salt"
+    while sc in big.columns or sc in small.columns:
+        sc = "_" + sc
     salt = (F.rand(seed) * salt_buckets).cast("int")
-    b = big.withColumn("_salt", salt)
+    b = big.withColumn(sc, salt)
     s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    return b.join(s, [on, "_salt"], how).drop("_salt")
+    return b.join(s, [on, sc], how).drop(sc)
 
 
 def range_join(

@@ -8,8 +8,8 @@ the *deterministic* counterparts a data-quality gate can hash-check:
 * ``kmv_distinct`` — K-Minimum-Values distinct-count estimator
   (Bar-Yossef et al. 2002): hash every value with the md5-derived
   ``h60``, keep the k smallest distinct hashes per group, estimate
-  ``(k-1) / u_k`` where ``u_k`` is the k-th smallest hash mapped into
-  (0, 1]. Any engine with md5 computes the identical estimate, so the
+  ``(k-1) / u_k`` where ``u_k = (kth+1)/2^60`` maps the k-th smallest
+  hash into (0, 1]. Any engine with md5 computes the identical estimate, so the
   *approximation itself* is oracle-checkable — unlike HLL.
 * ``hash_sample`` — deterministic Bernoulli sampling by hash bucket:
   the same row set on every engine, every run, any partitioning. The
@@ -68,8 +68,13 @@ def kmv_distinct(
             F.max("hv").alias("kth"),
         )
     )
+    # (kth + 1) maps the hash into (0, 1]: a group whose k-th smallest
+    # hash is 0 (probability ~2^-60 but catastrophic) would otherwise
+    # divide by zero. Bias introduced: ≤ 2^-60 relative — none at the
+    # double's 53-bit precision for realistic kth.
     est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
-        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(H60_SPAN))
+        F.lit(float(k - 1))
+        / ((F.col("kth") + F.lit(1)).cast("double") / F.lit(H60_SPAN))
     )
     return kept.select(*group_cols, est.alias(estimate_col))
 
@@ -98,7 +103,7 @@ WITH hashed AS (
 )
 SELECT {groups},
        CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
-            ELSE {float(k - 1)} / (CAST(kth AS DOUBLE) / {H60_SPAN})
+            ELSE {float(k - 1)} / (CAST(kth + 1 AS DOUBLE) / {H60_SPAN})
        END AS {estimate_col}
 FROM kept
 """
