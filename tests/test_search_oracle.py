@@ -84,6 +84,19 @@ def test_knn_matches_sorted_bruteforce(spark):
         assert [i for _, i in got] == [i for _, i in want]
 
 
+def test_knn_plan_single_survivor_shuffle(spark):
+    """The exact-kNN plan must pre-reduce map-side: the only shuffle
+    exchange carries the per-batch top-k survivors, never the N x q
+    candidate rows (the round-1 global per-qid window funneled every
+    candidate of a query through one reducer)."""
+    import re
+
+    vecs = random_uniform(spark, 2000, 8, seed=13)
+    out = knn(vecs, [(0, [0.0] * 8), (1, [0.5] * 8)], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_search_chebyshev_box(spark):
     vecs = grid_2d(spark, 10)
     idx = build_index(vecs, local_threshold=25)

@@ -431,10 +431,16 @@ def knn(
 ) -> DataFrame:
     """Exact k-nearest-neighbors per query: ``(qid, id, dist, rank)``.
 
-    Brute-force + per-query top-k window; deterministic (dist, id)
-    ordering. At scale, Spark rewrites the window into a per-partition
-    top-k + merge under AQE; for the billion-row path use
-    `ann.ivf_knn` / LSH instead.
+    Two-phase top-k, no full shuffle: distances are computed JVM-side
+    (map-side, inside the scan stage), then an Arrow kernel pre-reduces
+    each input batch to its local top-k per query — it only SELECTS
+    rows, never recomputes distances, so values stay bit-identical to
+    the single-window form — and one tiny window over the
+    ≤ batches × queries × k survivors produces the global ranks. The
+    round-1 global per-qid window funneled every candidate of a query
+    through one reducer (N rows to one task); here the big side never
+    shuffles at all and the only exchange carries the survivors. For
+    the billion-row path use `ann.ivf_knn` / LSH instead.
     """
     qdf = _as_queries_df(vectors_df, queries)
     vecs = vectors_df.select(
@@ -447,10 +453,34 @@ def knn(
         dist = F.lit(1.0) - cosine_similarity(F.col("_vec"), F.col("qvec"))
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    narrow = crossed.select("qid", "id", dist.alias("dist"))
+
+    kk = int(k)
+
+    def topk_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qid = pdf["qid"].to_numpy(np.int64)
+            ids = pdf["id"].to_numpy(np.int64)
+            dv = pdf["dist"].to_numpy(np.float64)
+            # lexsort: primary qid, then (dist, id) — the window's
+            # deterministic ordering
+            order = np.lexsort((ids, dv, qid))
+            qs, ds, is_ = qid[order], dv[order], ids[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            cnts = np.diff(np.r_[starts, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(starts, cnts)
+            keep = rank < kk
+            yield pd.DataFrame({"qid": qs[keep], "id": is_[keep], "dist": ds[keep]})
+
+    local = narrow.mapInPandas(topk_batches, "qid long, id long, dist double")
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        crossed.withColumn("dist", dist)
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
