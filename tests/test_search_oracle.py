@@ -84,6 +84,28 @@ def test_knn_matches_sorted_bruteforce(spark):
         assert [i for _, i in got] == [i for _, i in want]
 
 
+def test_search_stats_telemetry(spark):
+    """Candidates >= matches, selectivity/candidate_frac consistent,
+    and on a selective grid query the walk must actually prune."""
+    from vector_database_spark.operators.search import search_stats
+
+    vecs = grid_2d(spark, 32)
+    n = 32 * 32
+    idx = build_index(vecs, local_threshold=64)
+    st = {
+        r.qid: r
+        for r in search_stats(idx, vecs, [(0, [0.25, -0.25])], 0.1).collect()
+    }
+    r = st[0]
+    true = brute_force_search(vecs, [(0, [0.25, -0.25])], 0.1).count()
+    assert r.n_matches == true
+    assert r.n_candidates >= r.n_matches
+    assert r.n_total == n
+    assert r.n_candidates < n / 4  # pruning pulled its weight
+    assert abs(r.selectivity - round(r.n_matches / r.n_candidates, 4)) < 1e-9
+    assert abs(r.candidate_frac - round(r.n_candidates / n, 4)) < 1e-9
+
+
 def test_knn_plan_single_survivor_shuffle(spark):
     """The exact-kNN plan must pre-reduce map-side: the only shuffle
     exchange carries the per-batch top-k survivors, never the N x q

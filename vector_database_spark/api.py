@@ -293,6 +293,27 @@ class VectorDatabase:
             F.col("id").alias("text_id"), "dist"
         )
 
+    def search_stats(
+        self, vector: list[float], domain: float, doc_id: int | None = None
+    ) -> DataFrame:
+        """Pruning-efficiency telemetry for one query — candidates the
+        tree walk produced vs matches the refinement kept (the number
+        you watch while tuning ``domain``; the reference's tests count
+        predicate invocations the same way,
+        MempryVectorIndex.Tests/MemoryVectorIndexTests.cs:164-196).
+        Covers the indexed rows; un-compacted tail rows are served
+        brute-force and don't inform tree health."""
+        from vector_database_spark.operators.search import search_stats
+
+        return search_stats(
+            self._index_named(),
+            self.text(),
+            [(0, vector)],
+            domain,
+            id_col="text_id",
+            doc_id=doc_id,
+        )
+
     # -- introspection (IndexHierarchy) ----------------------------------
     def hierarchy(self) -> DataFrame:
         return catalog.index_hierarchy(self.index())

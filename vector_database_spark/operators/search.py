@@ -398,6 +398,94 @@ def search(
     )
 
 
+def search_stats(
+    index_df: DataFrame,
+    vectors_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    doc_id: int | None = None,
+    metric: str = "euclidean",
+    strategy: str = "auto",
+    **kwargs,
+) -> DataFrame:
+    """Per-query pruning-efficiency telemetry:
+    ``(qid, n_candidates, n_matches, selectivity, n_total,
+    candidate_frac)``.
+
+    The reference's tests instrument the search predicate and report
+    how many invocations (candidates) produced how many matches
+    (MempryVectorIndex.Tests/MemoryVectorIndexTests.cs:164-196) — the
+    number a user tuning ``domain`` or judging index health actually
+    wants. ``selectivity`` = matches/candidates (1.0 = the tree did
+    all the work, the refinement rejected nothing), ``candidate_frac``
+    = candidates/total (how much of the corpus the walk touched; 1.0
+    = no pruning — brute force in disguise).
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS
+            else "iterative"
+        )
+    if strategy == "broadcast":
+        cands = search_candidates_broadcast(
+            index_df, queries, domain, doc_id=doc_id,
+            pruning="ball" if metric == "euclidean" else "box",
+        )
+    else:
+        cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
+    # one pass for the candidate walk, reused by both counters
+    cands = cands.localCheckpoint(eager=False)
+    qdf = _as_queries_df(index_df, queries)
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    if doc_id is not None and "doc_id" in vectors_df.columns:
+        vecs = vectors_df.where(F.col("doc_id") == doc_id).select(
+            F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+        )
+    if metric == "euclidean":
+        dist = euclidean(F.col("_vec"), F.col("qvec"))
+    elif metric == "chebyshev":
+        from vector_database_spark.functions.vector import linf_distance
+
+        dist = linf_distance(F.col("_vec"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    n_total = vecs.count()
+    per_c = cands.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    per_m = (
+        cands.select("qid", "id")
+        .join(vecs, "id")
+        .join(F.broadcast(qdf), "qid")
+        .where(dist <= F.lit(float(domain)))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        qdf.select("qid")
+        .join(per_c, "qid", "left")
+        .join(per_m, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.round(
+                F.coalesce("n_matches", F.lit(0))
+                / F.nullif(F.coalesce("n_candidates", F.lit(0)), F.lit(0)),
+                4,
+            ).alias("selectivity"),
+            F.lit(int(n_total)).alias("n_total"),
+            F.round(
+                F.coalesce("n_candidates", F.lit(0)) / F.lit(float(n_total)), 4
+            ).alias("candidate_frac"),
+        )
+    )
+
+
 def brute_force_search(
     vectors_df: DataFrame,
     queries: DataFrame | list,

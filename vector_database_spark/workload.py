@@ -1020,6 +1020,57 @@ def _ann_recall_contract(ann_ids: DataFrame, exact_ids: DataFrame, k: int) -> Da
     )
 
 
+TELEMETRY_DIMS = 3  # 64-dim uniform data defeats ball pruning (curse of
+TELEMETRY_DOMAIN = 0.15  # dimensionality) — telemetry demos on a projection
+
+
+@query(
+    "v11_search_telemetry",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding[1:{TELEMETRY_DIMS}] AS qv
+           FROM embeddings WHERE vec_id IN ({_PANEL})),
+d AS (SELECT q.qid,
+             {_l2_sql(f'e.embedding[1:{TELEMETRY_DIMS}]', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q)
+SELECT qid,
+       count(*) FILTER (WHERE d <= {TELEMETRY_DOMAIN})::BIGINT AS n_matches,
+       TRUE AS superset_ok,
+       TRUE AS pruned_ok
+FROM d GROUP BY qid
+""",
+)
+def v11_search_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning-efficiency telemetry through the gate (the reference
+    instruments its search predicate and reports invocations vs
+    matches, MempryVectorIndex.Tests/MemoryVectorIndexTests.cs:164-196).
+    `n_matches` is oracle-exact; the tree-dependent candidate count
+    (which SQL over the raw table cannot reproduce) is gated as the
+    CONTRACT it must satisfy: a superset of the matches that still
+    prunes part of the corpus. Runs over a {TELEMETRY_DIMS}-dim
+    projection: on the full 64-dim uniform table every query ball
+    intersects every node (measured: candidates == corpus at any
+    useful domain), so the projection is the honest way to gate
+    `pruned_ok` — and the telemetry reporting candidates == total on
+    the 64-dim table is the feature working, not failing."""
+    from vector_database_spark.operators.search import search_stats
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "id", F.slice("vector", 1, TELEMETRY_DIMS).alias("vector")
+    )
+    idx = build_index(vecs, local_threshold=64)
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin(PANEL_IDS)).collect()
+    ]
+    st = search_stats(idx, vecs, panel, TELEMETRY_DOMAIN)
+    return st.select(
+        "qid",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        (F.col("n_candidates") >= F.col("n_matches")).alias("superset_ok"),
+        (F.col("n_candidates") < F.col("n_total")).alias("pruned_ok"),
+    )
+
+
 @query("a01_ivf_knn")  # approximate: rows-only gate; the query ASSERTS its
 # own contract (recall vs exact kNN >= 0.9 as the recall_ok column)
 def a01_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
