@@ -41,33 +41,56 @@ def main():
     vecs.count()
     print(f"generate {n}x{dims}: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    idx = build_index(vecs, local_threshold=threshold).persist()
-    n_nodes = idx.count()
-    t_build = time.time() - t0
-    n_leaves = idx.where(F.col("id").isNotNull()).count()
-    print(f"build: {t_build:.1f}s  nodes={n_nodes} leaves={n_leaves}")
-    assert n_leaves == n, (n_leaves, n)
-    assert n_nodes == 2 * n - 1, n_nodes
+    # JMH-style explicit warm: a tiny synchronous build compiles every
+    # plan shape and forks the python worker pool BEFORE the clock
+    # starts (the session's async warmup may still be racing the
+    # generate step). Cold is still reported below — the first timed
+    # build of a fresh session includes whatever JIT is left.
+    build_index(
+        clusters(spark, 256, 8, n_clusters=4, seed=1).select("id", "vector"),
+        local_threshold=32,
+    ).count()
+
+    t_build = []
+    for _ in range(2):
+        t0 = time.time()
+        idx = build_index(vecs, local_threshold=threshold).persist()
+        n_nodes = idx.count()
+        t_build.append(time.time() - t0)
+        n_leaves = idx.where(F.col("id").isNotNull()).count()
+        assert n_leaves == n, (n_leaves, n)
+        assert n_nodes == 2 * n - 1, n_nodes
+        if len(t_build) < 2:
+            idx.unpersist()
+    print(
+        f"build: cold {t_build[0]:.1f}s / steady {t_build[1]:.1f}s  "
+        f"nodes={n_nodes} leaves={n_leaves}"
+    )
 
     panel = [
         (int(r.id), list(r.vector))
         for r in vecs.where(F.col("id").isin([5, 777, 123456 % n])).collect()
     ]
-    t0 = time.time()
-    got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
-    t_search = time.time() - t0
-    t0 = time.time()
-    want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.5).collect()}
-    t_brute = time.time() - t0
+    t_search = []
+    for _ in range(2):
+        t0 = time.time()
+        got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
+        t_search.append(time.time() - t0)
+    t_brute = []
+    for _ in range(2):
+        t0 = time.time()
+        want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.5).collect()}
+        t_brute.append(time.time() - t0)
     assert got == want, (len(got), len(want))
     print(
-        f"search(idx): {t_search:.1f}s  brute: {t_brute:.1f}s  "
+        f"search(idx): cold {t_search[0]:.1f}s / steady {t_search[1]:.1f}s  "
+        f"brute: cold {t_brute[0]:.1f}s / steady {t_brute[1]:.1f}s  "
         f"hits={len(got)}  MATCH"
     )
-    rate = n / t_build
-    print(f"build throughput: {rate:,.0f} vectors/s "
-          f"(reference anchor: ~55k vec/s for 10M x 96 single-node)")
+    rate = n / t_build[1]
+    print(f"build throughput (steady): {rate:,.0f} vectors/s "
+          f"(reference anchor: ~55k vec/s for 10M x 96 single-node; "
+          f"cold adds one-time JIT+worker-pool bring-up)")
 
 
 if __name__ == "__main__":

@@ -20,15 +20,15 @@ Semantics (must match the reference — SURVEY.md §1.3):
 Execution strategy (Spark-first, NOT the reference's sequential DFS —
 README.md:93-100 rationale inverted, see SURVEY.md §4):
 
-1. *Distributed phase*: ONE job per tree level, entirely JVM-side
-   (`_level_decisions`): a single scan posexplodes the vectors into a
-   codegen hash aggregate with map-side partial combine — the shuffle
-   carries #open-ranges × dims stat rows, never the data — and a
-   second, #ranges-sized aggregate picks each range's FATE (leaf /
-   local subtree / split + chosen dimension + mid + mean id) via
-   ``max_by``. (A numpy ``mapInPandas`` partial-moments kernel was
-   measured 2x SLOWER than this plan at 200k×64 — the Arrow transfer
-   of the vector column costs more than the JVM explode+agg.)
+1. *Distributed phase*: ONE jvm-side job per tree level
+   (`_level_decisions`): a single #ranges-keyed hash aggregate over
+   the UN-exploded points decides each range's FATE (leaf / local
+   subtree / split) and its split choice — declarative aggs (count,
+   min id, exact-decimal id sum) mixed with an ML `Summarizer`
+   vector-typed aggregate (per-range mean/variance arrays updated
+   O(dims) per row, ONE hash probe per row — not per cell like a
+   posexplode shape). The shuffle carries #open-ranges stat rows,
+   never the data.
    Fates/splits stay DataFrames end-to-end: the driver sees only
    three fate counters per level, never per-range rows, so driver
    traffic is O(1) per level no matter how many ranges are open (the
@@ -281,61 +281,75 @@ def build_index(
 
 
 def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
-    """One fused JVM-only job: per-(doc, range) stats → fate + split.
+    """One fused JVM job: per-(doc, range) fate + split choice.
 
-    Replaces the round-1 two-aggregate + two-collect plan. Entirely
-    whole-stage-codegen Catalyst: posexplode + hash aggregate with
-    map-side partial combine (the shuffle carries #ranges × dims
-    stat rows, never the data), then a per-range ``max_by`` over a
-    lexicographic struct implements the argmax/argmin-with-tie-break
-    — no window, no Python, no Arrow transfer of the vectors.
+    A single #ranges-keyed hash aggregate over the UN-exploded rows
+    mixes declarative aggs (count, min id, exact-decimal id sum) with
+    `pyspark.ml.stat.Summarizer` over `array_to_vector` — a typed
+    imperative aggregate whose buffer is one mean/variance array pair
+    per range, updated O(dims) per ROW with one hash probe per row.
+    (The round-1 posexplode shape paid a hash probe per CELL — rows ×
+    dims aggregate rows; measured 2× slower than the vector-typed agg
+    at 200k×64. A numpy ``mapInPandas`` partial-moments kernel was
+    worse still — the Arrow transfer of the vector column costs more
+    than the JVM agg.) The shuffle carries #ranges stat rows (vector
+    payload = dims doubles), never the data. Argmax/argmin over the
+    tiny per-range arrays is `array_position(array_max(...))` — first
+    match, i.e. lowest dimension index, on #ranges rows.
 
     Split semantics identical to the reference (DDL.sql:91-100,
-    151-167): split dim = argmax of var_pop on even depths / argmin on
-    odd (depth derived from the heap range id), ties to the lowest
-    dimension; split point = mean; var_pop == 0 (exactly ⇔ all values
-    equal, by Welford merge) → id-split; mean id = truncated integer
-    average (exact decimal sum).
+    151-167): split dim = argmax of variance on even depths / argmin
+    on odd (depth derived from the heap range id), ties to the lowest
+    dimension; split point = mean; chosen variance == 0 (exactly ⇔
+    all values equal — Summarizer's Welford merge accumulates zero
+    deltas) → id-split (null dimension/mid). Summarizer reports
+    SAMPLE variance; the argmax/argmin choice compares variances
+    within one range (same n), so the (n-1)/n factor cancels and the
+    zero test is unaffected. Mean id = truncated integer average of
+    the exact decimal sum (T-SQL integer avg / C# Int128 division,
+    DDL.sql:161-167; IndexBuilder.cs:115). Ragged / zero-width
+    vectors are outside the contract (fixed-width per table, like the
+    reference's float[dims]).
     """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
     thr = int(local_threshold)
-    # ONE scan of the level (measured ~1.5x over the round-1 two-scan
-    # + join shape): the id stats ride the exploded rows as
-    # conditional aggregates pinned to dimension 0 — each (doc, range)
-    # recovers them from its idx==0 group via max/min in the second
-    # (tiny, #ranges x dims -> #ranges) aggregate, so the exact
-    # decimal id sum is computed once, not dims x over. Ragged /
-    # zero-width vectors are outside the contract (fixed-width per
-    # table, like the reference's float[dims]).
-    ex = pts.select(
-        "doc_id", "range_id", "id", F.posexplode("vector").alias("idx", "value")
+    agg = (
+        pts.select(
+            "doc_id",
+            "range_id",
+            "id",
+            array_to_vector(F.col("vector").cast("array<double>")).alias("_v"),
+        )
+        .groupBy("doc_id", "range_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("id").alias("min_id"),
+            F.sum(F.col("id").cast("decimal(38,0)")).alias("id_sum"),
+            Summarizer.metrics("mean", "variance").summary(F.col("_v")).alias("_s"),
+        )
     )
-    per_dim = ex.groupBy("doc_id", "range_id", "idx").agg(
-        F.avg(F.col("value").cast("double")).alias("mean"),
-        F.var_pop(F.col("value").cast("double")).alias("var"),
-        F.count(F.lit(1)).alias("cnt_p"),
-        F.min(F.when(F.col("idx") == 0, F.col("id"))).alias("min_id_p"),
-        F.sum(
-            F.when(F.col("idx") == 0, F.col("id")).cast("decimal(38,0)")
-        ).alias("id_sum_p"),
+    base = agg.select(
+        "doc_id",
+        "range_id",
+        "cnt",
+        "min_id",
+        "id_sum",
+        vector_to_array(F.col("_s.mean")).alias("_means"),
+        vector_to_array(F.col("_s.variance")).alias("_vars"),
     )
     # depth parity from the heap id: depth = bit_length(rid + 1) - 1.
     depth = F.length(F.conv(F.col("range_id") + 1, 10, 2)) - 1
     even = depth % 2 == F.lit(0)
-    # argmax (even) maximizes (var, -idx); argmin (odd) maximizes
-    # (-var, -idx) — both tie-break to the LOWEST dimension index,
-    # like the C# MaxBy first-extremum (IndexBuilder.cs:75-79).
-    ord_struct = F.when(
-        even, F.struct(F.col("var").alias("v"), (-F.col("idx")).alias("i"))
-    ).otherwise(F.struct((-F.col("var")).alias("v"), (-F.col("idx")).alias("i")))
-    chosen = per_dim.groupBy("doc_id", "range_id").agg(
-        F.max_by(F.struct("idx", "mean", "var"), ord_struct).alias("ch"),
-        F.max("cnt_p").alias("cnt"),
-        F.min("min_id_p").alias("min_id"),
-        F.max("id_sum_p").alias("id_sum"),
-    )
+    ext = F.when(even, F.array_max("_vars")).otherwise(F.array_min("_vars"))
     is_split = (F.col("cnt") > F.lit(1)) & (F.col("cnt") > F.lit(thr))
-    degenerate = F.col("ch.var") == F.lit(0.0)
-    return chosen.select(
+    # array_position: 1-based, FIRST occurrence — the C# MaxBy
+    # first-extremum tie-break (IndexBuilder.cs:75-79). Interpreted
+    # array exprs are fine here: #ranges rows, dims-length arrays.
+    pos = F.array_position("_vars", ext).cast("int")
+    choose = is_split & (ext != F.lit(0.0))
+    return base.select(
         "doc_id",
         "range_id",
         F.when(F.col("cnt") == 1, F.lit("leaf"))
@@ -344,10 +358,8 @@ def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
         .alias("fate"),
         "cnt",
         "min_id",
-        F.when(is_split & ~degenerate, F.col("ch.idx"))
-        .cast("int")
-        .alias("split_dim"),
-        F.when(is_split & ~degenerate, F.col("ch.mean")).alias("mid"),
+        F.when(choose, pos - F.lit(1)).cast("int").alias("split_dim"),
+        F.when(choose, F.try_element_at("_means", pos)).alias("mid"),
         # floor(), NOT a decimal cast — decimal casts round half-up,
         # which can empty a child on an id-split of two consecutive ids.
         F.floor(F.col("id_sum") / F.col("cnt")).cast("long").alias("mean_id"),
