@@ -187,7 +187,10 @@ def search_candidates_broadcast(
     use_ball = pruning == "ball"
     budget = float(domain) * float(domain)
     dom = float(domain)
-    ball_walker = _walk_ball  # resolved via package import on executors
+    # resolved via package import on executors (session.py exports
+    # PYTHONPATH to the python workers)
+    ball_walker = _walk_ball_panel
+    box_walker = _walk_box_panel
 
     def walk(key, qpdf, ipdf):
         import numpy as np
@@ -203,53 +206,37 @@ def search_candidates_broadcast(
         if not len(qpdf) or not len(ipdf):
             return empty
         doc = int(key[0])
-        g = ipdf.sort_values("range_id")
-        rids = g["range_id"].to_numpy(dtype="int64")
-        dim = g["dimension"].fillna(-1).to_numpy(dtype="int32")
-        mid = g["mid"].fillna(0.0).to_numpy(dtype="float64")
-        leaf = g["id"].fillna(-1).to_numpy(dtype="int64")
-        low_i = np.searchsorted(rids, g["low_range_id"].fillna(-1).to_numpy("int64"))
-        high_i = np.searchsorted(rids, g["high_range_id"].fillna(-1).to_numpy("int64"))
-        tree = (dim, mid, low_i.astype("int64"), high_i.astype("int64"), leaf, True)
+        order = np.argsort(ipdf["range_id"].to_numpy(dtype="int64"), kind="stable")
+        rids = ipdf["range_id"].to_numpy(dtype="int64")[order]
+        dim = ipdf["dimension"].fillna(-1).to_numpy(dtype="int64")[order]
+        mid = ipdf["mid"].fillna(0.0).to_numpy(dtype="float64")[order]
+        leaf = ipdf["id"].fillna(-1).to_numpy(dtype="int64")[order]
+        low_i = np.searchsorted(
+            rids, ipdf["low_range_id"].fillna(-1).to_numpy("int64")[order]
+        )
+        high_i = np.searchsorted(
+            rids, ipdf["high_range_id"].fillna(-1).to_numpy("int64")[order]
+        )
+        tree = (dim, mid, low_i.astype("int64"), high_i.astype("int64"), leaf)
 
-        out_qid, out_doc, out_id = [], [], []
-        for qid, qvec in zip(qpdf["qid"], qpdf["qvec"]):
-            q = np.asarray(qvec, dtype=np.float64)
-            if use_ball:
-                ball_walker(
-                    q, tree, budget, dom, qid, doc, out_qid, out_doc, out_id
-                )
-                continue
-            # vectorized level-synchronous frontier walk: a whole
-            # frontier advances per numpy op — no per-node Python.
-            frontier = np.array([0], dtype=np.int64)
-            while frontier.size:
-                d = dim[frontier]
-                lf = leaf[frontier]
-                is_leaf = lf >= 0
-                for x in lf[is_leaf]:
-                    out_qid.append(qid)
-                    out_doc.append(doc)
-                    out_id.append(int(x))
-                inner = frontier[~is_leaf]
-                if inner.size == 0:
-                    break
-                di = dim[inner]
-                mi = mid[inner]
-                idsplit = di < 0
-                qv = np.where(
-                    (di >= 0) & (di < len(q)), q[np.clip(di, 0, len(q) - 1)], np.nan
-                )
-                keep_low = idsplit | (mi >= qv - dom)
-                keep_high = idsplit | (mi <= qv + dom)
-                # out-of-range dims (NaN comparisons) prune both
-                keep_low &= idsplit | ~np.isnan(qv)
-                keep_high &= idsplit | ~np.isnan(qv)
-                frontier = np.concatenate(
-                    [low_i[inner[keep_low]], high_i[inner[keep_high]]]
-                )
+        # whole query panel in one level-synchronous walk: the frontier
+        # carries (query-row, node) pairs, so every numpy op advances
+        # every query at once — no per-query (let alone per-node)
+        # Python in the loop.
+        qids = qpdf["qid"].to_numpy(dtype="int64")
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
+        if Q.ndim == 1:
+            Q = Q.reshape(len(qids), -1)
+        if use_ball:
+            hit_q, hit_id = ball_walker(Q, tree, budget)
+        else:
+            hit_q, hit_id = box_walker(Q, tree, dom)
         return pd.DataFrame(
-            {"qid": out_qid, "doc_id": out_doc, "id": out_id}
+            {
+                "qid": qids[hit_q],
+                "doc_id": np.full(hit_q.size, doc, dtype=np.int64),
+                "id": hit_id,
+            }
         ).astype({"qid": "int64", "doc_id": "int64", "id": "int64"})
 
     return (
@@ -259,42 +246,125 @@ def search_candidates_broadcast(
     )
 
 
-def _walk_ball(q, tree, budget, domain, qid, doc, out_qid, out_doc, out_id):
-    """Depth-first ball-pruned walk (O24 budget semantics,
-    MemoryVectorIndex.cs:279-308) over the columnar tree image.
-    Python per-node — use for selective queries; the box walk is the
-    vectorized default."""
-    dim, mid, low_i, high_i, leaf, _ = tree
-    # stack: (node_index, cell_sq_dist, {dim: offset})
-    stack = [(0, 0.0, {})]
-    nq = len(q)
-    while stack:
-        i, cd, offs = stack.pop()
-        lf = leaf[i]
-        if lf >= 0:
-            out_qid.append(qid)
-            out_doc.append(doc)
-            out_id.append(int(lf))
-            continue
-        d = dim[i]
-        if d < 0:  # id-split: descend both
-            stack.append((low_i[i], cd, offs))
-            stack.append((high_i[i], cd, offs))
-            continue
-        if d >= nq:
-            continue
-        qv = q[d]
-        m = mid[i]
-        old = offs.get(d, 0.0)
-        off = qv - m
-        near, far = (low_i[i], high_i[i]) if off < 0 else (high_i[i], low_i[i])
-        stack.append((near, cd, offs))
-        new_off = abs(off)
-        far_cd = cd - old * old + new_off * new_off if new_off > abs(old) else cd
-        if far_cd <= budget:
-            far_offs = dict(offs)
-            far_offs[d] = new_off
-            stack.append((far, far_cd, far_offs))
+def _walk_ball_panel(Q, tree, budget):
+    """Level-synchronous ball-pruned walk (O24 budget semantics,
+    MemoryVectorIndex.cs:279-308) for a whole query panel at once.
+
+    Frontier state per entry: (query-row, node, cell²-distance,
+    per-dim offset row). The squared cell distance is maintained
+    incrementally exactly like the reference's scalar walk — crossing
+    a split plane on dim d replaces that dim's recorded offset and
+    adds ``new² - old²`` to the budget — so the candidate set is
+    identical to the depth-first form, but every level is a handful
+    of numpy gathers instead of per-node Python (measured ~10-20× on
+    unselective panels). Peak memory = frontier × dims doubles.
+
+    Returns (query_rows, leaf_ids) int64 arrays.
+    """
+    import numpy as np
+
+    dim, mid, low_i, high_i, leaf = tree
+    n_q, n_dims = Q.shape
+    qrow = np.arange(n_q, dtype=np.int64)
+    nodes = np.zeros(n_q, dtype=np.int64)
+    cds = np.zeros(n_q, dtype=np.float64)
+    offs = np.zeros((n_q, n_dims), dtype=np.float64)
+    out_q: list = []
+    out_id: list = []
+    while nodes.size:
+        lf = leaf[nodes]
+        is_leaf = lf >= 0
+        if is_leaf.any():
+            out_q.append(qrow[is_leaf])
+            out_id.append(lf[is_leaf])
+        inner = ~is_leaf
+        qrow, nodes, cds, offs = qrow[inner], nodes[inner], cds[inner], offs[inner]
+        if not nodes.size:
+            break
+        d = dim[nodes]
+        idsplit = d < 0
+        oor = (d >= n_dims) & ~idsplit  # dim beyond query width: prune both
+        normal = ~idsplit & ~oor
+
+        parts_q = [np.repeat(qrow[idsplit], 2)]
+        parts_n = [
+            np.stack([low_i[nodes[idsplit]], high_i[nodes[idsplit]]], axis=1).ravel()
+        ]
+        parts_cd = [np.repeat(cds[idsplit], 2)]
+        parts_off = [np.repeat(offs[idsplit], 2, axis=0)]
+
+        nq_, nn_, ncd_, noff_ = qrow[normal], nodes[normal], cds[normal], offs[normal]
+        dn = d[normal]
+        qv = Q[nq_, dn]
+        off = qv - mid[nn_]
+        golow = off < 0
+        near = np.where(golow, low_i[nn_], high_i[nn_])
+        far = np.where(golow, high_i[nn_], low_i[nn_])
+        parts_q.append(nq_)
+        parts_n.append(near)
+        parts_cd.append(ncd_)
+        parts_off.append(noff_)
+
+        new_off = np.abs(off)
+        old = noff_[np.arange(len(dn)), dn]
+        far_cd = np.where(new_off > old, ncd_ - old * old + new_off * new_off, ncd_)
+        fkeep = far_cd <= budget
+        f_off = noff_[fkeep].copy()
+        f_off[np.arange(f_off.shape[0]), dn[fkeep]] = new_off[fkeep]
+        parts_q.append(nq_[fkeep])
+        parts_n.append(far[fkeep])
+        parts_cd.append(far_cd[fkeep])
+        parts_off.append(f_off)
+
+        qrow = np.concatenate(parts_q)
+        nodes = np.concatenate(parts_n)
+        cds = np.concatenate(parts_cd)
+        offs = np.concatenate(parts_off, axis=0) if parts_off else offs[:0]
+    if not out_q:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    return np.concatenate(out_q), np.concatenate(out_id)
+
+
+def _walk_box_panel(Q, tree, domain):
+    """Level-synchronous box-pruned walk (SQL Search semantics,
+    DDL.sql:272-293) for a whole query panel: descend low unless
+    ``mid < q[dim] - domain``, high unless ``mid > q[dim] + domain``;
+    id-splits descend both; dims beyond the query width prune both.
+    Returns (query_rows, leaf_ids) int64 arrays."""
+    import numpy as np
+
+    dim, mid, low_i, high_i, leaf = tree
+    n_q, n_dims = Q.shape
+    qrow = np.arange(n_q, dtype=np.int64)
+    nodes = np.zeros(n_q, dtype=np.int64)
+    out_q: list = []
+    out_id: list = []
+    while nodes.size:
+        lf = leaf[nodes]
+        is_leaf = lf >= 0
+        if is_leaf.any():
+            out_q.append(qrow[is_leaf])
+            out_id.append(lf[is_leaf])
+        inner = ~is_leaf
+        qrow, nodes = qrow[inner], nodes[inner]
+        if not nodes.size:
+            break
+        d = dim[nodes]
+        idsplit = d < 0
+        in_range = ~idsplit & (d < n_dims)
+        qv = np.where(in_range, Q[qrow, np.clip(d, 0, n_dims - 1)], np.nan)
+        mi = mid[nodes]
+        keep_low = idsplit | (in_range & (mi >= qv - domain))
+        keep_high = idsplit | (in_range & (mi <= qv + domain))
+        qrow = np.concatenate([qrow[keep_low], qrow[keep_high]])
+        nodes = np.concatenate(
+            [low_i[nodes[keep_low]], high_i[nodes[keep_high]]]
+        )
+    if not out_q:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    return np.concatenate(out_q), np.concatenate(out_id)
 
 
 # Index sizes up to this many rows use the cogroup walker in search()
