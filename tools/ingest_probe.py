@@ -1,0 +1,123 @@
+"""Incremental-insert probe: the reference's per-record ``Add``
+(MemoryVectorIndex.cs:86-228) re-expressed as LSM tail + threshold
+compaction, exercised ABOVE toy size.
+
+Usage: python tools/ingest_probe.py [base_rows] [dims] [n_docs] [n_batches] [batch_rows]
+
+Shape: a base corpus of `base_rows` vectors across `n_docs` documents
+is indexed, then `n_batches` micro-batches of `batch_rows` new vectors
+arrive via ``add_documents(..., reindex="auto")``. Most batches only
+append to the un-indexed tail (O(batch) work); a document is rebuilt
+only once its tail exceeds COMPACTION_THRESHOLD of its rows — the
+amortized cost model the reference gets from per-record tree splits.
+After every batch a facade search must return exactly the brute-force
+result over ALL rows ingested so far (tail rows are brute-refined, so
+reads are exact at every point in time).
+
+Prints per-batch wall time + how many docs compacted, then the final
+verdict line.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_spark import get_spark
+from vector_database_spark.api import VectorDatabase
+from vector_database_spark.operators.search import brute_force_search
+from vector_database_spark.sources.generators import clusters
+
+
+def main() -> int:
+    base_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # default 14 batches: tail crosses COMPACTION_THRESHOLD (20%) around
+    # batch 12-13, so a default run exercises BOTH the cheap tail-append
+    # path and an actual threshold-triggered compaction
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 14
+    batch_rows = int(sys.argv[5]) if len(sys.argv) > 5 else 2_000
+
+    spark = get_spark(app_name="ingest-probe", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="vds_ingest_probe_")
+    try:
+        t0 = time.time()
+        base = (
+            clusters(spark, base_rows, dims, n_clusters=16, seed=7)
+            .select(
+                (F.col("id") % n_docs).alias("doc_id"),
+                F.col("id").alias("text_id"),
+                "vector",
+            )
+            .repartition(32)
+            .persist()
+        )
+        base.count()
+        print(f"generate base {base_rows}x{dims} over {n_docs} docs: {time.time()-t0:.1f}s")
+
+        db = VectorDatabase(spark, root)
+        t0 = time.time()
+        db.add_documents(base, reindex=True)
+        print(f"initial index build: {time.time()-t0:.1f}s")
+
+        qvec = [float(x) for x in base.select("vector").first()[0]]
+        domain = 0.5
+
+        next_id = base_rows
+        for b in range(n_batches):
+            batch = (
+                clusters(spark, batch_rows, dims, n_clusters=16, seed=100 + b)
+                .select(
+                    (F.col("id") % n_docs).alias("doc_id"),
+                    (F.col("id") + next_id).alias("text_id"),
+                    "vector",
+                )
+            )
+            next_id += batch_rows
+            t0 = time.time()
+            compacted = _add_auto(db, batch)
+            dt = time.time() - t0
+            t0 = time.time()
+            got = {(r.text_id,) for r in db.search(qvec, domain).collect()}
+            t_search = time.time() - t0
+            print(
+                f"batch {b}: add {dt:.1f}s (compacted {len(compacted)} docs) "
+                f"search {t_search:.1f}s hits={len(got)}"
+            )
+
+        # final correctness: facade search == brute force over everything
+        all_rows = db.text().select(F.col("text_id").alias("id"), "vector")
+        want = {(r.id,) for r in brute_force_search(all_rows, [(0, qvec)], domain).collect()}
+        assert got == want, (len(got), len(want))
+        n_tail = db.tail().count()
+        total = base_rows + n_batches * batch_rows
+        print(
+            f"VERDICT: exact at n={total} (hits={len(got)} == brute), "
+            f"tail={n_tail} rows un-compacted ({n_tail/total:.1%})"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
+def _add_auto(db: VectorDatabase, batch) -> list:
+    """add_documents(reindex='auto') but returning which docs compacted."""
+    batch.select("doc_id", "text_id", "vector").write.mode("append").partitionBy(
+        "doc_id"
+    ).parquet(db.text_path)
+    db._invalidate_index()
+    touched = [r[0] for r in batch.select("doc_id").distinct().collect()]
+    return db.compact(touched)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,8 +51,13 @@ def main():
         local_threshold=32,
     ).count()
 
+    # The rig's effective CPU speed swings 2-4x with host throttling, so
+    # single samples mostly measure the host's mood: run 3 passes per
+    # phase, report best (and the spread so drift is visible), and
+    # INTERLEAVE tree/brute search so monotonic slowdown can't bias the
+    # comparison either way.
     t_build = []
-    for _ in range(2):
+    for i in range(3):
         t0 = time.time()
         idx = build_index(vecs, local_threshold=threshold).persist()
         n_nodes = idx.count()
@@ -60,10 +65,11 @@ def main():
         n_leaves = idx.where(F.col("id").isNotNull()).count()
         assert n_leaves == n, (n_leaves, n)
         assert n_nodes == 2 * n - 1, n_nodes
-        if len(t_build) < 2:
+        if i < 2:
             idx.unpersist()
     print(
-        f"build: cold {t_build[0]:.1f}s / steady {t_build[1]:.1f}s  "
+        f"build: cold {t_build[0]:.1f}s / best {min(t_build):.1f}s "
+        f"(runs {' '.join(f'{t:.1f}' for t in t_build)})  "
         f"nodes={n_nodes} leaves={n_leaves}"
     )
 
@@ -71,24 +77,24 @@ def main():
         (int(r.id), list(r.vector))
         for r in vecs.where(F.col("id").isin([5, 777, 123456 % n])).collect()
     ]
-    t_search = []
-    for _ in range(2):
+    t_search, t_brute = [], []
+    for _ in range(3):
         t0 = time.time()
         got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
         t_search.append(time.time() - t0)
-    t_brute = []
-    for _ in range(2):
         t0 = time.time()
         want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.5).collect()}
         t_brute.append(time.time() - t0)
     assert got == want, (len(got), len(want))
     print(
-        f"search(idx): cold {t_search[0]:.1f}s / steady {t_search[1]:.1f}s  "
-        f"brute: cold {t_brute[0]:.1f}s / steady {t_brute[1]:.1f}s  "
+        f"search(idx): best {min(t_search):.1f}s "
+        f"(runs {' '.join(f'{t:.1f}' for t in t_search)})  "
+        f"brute: best {min(t_brute):.1f}s "
+        f"(runs {' '.join(f'{t:.1f}' for t in t_brute)})  "
         f"hits={len(got)}  MATCH"
     )
-    rate = n / t_build[1]
-    print(f"build throughput (steady): {rate:,.0f} vectors/s "
+    rate = n / min(t_build)
+    print(f"build throughput (best): {rate:,.0f} vectors/s "
           f"(reference anchor: ~55k vec/s for 10M x 96 single-node; "
           f"cold adds one-time JIT+worker-pool bring-up)")
 

@@ -142,3 +142,69 @@ def hash_sample_sql(
     cut = int(round(fraction * buckets))
     hv = h60_sql(f"CAST({key_expr} AS VARCHAR)", salt)
     return f"({hv} % {buckets}) < {cut}"
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col,
+    *,
+    k: int = 5,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis–Spirakis
+    A-ES, 2006): per group, keep the k rows with the largest
+    ``u^(1/w)`` where ``u = (h60(key)+1)/2^60 ∈ (0,1]`` and ``w`` is
+    the row's positive weight. Every engine with md5 + pow draws the
+    SAME sample — reproducible importance sampling for training-data
+    mixes (sample documents ∝ quality score, rows ∝ revenue, …).
+
+    Scale shape: one narrow projection + a per-group top-k window —
+    identical cost profile to any top-k; the reservoir never exceeds
+    k rows per group in the shuffle (window + filter; map-side
+    pre-reduce applies the same as `operators.search.knn`).
+
+    Rows with weight <= 0 or null are excluded (A-ES domain). Returns
+    the sampled rows with a ``rank`` column (1 = first drawn).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.col(key_col)
+    u = (h60(key.cast("string"), salt) + F.lit(1)).cast("double") / F.lit(H60_SPAN)
+    aes = F.pow(u, F.lit(1.0) / w.cast("double"))
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("_aes").desc(), key.asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("_aes", aes)
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .drop("_aes")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    group_cols: list[str],
+    key_expr: str,
+    weight_expr: str,
+    *,
+    k: int = 5,
+    salt: int = 0,
+) -> str:
+    """DuckDB rendering of the identical A-ES draw (oracle side).
+    Emits ``SELECT *, rank FROM ...`` — project in an outer query."""
+    groups = ", ".join(group_cols)
+    hv = h60_sql(f"CAST({key_expr} AS VARCHAR)", salt)
+    u = f"(CAST({hv} + 1 AS DOUBLE) / {H60_SPAN})"
+    aes = f"pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE))"
+    return f"""
+SELECT * FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY {groups}
+           ORDER BY {aes} DESC, {key_expr} ASC) AS rank
+  FROM {table}
+  WHERE {weight_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0
+) WHERE rank <= {k}
+"""

@@ -1705,6 +1705,96 @@ def s02_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S03_K = 5
+
+@query(
+    "s03_weighted_sample",
+    oracle=(
+        "SELECT o_orderstatus, o_orderkey, rank::BIGINT AS rank FROM ("
+        + sk.weighted_sample_sql(
+            "orders", ["o_orderstatus"], "o_orderkey", "o_totalprice", k=_S03_K
+        )
+        + ")"
+    ),
+)
+def s03_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir (Efraimidis–Spirakis A-ES):
+    top-k per group by u^(1/w) with an md5-derived u — the same draw
+    on every engine, so the oracle hash-matches an *importance
+    sample* (training-data mixes sampled ∝ quality/revenue weight).
+    One window over a narrow projection; reservoir = k rows/group."""
+    o = _t(spark, sf_dir, "orders")
+    s = sk.weighted_sample(
+        o, ["o_orderstatus"], "o_orderkey", "o_totalprice", k=_S03_K
+    )
+    return s.select(
+        "o_orderstatus", "o_orderkey", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "p01_pipeline_keep",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+m AS (SELECT doc_id, text,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS avg_len,
+             len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x)))::DOUBLE / len(toks) AS stop
+      FROM t),
+qk AS (SELECT doc_id, text FROM m
+       WHERE n >= 5 AND n <= 100000
+         AND avg_len >= 2.0 AND avg_len <= 12.0 AND stop >= 0.05),
+ek AS (SELECT min(doc_id) AS doc_id
+       FROM qk GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       FROM t JOIN ek USING (doc_id)),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_T}),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+reach AS (SELECT doc_id AS u, doc_id AS r FROM ek
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u)
+SELECT l.doc_id, d.lang
+FROM lab l JOIN documents d USING (doc_id)
+WHERE l.doc_id = l.group_id
+""",
+)
+def p01_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality gate → exact dedup →
+    MinHash near-dup removal → canonical survivors. Each stage is one
+    of the already-gated operators composed as DataFrames (filter,
+    hash-agg, LSH join, label propagation) — the per-stage plans keep
+    their 100 TB shapes; nothing materializes on the driver. The
+    oracle recomputes the whole funnel (including the transitive
+    closure) from first principles in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_score(docs)
+    keep_q = docs.join(
+        q.where(F.col("len_ok") & F.col("wordlen_ok") & F.col("stop_ok"))
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    reps = dd.exact_dedup(keep_q).select(F.col("rep_id").alias("doc_id"))
+    keep_e = keep_q.join(reps, "doc_id")
+    pairs = dd.minhash_dedup_pairs(keep_e, threshold=JACCARD_T)
+    groups = dd.dedup_groups(keep_e, pairs)
+    return (
+        groups.where(F.col("is_canonical") == 1)
+        .select("doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang")
+    )
+
+
 @query(
     "r22_salted_join",
     oracle="""
