@@ -81,11 +81,24 @@ _EVENTS_SCHEMA = (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture carries TIMESTAMP(NANOS) parquet timestamps,
-    which Spark 4 refuses by default. Read the raw int64 nanos with an
-    explicit schema and convert to a microsecond timestamp with integer
-    division (a double division would lose precision at 1.7e18)."""
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    """The events fixture's timestamp unit has varied across driver
+    testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses to
+    read natively) and plain microsecond TIMESTAMP. Sniff the physical
+    unit from the parquet footer; for nanos, read the raw int64 with
+    an explicit schema and integer-divide to micros (a double division
+    would lose precision at 1.7e18)."""
+    path = f"{sf_dir}/events.parquet"
+    unit = "us"
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        unit = getattr(t, "unit", "us")
+    except Exception:
+        pass
+    if unit != "ns":
+        return spark.read.parquet(path)
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
