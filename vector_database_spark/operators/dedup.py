@@ -101,12 +101,16 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, minhash: array<long>) — k independent md5-salted min-hashes
-    over distinct word shingles. All JVM-side expression work."""
-    # min() is duplicate-insensitive, so the non-distinct explode
-    # skips one shuffle.
-    sh = shingle_rows(
+    over distinct word shingles. All JVM-side expression work.
+
+    ``shingles``: optionally a precomputed ``(id, shingle)`` DataFrame
+    (min() is duplicate-insensitive, so distinct or not both work) —
+    lets a pipeline share ONE shingle pass between signatures and the
+    exact-Jaccard refinement."""
+    sh = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, distinct=False
     )
     # ONE md5 per shingle; the k permutations are affine maps of it
@@ -176,6 +180,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Refine candidate pairs with exact Jaccard over shingle sets:
     ``(a_id, b_id, jaccard)`` with jaccard >= threshold.
@@ -183,10 +188,18 @@ def jaccard_pairs(
     Set algebra as joins over exploded (id, shingle) rows — the
     intersection count is an equi-join + count, never an
     array_intersect over materialized arrays (interpreted, O(|a|·|b|)
-    per pair)."""
-    ex = shingle_rows(
-        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).persist()
+    per pair).
+
+    ``shingles``: optionally a precomputed DISTINCT ``(id, shingle)``
+    DataFrame (must be deduplicated — sizes and intersections count
+    set elements)."""
+    ex = (
+        shingles
+        if shingles is not None
+        else shingle_rows(
+            df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        ).persist()
+    )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = ex.select(F.col("id").alias("a_id"), "shingle")
     b = ex.select(F.col("id").alias("b_id"), "shingle")
@@ -224,9 +237,18 @@ def minhash_dedup_pairs(
     """The full MinHash-LSH dedup pipeline: signatures → band join →
     exact-Jaccard refinement. With J >= 0.5 pairs and 8×2 banding the
     miss probability is (1 - J²)^8 ≲ 1e-4, vanishing for the J ≳ 0.9
-    near-dups dedup targets."""
+    near-dups dedup targets.
+
+    One shared DISTINCT shingle pass feeds both the signature
+    aggregation (min() is duplicate-insensitive) and the refinement's
+    set algebra — the tokenize+window pass over the corpus runs once,
+    not twice."""
+    sh = shingle_rows(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, distinct=True
+    ).persist()
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_perm=num_perm, shingle_n=shingle_n
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n, shingles=sh,
     )
     cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
     return jaccard_pairs(
@@ -236,6 +258,7 @@ def minhash_dedup_pairs(
         text_col=text_col,
         shingle_n=shingle_n,
         threshold=threshold,
+        shingles=sh,
     )
 
 
