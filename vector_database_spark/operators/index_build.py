@@ -150,9 +150,39 @@ def build_index(
     # levels are freed by the ContextCleaner as soon as the loop drops
     # the last reference. Driver traffic stays O(1) per level (three
     # fate counters).
+    from concurrent.futures import ThreadPoolExecutor
+
     index_parts: list[DataFrame] = []
-    local_pools: list[DataFrame] = []
-    n_local = 0
+    pool_futures: list = []
+    # Local-subtree jobs OVERLAP the remaining distributed levels: a
+    # level's pool is known the moment its decisions land, and its
+    # applyInPandas build is independent of everything after it, so it
+    # is submitted from a side thread (Spark schedules concurrent jobs
+    # from one session FIFO across free cores) while the driver loop
+    # continues with the next level's decisions. The executor pool is
+    # small — each future is one Spark ACTION, the parallelism lives in
+    # the cluster.
+    pool_exec = ThreadPoolExecutor(max_workers=4)
+    par = spark.sparkContext.defaultParallelism
+    builder_schema = _INDEX_DDL
+
+    def submit_pool(pool_df: DataFrame, n_ranges: int):
+        # explicit partition count: one subtree build is one task, and
+        # AQE must not coalesce the (large-by-bytes, small-by-count)
+        # shuffle down to a couple of partitions and serialize the
+        # builds. 8x ranges over-partitioning makes straggler-creating
+        # hash collisions between range keys unlikely; empty partitions
+        # cost only a no-op task.
+        n_parts = max(1, min(8 * n_ranges, max(4 * par, 64)))
+        sub = (
+            pool_df.repartition(n_parts, "doc_id", "range_id")
+            .groupBy("doc_id", "range_id")
+            .applyInPandas(_make_subtree_builder(), schema=builder_schema)
+        )
+        return pool_exec.submit(
+            lambda df: df.localCheckpoint(eager=True), sub
+        )
+
     depth = 0
     # L0 is NOT checkpointed: the root level is scanned exactly twice
     # (its decisions aggregate + the L0→L1 routing join), both straight
@@ -187,22 +217,19 @@ def build_index(
                 )
             )
         if fates.get("local"):
-            # defer: collect the pool slice (reads this level's
-            # checkpointed blocks), build ALL local subtrees across
-            # levels in ONE applyInPandas job after the loop.
-            n_local += int(fates["local"])
             if set(fates) == {"local"}:
                 # whole level goes local (the common last level):
                 # the pool is exactly this level's points, no
                 # semi-join scan needed
-                local_pools.append(pts)
+                pool = pts
             else:
                 keys = dec.where(F.col("fate") == "local").select(
                     "doc_id", "range_id"
                 )
-                local_pools.append(
-                    pts.join(F.broadcast(keys), ["doc_id", "range_id"], "left_semi")
+                pool = pts.join(
+                    F.broadcast(keys), ["doc_id", "range_id"], "left_semi"
                 )
+            pool_futures.append(submit_pool(pool, int(fates["local"])))
 
         n_split = int(fates.get("split", 0))
         if n_split == 0:
@@ -249,28 +276,16 @@ def build_index(
         # readers — pools, the level after next — hit stored blocks).
         pts = routed.localCheckpoint(eager=False)
 
-    if local_pools:
+    if pool_futures:
         t0 = time.time()
-        pool = local_pools[0]
-        for extra in local_pools[1:]:
-            pool = pool.unionByName(extra)
-        # explicit partition count: one subtree build is one task, and
-        # AQE must not coalesce the (large-by-bytes, small-by-count)
-        # shuffle down to a couple of partitions and serialize the
-        # builds. 8x ranges over-partitioning makes straggler-creating
-        # hash collisions between range keys unlikely; empty partitions
-        # cost only a no-op task.
-        par = spark.sparkContext.defaultParallelism
-        n_parts = max(1, min(8 * n_local, max(4 * par, 64)))
-        sub = (
-            pool.repartition(n_parts, "doc_id", "range_id")
-            .groupBy("doc_id", "range_id")
-            .applyInPandas(_make_subtree_builder(), schema=_INDEX_DDL)
-            .localCheckpoint(eager=True)  # built NOW, severed from pts
-        )
-        index_parts.append(sub)
+        for fut in pool_futures:
+            index_parts.append(fut.result())
         if debug:
-            print(f"[build] local phase {time.time()-t0:.2f}s (n_local={n_local})")
+            print(
+                f"[build] local-phase drain {time.time()-t0:.2f}s "
+                f"({len(pool_futures)} pool jobs, overlapped with levels)"
+            )
+    pool_exec.shutdown(wait=True)
 
     if not index_parts:
         return spark.createDataFrame([], _INDEX_DDL)
