@@ -110,6 +110,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PANEL_IDS = [3, 99, 250]  # query vectors drawn from the embeddings table
 SEARCH_DOMAIN = 1.4
+LINF_DOMAIN = 0.62  # Chebyshev ball: ~selective on the unit-ish cube
 KNN_K = 5
 JACCARD_T = 0.5
 NGRAM_JACCARD_T = 0.3
@@ -1081,6 +1082,38 @@ def v11_search_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").cast("long").alias("n_matches"),
         (F.col("n_candidates") >= F.col("n_matches")).alias("superset_ok"),
         (F.col("n_candidates") < F.col("n_total")).alias("pruned_ok"),
+    )
+
+
+@query(
+    "v12_search_linf",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT qid, vec_id, round(d, 4) AS dist
+FROM (SELECT q.qid, e.vec_id,
+             list_max(list_transform(range(1, len(e.embedding)+1),
+                      i -> abs(CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(q.qv[i] AS DOUBLE)))) AS d
+      FROM embeddings e CROSS JOIN q)
+WHERE d <= {LINF_DOMAIN}
+""",
+)
+def v12_search_linf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev (L-inf) vicinity search: the metric the reference's
+    SQL Search box actually implements (DDL.sql:246-254) — the query
+    box IS the L-inf ball, so candidates == matches and the tree does
+    ALL the work (refinement rejects nothing). Exercises the box walk
+    + linf refinement path end-to-end against an exact oracle."""
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    res = search(
+        idx, vecs, _panel(spark, sf_dir), LINF_DOMAIN, metric="chebyshev"
+    )
+    return res.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.round("dist", 4).alias("dist"),
     )
 
 
