@@ -111,6 +111,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 PANEL_IDS = [3, 99, 250]  # query vectors drawn from the embeddings table
 SEARCH_DOMAIN = 1.4
 LINF_DOMAIN = 0.62  # Chebyshev ball: ~selective on the unit-ish cube
+DELETE_DOMAIN = 1.0  # vicinity radius for the v13 delete lifecycle
 KNN_K = 5
 JACCARD_T = 0.5
 NGRAM_JACCARD_T = 0.3
@@ -1115,6 +1116,56 @@ def v12_search_linf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.round("dist", 4).alias("dist"),
     )
+
+
+@query(
+    "v13_delete_vicinity",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+hits AS (SELECT e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+         FROM embeddings e CROSS JOIN q),
+del AS (SELECT vec_id FROM hits WHERE d <= {DELETE_DOMAIN} AND vec_id % 2 = 0)
+SELECT vec_id, round(d, 4) AS dist FROM hits
+WHERE d <= {SEARCH_DOMAIN} AND vec_id NOT IN (SELECT vec_id FROM del)
+""",
+)
+def v13_delete_vicinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vicinity-predicated record delete as a gated
+    LIFECYCLE (MemoryVectorIndex.Remove(vector, distance, predicate),
+    MemoryVectorIndex.cs:358-489): ingest the embeddings into a fresh
+    store, delete the even-id vectors within DELETE_DOMAIN of the
+    query, rebuild the touched partitions, search again — the oracle
+    recomputes the post-delete matches from the immutable base table.
+    The result is checkpointed so the temp store can be dropped before
+    the driver collects."""
+    import shutil
+    import tempfile
+
+    from vector_database_spark.api import VectorDatabase
+
+    root = tempfile.mkdtemp(prefix="vds_v13_")
+    try:
+        db = VectorDatabase(spark, root, local_threshold=4096)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            F.lit(0).cast("long").alias("doc_id"),
+            F.col("vec_id").alias("text_id"),
+            F.col("embedding").alias("vector"),
+        )
+        db.add_documents(emb, reindex=True)
+        qvec = [
+            float(x)
+            for x in _t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == 3)
+            .select("embedding")
+            .first()[0]
+        ]
+        db.delete_vectors(qvec, DELETE_DOMAIN, predicate="text_id % 2 = 0")
+        res = db.search(qvec, SEARCH_DOMAIN).select(
+            F.col("text_id").alias("vec_id"), F.round("dist", 4).alias("dist")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query("a01_ivf_knn")  # approximate: rows-only gate; the query ASSERTS its
