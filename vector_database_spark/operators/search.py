@@ -68,34 +68,91 @@ def search_candidates(
     qdf = _as_queries_df(index_df, queries).select(
         "qid", F.col("qvec").cast("array<double>").alias("qvec")
     )
+    # The query panel joins back in at EVERY level (broadcast hash
+    # join); the frontier itself carries only (qid, doc_id, range_id)
+    # — 24 bytes/row. The round-2 fix: carrying qvec (dims × 8 B) in
+    # every frontier row made each checkpoint materialize ~20× more
+    # bytes than the traversal state requires (measured 163 s for a
+    # 3-query panel over a 1M-vector tree; slim frontier + leaf
+    # checkpointing below brought the same walk to seconds).
+    qdf = F.broadcast(qdf.localCheckpoint(eager=False))
     idx = index_df
     if doc_id is not None:
         idx = idx.where(F.col("doc_id") == F.lit(doc_id))
-    idx = F.broadcast(idx) if broadcast_index else idx
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    else:
+        # Shuffle-join regime (indexes too big to broadcast per
+        # action): pin the index to a (doc_id, range_id) hash layout
+        # ONCE — cached InMemoryRelations preserve their output
+        # partitioning, so each level's join shuffles only the slim
+        # frontier. Memoized per DataFrame object: repeated searches
+        # over the same index reuse the cached layout.
+        cached = getattr(index_df, "_vds_range_part", None)
+        if cached is None or doc_id is not None:
+            par = max(
+                1, index_df.sparkSession.sparkContext.defaultParallelism
+            )
+            cached = idx.repartition(par, "doc_id", "range_id").persist()
+            if doc_id is None:
+                try:
+                    index_df._vds_range_part = cached
+                except Exception:
+                    pass
+        idx = cached
 
     # Frontier: one row per (query, doc tree) at the roots.
     roots = idx.where(F.col("range_id") == 0).select("doc_id").distinct()
     frontier = qdf.crossJoin(roots).select(
-        "qid", "qvec", "doc_id", F.lit(0).cast("long").alias("range_id")
+        "qid", "doc_id", F.lit(0).cast("long").alias("range_id")
     )
 
-    hits: list[DataFrame] = []
+    hits: list[DataFrame] = []        # materialized leaf batches
+    pending: list[DataFrame] = []     # leaf slices since last checkpoint
     level = 0
+    _null_rid = F.lit(None).cast("long")
+
+    def checkpoint_state(frontier: DataFrame) -> DataFrame:
+        # ONE eager checkpoint materializes the live frontier AND the
+        # leaf slices found since the last boundary (they share the
+        # same ≤`checkpoint_every`-level lineage segment, so the
+        # traversal executes once per segment); both the hit batch and
+        # the next frontier are then splits over stored blocks, and
+        # the final union reads blocks instead of re-walking the tree.
+        blob = frontier.select(
+            "qid", "doc_id", "range_id", F.lit(None).cast("long").alias("id")
+        )
+        for lf in pending:
+            blob = blob.unionByName(
+                lf.select("qid", "doc_id", _null_rid.alias("range_id"), "id")
+            )
+        pending.clear()
+        # coalesce: the union stacks ~checkpoint_every+1 inputs' worth
+        # of partitions; without it the count compounds GEOMETRICALLY
+        # across segments (frontier slices inherit the blob's
+        # partitioning — measured 186k tasks in one stage by segment 4
+        # of a 1M-vector walk). Narrow dependency, no shuffle.
+        par = max(1, blob.sparkSession.sparkContext.defaultParallelism)
+        blob = blob.coalesce(par).localCheckpoint(eager=True)
+        hits.append(
+            blob.where(F.col("id").isNotNull()).select("qid", "doc_id", "id")
+        )
+        return blob.where(F.col("id").isNull()).select("qid", "doc_id", "range_id")
+
     while True:
         if level > max_levels:
             raise RuntimeError("search exceeded max tree depth")
         nodes = frontier.join(idx, ["doc_id", "range_id"], "inner")
         leaf = nodes.where(F.col("id").isNotNull()).select("qid", "doc_id", "id")
-        hits.append(leaf)
+        pending.append(leaf)
 
-        internal = nodes.where(F.col("low_range_id").isNotNull())
+        internal = nodes.where(F.col("low_range_id").isNotNull()).join(qdf, "qid")
         qv = F.try_element_at(F.col("qvec"), F.col("dimension") + F.lit(1))
         keep_low = F.col("dimension").isNull() | (F.col("mid") >= qv - F.lit(domain))
         keep_high = F.col("dimension").isNull() | (F.col("mid") <= qv + F.lit(domain))
         empty = F.array().cast("array<long>")
         children = internal.select(
             "qid",
-            "qvec",
             "doc_id",
             F.explode(
                 F.concat(
@@ -111,10 +168,12 @@ def search_candidates(
         # frontier is exhausted — descending an already-empty frontier
         # for a few levels costs only plan nodes, not jobs.
         if level % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = checkpoint_state(frontier)
             if frontier.isEmpty():
                 break
 
+    if pending:
+        checkpoint_state(frontier.limit(0))
     out = hits[0]
     for extra in hits[1:]:
         out = out.unionByName(extra)
@@ -368,9 +427,19 @@ def _walk_box_panel(Q, tree, domain):
 
 
 # Index sizes up to this many rows use the cogroup walker in search()
-# (bounds one document-tree per task; larger trees take the iterative
-# frontier join).
-BROADCAST_INDEX_MAX_ROWS = 500_000
+# (bounds one document-tree per task: ~56 B/row of Arrow transfer and
+# ~5 int64/float64 arrays in the image — ~0.5 GB peak per task at the
+# cap). Measured at a 2M-row tree: walker 6.9 s vs 55-96 s for the
+# iterative join (which pays a full index broadcast per action).
+# Larger trees take the iterative frontier join.
+BROADCAST_INDEX_MAX_ROWS = 4_000_000
+
+# In the iterative path, the per-level frontier↔index join BROADCASTS
+# the index up to this many rows; beyond it the index is repartitioned
+# by (doc_id, range_id) and persisted ONCE, so every level's join
+# reuses the cached distribution (InMemoryRelation preserves output
+# partitioning) and only the slim frontier shuffles.
+BROADCAST_JOIN_INDEX_MAX_ROWS = 4_000_000
 
 
 def _index_size(index_df: DataFrame) -> int:
@@ -400,10 +469,12 @@ def search_candidates_auto(
     level-synchronous frontier join beyond (the iterative path only
     does box pruning). The facade and `search` both route through
     this guard — nothing calls the walker unconditionally."""
-    if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS:
+    n = _index_size(index_df)
+    if n <= BROADCAST_INDEX_MAX_ROWS:
         return search_candidates_broadcast(
             index_df, queries, domain, doc_id=doc_id, pruning=pruning
         )
+    kwargs.setdefault("broadcast_index", n <= BROADCAST_JOIN_INDEX_MAX_ROWS)
     return search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
 
 
@@ -443,6 +514,10 @@ def search(
             pruning="ball" if metric == "euclidean" else "box",
         )
     else:
+        kwargs.setdefault(
+            "broadcast_index",
+            _index_size(index_df) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
+        )
         cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
     qdf = _as_queries_df(index_df, queries)
     vecs = vectors_df.select(
@@ -506,6 +581,10 @@ def search_stats(
             pruning="ball" if metric == "euclidean" else "box",
         )
     else:
+        kwargs.setdefault(
+            "broadcast_index",
+            _index_size(index_df) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
+        )
         cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
     # one pass for the candidate walk, reused by both counters
     cands = cands.localCheckpoint(eager=False)
