@@ -38,6 +38,23 @@ def test_grid_search_matches_oracle(spark, domain, strategy):
         assert got.get(qid, set()) == want.get(qid, set()), f"qid={qid}"
 
 
+def test_iterative_shuffle_join_regime(spark):
+    """The >broadcast-bound physical strategy (index repartitioned by
+    (doc_id, range_id), per-level shuffle of the slim frontier only)
+    must return the identical result set."""
+    vecs = random_uniform(spark, n=600, dims=6, seed=11)
+    idx = build_index(vecs, local_threshold=32)
+    panel = [(0, [0.1] * 6), (1, [0.8] * 6)]
+    got = _id_sets(
+        search(
+            idx, vecs, panel, 0.9, strategy="iterative", broadcast_index=False
+        )
+    )
+    want = _id_sets(brute_force_search(vecs, panel, 0.9))
+    for qid, _ in panel:
+        assert got.get(qid, set()) == want.get(qid, set()), f"qid={qid}"
+
+
 def test_embeddings_search_matches_oracle(spark, embeddings):
     vecs = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     idx = build_index(vecs, local_threshold=64)
