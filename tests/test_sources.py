@@ -18,6 +18,9 @@ from vector_database_spark.sources.hdf5 import (
     stage_chunks_to_parquet,
 )
 from vector_database_spark.sources.multimodal import (
+    decode_ppm,
+    image_features,
+    resize_images,
     extract_features,
     fake_feature,
     resize_stub,
@@ -80,10 +83,33 @@ def test_multimodal_metadata_pruning(spark):
     assert "payload" not in plan
 
 
+def test_resize_images_real_ppm(spark):
+    """The image path is REAL for netpbm payloads: decode -> bilinear
+    resize -> re-encode in mapInPandas; non-image rows pass through."""
+    media = sample_media(spark, n=6)
+    out = resize_images(media, width=8, height=8).collect()
+    assert len(out) == 6
+    for r in out:
+        if r.kind == "image":
+            assert (r.width, r.height) == (8, 8)
+            arr = decode_ppm(bytes(r.payload))
+            assert arr.shape == (8, 8, 3)
+        else:
+            assert bytes(r.payload)[:2] != b"P6"
+
+
+def test_image_features_real(spark):
+    media = sample_media(spark, n=6).where(F.col("kind") == "image")
+    feats = extract_features(media, feature_fn=image_features)
+    for r in feats.collect():
+        assert len(r.feature) == 12
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+
+
 def test_resize_stub_raises(spark):
-    media = sample_media(spark, n=3)
-    with pytest.raises(Exception):
-        resize_stub(media, width=32, height=32).collect()
+    # compressed formats without a codec still raise in decode_ppm
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG...")
 
 
 def test_json_vector_ingest(spark):

@@ -1250,15 +1250,26 @@ def e05_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m01_multimodal_features")  # synthetic payloads: rows-only check
+@query("m01_multimodal_features")  # binary payloads: rows-only check
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image rows carry REAL P6 PPM payloads and go through the real
+    decode -> patch-grid color-layout featurizer (pure numpy, no codec
+    libs); audio/video payloads use the deterministic byte-histogram
+    stand-in. Rows-only gate: DuckDB has no image decode to mirror."""
     from vector_database_spark.sources.multimodal import (
         extract_features,
+        fake_feature,
+        image_features,
         sample_media,
     )
 
+    def feat(payload):
+        if payload is not None and bytes(payload[:2]) == b"P6":
+            return image_features(bytes(payload))
+        return fake_feature(payload)
+
     media = sample_media(spark, n=64)
-    feats = extract_features(media)
+    feats = extract_features(media, feature_fn=feat)
     return feats.select(
         "media_id",
         "kind",
