@@ -184,3 +184,30 @@ def test_ball_pruning_embeddings_oracle(spark, embeddings):
     got = _id_sets(search(idx, vecs, panel, 1.3, strategy="broadcast"))
     want = _id_sets(brute_force_search(vecs, panel, 1.3))
     assert got == want
+
+def test_shuffle_regime_index_side_no_exchange(spark):
+    """In the >broadcast-bound regime the index is repartitioned by
+    (doc_id, range_id) and persisted; a per-level frontier join must
+    then shuffle ONLY the frontier — the index side reads the cached
+    distribution with no new Exchange."""
+    from vector_database_spark.sources.generators import random_uniform
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        vecs = random_uniform(spark, n=400, dims=4, seed=5)
+        idx = build_index(vecs, local_threshold=32)
+        par = spark.sparkContext.defaultParallelism
+        cached = idx.repartition(par, "doc_id", "range_id").persist()
+        cached.count()
+        frontier = spark.createDataFrame(
+            [(0, 0, 0)], "qid long, doc_id long, range_id long"
+        )
+        j = frontier.join(cached, ["doc_id", "range_id"])
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        outside_cache = plan.split("InMemoryRelation")[0]
+        assert outside_cache.count("Exchange") == 1, outside_cache
+        cached.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
