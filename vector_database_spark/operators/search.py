@@ -442,9 +442,28 @@ BROADCAST_INDEX_MAX_ROWS = 4_000_000
 BROADCAST_JOIN_INDEX_MAX_ROWS = 4_000_000
 
 
-def _index_size(index_df: DataFrame) -> int:
+def _index_size(index_df: DataFrame, doc_id: int | None = None) -> int:
     """Row count with per-DataFrame-object memoization, so repeated
-    auto-strategy searches over the same index don't re-count."""
+    auto-strategy searches over the same index don't re-count.
+
+    With ``doc_id``, counts THAT document's tree — the reference's
+    primary workload is doc-scoped vicinity search, and the strategy
+    choice should depend on the tree actually walked: a 100M-row
+    multi-doc index whose individual trees are 2M rows each still
+    takes the single-task walker when scoped to one doc."""
+    if doc_id is not None:
+        cache = getattr(index_df, "_vds_doc_nrows", None)
+        if cache is None:
+            cache = {}
+            try:
+                index_df._vds_doc_nrows = cache
+            except Exception:
+                pass
+        n = cache.get(doc_id)
+        if n is None:
+            n = index_df.where(F.col("doc_id") == F.lit(doc_id)).count()
+            cache[doc_id] = n
+        return int(n)
     n = getattr(index_df, "_vds_nrows", None)
     if n is None:
         n = index_df.count()
@@ -469,7 +488,7 @@ def search_candidates_auto(
     level-synchronous frontier join beyond (the iterative path only
     does box pruning). The facade and `search` both route through
     this guard — nothing calls the walker unconditionally."""
-    n = _index_size(index_df)
+    n = _index_size(index_df, doc_id)
     if n <= BROADCAST_INDEX_MAX_ROWS:
         return search_candidates_broadcast(
             index_df, queries, domain, doc_id=doc_id, pruning=pruning
@@ -500,7 +519,7 @@ def search(
     if strategy == "auto":
         strategy = (
             "broadcast"
-            if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS
+            if _index_size(index_df, doc_id) <= BROADCAST_INDEX_MAX_ROWS
             else "iterative"
         )
     if strategy == "broadcast":
@@ -516,7 +535,7 @@ def search(
     else:
         kwargs.setdefault(
             "broadcast_index",
-            _index_size(index_df) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
+            _index_size(index_df, doc_id) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
         )
         cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
     qdf = _as_queries_df(index_df, queries)
@@ -572,7 +591,7 @@ def search_stats(
     if strategy == "auto":
         strategy = (
             "broadcast"
-            if _index_size(index_df) <= BROADCAST_INDEX_MAX_ROWS
+            if _index_size(index_df, doc_id) <= BROADCAST_INDEX_MAX_ROWS
             else "iterative"
         )
     if strategy == "broadcast":
@@ -583,7 +602,7 @@ def search_stats(
     else:
         kwargs.setdefault(
             "broadcast_index",
-            _index_size(index_df) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
+            _index_size(index_df, doc_id) <= BROADCAST_JOIN_INDEX_MAX_ROWS,
         )
         cands = search_candidates(index_df, queries, domain, doc_id=doc_id, **kwargs)
     # one pass for the candidate walk, reused by both counters
