@@ -1119,6 +1119,47 @@ def v12_search_linf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v14_doc_scoped_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings
+           WHERE vec_id = 3)
+SELECT q.qid, e.vec_id, round({_l2_sql('e.embedding', 'q.qv')}, 4) AS dist
+FROM embeddings e CROSS JOIN q
+WHERE e.label = q.label
+  AND {_l2_sql('e.embedding', 'q.qv')} <= {SEARCH_DOMAIN}
+""",
+)
+def v14_doc_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-scoped vicinity search — the reference's primary workload
+    (one tree per document, dbo.Search(@point, @domain, @docID)):
+    per-label trees built in ONE job (doc_col grouping key), search
+    scoped to the query's own label. Exercises multi-doc builds, the
+    per-doc auto-strategy sizing, and doc_id partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir, "by_label")
+    if key not in _INDEX_CACHE:
+        idx = build_index(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                F.col("label").cast("long").alias("label"),
+            ),
+            doc_col="label",
+            local_threshold=512,
+        ).persist()
+        idx.count()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    row = emb.where(F.col("vec_id") == 3).select("embedding", "label").first()
+    qvec, label = [float(x) for x in row[0]], int(row[1])
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    res = search(idx, vecs, [(3, qvec)], SEARCH_DOMAIN, doc_id=label)
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), F.round("dist", 4).alias("dist")
+    )
+
+
+@query(
     "v13_delete_vicinity",
     oracle=f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
