@@ -58,6 +58,8 @@ materializes per-node state on the driver.
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -135,7 +137,6 @@ def build_index(
         local_threshold = max(4096, min(1_000_000, by_mem, by_par))
 
     import os
-    import time
 
     debug = bool(os.environ.get("SPARK_GRAFT_BUILD_DEBUG"))
 
@@ -183,21 +184,72 @@ def build_index(
             lambda df: df.localCheckpoint(eager=True), sub
         )
 
-    depth = 0
     # L0 is NOT checkpointed: the root level is scanned exactly twice
     # (its decisions aggregate + the L0→L1 routing join), both straight
     # off the source — writing a 1:1 copy of the whole input to the
     # block store first costs a full extra data pass. Routed levels
     # (smaller, re-read by decisions + pools + next routing) are
     # checkpointed below.
+    try:
+        _build_levels(
+            spark,
+            pts,
+            local_threshold,
+            max_levels,
+            index_parts,
+            pool_futures,
+            submit_pool,
+            debug,
+        )
+        if pool_futures:
+            t0 = time.time()
+            for fut in pool_futures:
+                index_parts.append(fut.result())
+            if debug:
+                print(
+                    f"[build] local-phase drain {time.time()-t0:.2f}s "
+                    f"({len(pool_futures)} pool jobs, overlapped with levels)"
+                )
+    except BaseException:
+        # a failing level loop or pool job must not leak in-flight
+        # futures / pool threads (round-2 advice): cancel what hasn't
+        # started and surface the original error.
+        pool_exec.shutdown(wait=False, cancel_futures=True)
+        raise
+    pool_exec.shutdown(wait=True)
+
+    if not index_parts:
+        return spark.createDataFrame([], _INDEX_DDL)
+    out = index_parts[0]
+    for extra in index_parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
+def _build_levels(
+    spark,
+    pts: DataFrame,
+    local_threshold: int,
+    max_levels: int,
+    index_parts: list,
+    pool_futures: list,
+    submit_pool,
+    debug: bool,
+) -> None:
+    """The distributed level loop of `build_index` (split out so the
+    caller can wrap it and the drain in one try/finally)."""
+    depth = 0
     while True:
         if depth > max_levels:
             raise RuntimeError(
                 f"build_index exceeded {max_levels} distributed levels — "
                 "pathological split sequence (range ids would overflow)"
             )
+        # fail fast on background pool jobs instead of discovering the
+        # error only at the final drain
+        for fut in pool_futures:
+            if fut.done() and fut.exception() is not None:
+                raise fut.exception()
         t0 = time.time()
         dec = _level_decisions(pts, local_threshold).localCheckpoint(eager=True)
         fates = {r["fate"]: r["count"] for r in dec.groupBy("fate").count().collect()}
@@ -275,24 +327,6 @@ def build_index(
         # per level than eager; unlike a no-checkpoint chain, later
         # readers — pools, the level after next — hit stored blocks).
         pts = routed.localCheckpoint(eager=False)
-
-    if pool_futures:
-        t0 = time.time()
-        for fut in pool_futures:
-            index_parts.append(fut.result())
-        if debug:
-            print(
-                f"[build] local-phase drain {time.time()-t0:.2f}s "
-                f"({len(pool_futures)} pool jobs, overlapped with levels)"
-            )
-    pool_exec.shutdown(wait=True)
-
-    if not index_parts:
-        return spark.createDataFrame([], _INDEX_DDL)
-    out = index_parts[0]
-    for extra in index_parts[1:]:
-        out = out.unionByName(extra)
-    return out
 
 
 def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:

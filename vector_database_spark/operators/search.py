@@ -38,14 +38,75 @@ from vector_database_spark.plans.iterate import LineageBudget
 
 def _as_queries_df(index_or_vectors: DataFrame, queries: DataFrame | list) -> DataFrame:
     """Accept either a DataFrame (qid, qvec) or a python list of
-    (qid, vector) pairs."""
+    (qid, vector) pairs.
+
+    List panels must be uniform-width: the cogroup walker images the
+    panel as one dense (n_q, n_dims) matrix. Validated here with a
+    clear error instead of an opaque executor-side reshape failure.
+    """
     if isinstance(queries, DataFrame):
         return queries
+    widths = {len(v) for _, v in queries}
+    if len(widths) > 1:
+        raise ValueError(
+            f"query panel has mixed vector widths {sorted(widths)}; "
+            "searches require a uniform-width panel (pad or split by width)"
+        )
     spark = index_or_vectors.sparkSession
     return spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "qid long, qvec array<double>",
     )
+
+
+# Bound on memoized shuffle-regime index layouts per index DataFrame:
+# one unscoped + a handful of doc-scoped layouts; beyond it the
+# least-recently-used scoped layout is unpersisted and dropped.
+_RANGE_LAYOUT_MAX = 4
+
+
+def _range_layout(index_df: DataFrame, idx: DataFrame, doc_id: int | None) -> DataFrame:
+    """Per-(index, doc scope) memoized `(doc_id, range_id)`-partitioned
+    persisted layout for the shuffle-join regime, LRU-bounded so
+    repeated doc-scoped searches don't grow executor storage without
+    bound (round-2 advice)."""
+    cache = getattr(index_df, "_vds_range_part", None)
+    if not isinstance(cache, dict):
+        cache = {}
+        try:
+            index_df._vds_range_part = cache
+        except Exception:
+            pass
+    if doc_id in cache:
+        cache[doc_id] = cache.pop(doc_id)  # refresh LRU position
+        return cache[doc_id]
+    par = max(1, index_df.sparkSession.sparkContext.defaultParallelism)
+    layout = idx.repartition(par, "doc_id", "range_id").persist()
+    cache[doc_id] = layout
+    while len(cache) > _RANGE_LAYOUT_MAX:
+        # evict the least-recently-used SCOPED layout first; the
+        # unscoped layout (key None) serves every future scope.
+        victim = next((k for k in cache if k is not None), None)
+        if victim is None or victim == doc_id:
+            break
+        try:
+            cache.pop(victim).unpersist()
+        except Exception:
+            break
+    return layout
+
+
+def release_search_layouts(index_df: DataFrame) -> None:
+    """Unpersist every memoized shuffle-regime layout of this index
+    (explicit release hook for rotating indexes)."""
+    cache = getattr(index_df, "_vds_range_part", None)
+    if isinstance(cache, dict):
+        for layout in cache.values():
+            try:
+                layout.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def search_candidates(
@@ -86,20 +147,10 @@ def search_candidates(
         # action): pin the index to a (doc_id, range_id) hash layout
         # ONCE — cached InMemoryRelations preserve their output
         # partitioning, so each level's join shuffles only the slim
-        # frontier. Memoized per DataFrame object: repeated searches
-        # over the same index reuse the cached layout.
-        cached = getattr(index_df, "_vds_range_part", None)
-        if cached is None or doc_id is not None:
-            par = max(
-                1, index_df.sparkSession.sparkContext.defaultParallelism
-            )
-            cached = idx.repartition(par, "doc_id", "range_id").persist()
-            if doc_id is None:
-                try:
-                    index_df._vds_range_part = cached
-                except Exception:
-                    pass
-        idx = cached
+        # frontier. Memoized per DataFrame object AND per doc scope
+        # (LRU, bounded): repeated searches — scoped or unscoped —
+        # reuse the cached layout; evicted layouts are unpersisted.
+        idx = _range_layout(index_df, idx, doc_id)
 
     # Frontier: one row per (query, doc tree) at the roots.
     roots = idx.where(F.col("range_id") == 0).select("doc_id").distinct()
@@ -283,6 +334,12 @@ def search_candidates_broadcast(
         # every query at once — no per-query (let alone per-node)
         # Python in the loop.
         qids = qpdf["qid"].to_numpy(dtype="int64")
+        widths = {len(v) for v in qpdf["qvec"]}
+        if len(widths) > 1:
+            raise ValueError(
+                f"query panel has mixed vector widths {sorted(widths)}; "
+                "searches require a uniform-width panel"
+            )
         Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
         if Q.ndim == 1:
             Q = Q.reshape(len(qids), -1)

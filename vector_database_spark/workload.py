@@ -88,20 +88,32 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit schema and integer-divide to micros (a double division
     would lose precision at 1.7e18)."""
     path = f"{sf_dir}/events.parquet"
-    unit = "us"
+    unit = None
     try:
         import pyarrow.parquet as pq
 
         t = pq.read_schema(path).field("ts").type
         unit = getattr(t, "unit", "us")
     except Exception:
-        pass
-    if unit != "ns":
+        unit = None  # pyarrow missing/broken: decide by trying the read
+
+    def _nanos_read() -> DataFrame:
+        raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    if unit == "ns":
+        return _nanos_read()
+    if unit is not None:
         return spark.read.parquet(path)
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # sniff failed: attempt the native read (schema inference is eager,
+    # so a TIMESTAMP(NANOS) fixture fails here) and fall back to the
+    # nanos long-read workaround instead of assuming micros.
+    try:
+        df = spark.read.parquet(path)
+        _ = df.schema
+        return df
+    except Exception:
+        return _nanos_read()
 
 
 # --------------------------------------------------------------------------
@@ -169,7 +181,27 @@ WHERE {j} >= {threshold}
 # vector core
 # --------------------------------------------------------------------------
 
+# Keyed on the SparkSession OBJECT (not id(), which can collide after
+# GC address reuse) + sf dir + variant; bounded LRU — evicted indexes
+# are unpersisted so rotating across sf dirs keeps storage flat.
 _INDEX_CACHE: dict[tuple, DataFrame] = {}
+_INDEX_CACHE_MAX = 8
+
+
+def _cached_index(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    if key in _INDEX_CACHE:
+        _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)  # refresh LRU position
+        return _INDEX_CACHE[key]
+    idx = build().persist()
+    idx.count()
+    _INDEX_CACHE[key] = idx
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        victim = next(iter(_INDEX_CACHE))
+        try:
+            _INDEX_CACHE.pop(victim).unpersist()
+        except Exception:
+            break
+    return idx
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,14 +213,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (once per session+sf) and cache the BSP-tree index over the
     embeddings table."""
-    key = (id(spark), sf_dir)
-    if key not in _INDEX_CACHE:
-        idx = build_index(
-            _embeddings(spark, sf_dir), local_threshold=4096
-        ).persist()
-        idx.count()
-        _INDEX_CACHE[key] = idx
-    return _INDEX_CACHE[key]
+    return _cached_index(
+        (spark, sf_dir),
+        lambda: build_index(_embeddings(spark, sf_dir), local_threshold=4096),
+    )
 
 
 def _panel(spark: SparkSession, sf_dir: str) -> list:
@@ -1136,9 +1164,9 @@ def v14_doc_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped to the query's own label. Exercises multi-doc builds, the
     per-doc auto-strategy sizing, and doc_id partition pruning."""
     emb = _t(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir, "by_label")
-    if key not in _INDEX_CACHE:
-        idx = build_index(
+    idx = _cached_index(
+        (spark, sf_dir, "by_label"),
+        lambda: build_index(
             emb.select(
                 F.col("vec_id").alias("id"),
                 F.col("embedding").alias("vector"),
@@ -1146,10 +1174,8 @@ def v14_doc_scoped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             doc_col="label",
             local_threshold=512,
-        ).persist()
-        idx.count()
-        _INDEX_CACHE[key] = idx
-    idx = _INDEX_CACHE[key]
+        ),
+    )
     row = emb.where(F.col("vec_id") == 3).select("embedding", "label").first()
     qvec, label = [float(x) for x in row[0]], int(row[1])
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
