@@ -104,6 +104,41 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_forward_nearest(spark):
+    from vector_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 15, "e3"), (3, 5, "e4"), (1, 25, "e5")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (2, 15, 300.0), (1, 22, 400.0)],
+        "k long, ts long, val double",
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_values=["val"], direction="forward",
+    )
+    assert {r.ev: r.val_asof for r in fwd.collect()} == {
+        "e1": 200.0,  # smallest right ts >= 10 is 15
+        "e2": 400.0,  # 22 >= 20
+        "e3": 300.0,  # equal ts counts (>=)
+        "e4": None,   # k=3 has no right rows
+        "e5": None,   # no right row at/after 25
+    }
+    near = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_values=["val"], direction="nearest",
+    )
+    assert {r.ev: r.val_asof for r in near.collect()} == {
+        "e1": 100.0,  # exact midpoint (5 vs 15 around 10): ties go BACKWARD
+        "e2": 400.0,  # |20-22|=2 < |20-15|=5
+        "e3": 300.0,  # exact hit
+        "e4": None,   # k=3 has no right rows
+        "e5": 400.0,  # only backward exists
+    }
+
+
 def test_range_join_boundaries(spark):
     from vector_database_spark.operators.joins import range_join
 

@@ -30,16 +30,33 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_asof",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` in the same ``on`` group (direction
-    'backward'; ties on the timestamp must be pre-deduplicated by the
-    caller for determinism).
+    """For each left row, attach the matching right row in the same
+    ``on`` group under ``direction``:
+
+    * ``backward`` — greatest ``right_ts <= left_ts``;
+    * ``forward``  — smallest ``right_ts >= left_ts``;
+    * ``nearest``  — whichever of the two is closer in time; exact
+      ties go backward (the deterministic choice DuckDB's window
+      oracle can reproduce).
+
+    Ties on the timestamp WITHIN the right side must be
+    pre-deduplicated by the caller for determinism.
 
     Returns all left columns + ``<right_value><suffix>`` columns
-    (null when no right row precedes the left row).
+    (null when no right row qualifies).
+
+    Execution: tag + union + RANGE-framed window carries over the
+    key-sorted stream — `last(ignorenulls)` over
+    (unboundedPreceding..currentRow) for backward, `first(ignorenulls)`
+    over (currentRow..unboundedFollowing) for forward. Range frames
+    (not row frames) make equal timestamps land in BOTH directions'
+    frames, and the two window specs share partitioning + ordering, so
+    even 'nearest' costs one shuffle and one sort.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right_on = right_on or on
 
     l_tag = left.select(
@@ -47,6 +64,7 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
     )
     r_tag = right.select(
@@ -56,25 +74,67 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["_lrow"].dataType
         ).alias("_lrow"),
+        F.col(right_ts).alias("_rts"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_values],
     )
     u = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts => right_ts <= left_ts
-    w = (
+    wb = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy(F.col("_ts").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "_lrow",
-        "_side",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc())
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried_cols: list = []
+    if direction in ("backward", "nearest"):
+        carried_cols += [
+            F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
             for c in right_values
-        ],
-    ).where(F.col("_side") == 1)
+        ]
+        carried_cols.append(F.last("_rts", ignorenulls=True).over(wb).alias("_bts"))
+    if direction in ("forward", "nearest"):
+        carried_cols += [
+            F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in right_values
+        ]
+        carried_cols.append(F.first("_rts", ignorenulls=True).over(wf).alias("_fts"))
+    carried = u.select("_lrow", "_side", "_ts", *carried_cols).where(
+        F.col("_side") == 1
+    )
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_values]
+    if direction == "backward":
+        out_cols += [F.col(f"_b_{c}").alias(f"{c}{suffix}") for c in right_values]
+    elif direction == "forward":
+        out_cols += [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_values]
+    else:
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        def numeric(name: str, dtype) -> F.Column:
+            # exact integer microseconds for temporal types (float
+            # seconds could flip exact midpoint ties); plain double
+            # for numeric event times.
+            if isinstance(dtype, (DateType, TimestampType, TimestampNTZType)):
+                return F.unix_micros(F.col(name).cast("timestamp"))
+            return F.col(name).cast("double")
+
+        u_schema = {f.name: f.dataType for f in carried.schema.fields}
+        ts_d = numeric("_ts", u_schema["_ts"])
+        go_back = F.col("_fts").isNull() | (
+            F.col("_bts").isNotNull()
+            & (
+                (ts_d - numeric("_bts", u_schema["_bts"]))
+                <= (numeric("_fts", u_schema["_fts"]) - ts_d)
+            )
+        )
+        out_cols += [
+            F.when(go_back, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in right_values
+        ]
     return carried.select(*out_cols)
 
 

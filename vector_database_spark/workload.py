@@ -1486,6 +1486,109 @@ def r16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    return ev, orders
+
+
+_ASOF_R_CTE = """r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+           FROM orders GROUP BY o_custkey, o_orderdate)"""
+
+
+@query(
+    "r23_asof_forward",
+    oracle=f"""
+WITH {_ASOF_R_CTE},
+a AS (SELECT e.event_id, e.user_id, e.ts,
+             (SELECT min(r2.o_orderdate) FROM r r2
+              WHERE r2.o_custkey = e.user_id AND r2.o_orderdate >= e.ts) AS ad
+      FROM events e)
+SELECT a.event_id, a.user_id,
+       (SELECT max(r3.ok) FROM r r3
+        WHERE r3.o_custkey = a.user_id AND r3.o_orderdate = a.ad) AS asof_orderkey,
+       strftime(a.ad, '%Y-%m-%d') AS asof_date
+FROM a
+""",
+)
+def r23_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward AS OF join (next order per user at event time): the
+    smallest ``right_ts >= left_ts`` carried by a range-framed window
+    — same single shuffle as backward."""
+    from vector_database_spark.operators.joins import asof_join
+
+    ev, orders = _asof_inputs(spark, sf_dir)
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["ok", "o_orderdate"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ok_asof").alias("asof_orderkey"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("asof_date"),
+    )
+
+
+@query(
+    "r24_asof_nearest",
+    oracle=f"""
+WITH {_ASOF_R_CTE},
+a AS (SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(r2.o_orderdate) FROM r r2
+              WHERE r2.o_custkey = e.user_id AND r2.o_orderdate <= e.ts) AS bd,
+             (SELECT min(r2.o_orderdate) FROM r r2
+              WHERE r2.o_custkey = e.user_id AND r2.o_orderdate >= e.ts) AS fd
+      FROM events e),
+c AS (SELECT event_id, user_id,
+             CASE WHEN fd IS NULL THEN bd
+                  WHEN bd IS NULL THEN fd
+                  WHEN epoch_us(ts) - epoch_us(bd::TIMESTAMP)
+                       <= epoch_us(fd::TIMESTAMP) - epoch_us(ts) THEN bd
+                  ELSE fd END AS ad
+      FROM a)
+SELECT c.event_id, c.user_id,
+       (SELECT max(r3.ok) FROM r r3
+        WHERE r3.o_custkey = c.user_id AND r3.o_orderdate = c.ad) AS asof_orderkey,
+       strftime(c.ad, '%Y-%m-%d') AS asof_date
+FROM c
+""",
+)
+def r24_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest AS OF join: closer of the backward/forward matches in
+    exact integer microseconds, midpoint ties going backward. Both
+    direction carries come off ONE key-sorted window pass."""
+    from vector_database_spark.operators.joins import asof_join
+
+    ev, orders = _asof_inputs(spark, sf_dir)
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["ok", "o_orderdate"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ok_asof").alias("asof_orderkey"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("asof_date"),
+    )
+
+
 @query(
     "v09_json_ingest",
     oracle=f"""
