@@ -133,6 +133,11 @@ def rp_lsh_knn(
     )
 
 
+# Cap on the driver-local training matrix: float64 CELLS (rows×dims),
+# ~256 MB at the cap. The row sample is further capped by train_rows.
+_TRAIN_CELL_BUDGET = 32_000_000
+
+
 def ivf_build(
     df: DataFrame,
     *,
@@ -141,63 +146,96 @@ def ivf_build(
     n_cells: int = 16,
     iters: int = 3,
     seed: int = 42,
+    train_rows: int = 262_144,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Train coarse centroids (mini Lloyd in DataFrames) and assign
-    every vector to its nearest cell.
+    """Train coarse centroids and assign every vector to its nearest
+    cell. Returns (assigned_df with `cell` column, centroids).
 
-    Returns (assigned_df with `cell` column, centroids). Init is the
-    first n_cells vectors by a seeded hash order — deterministic.
-    At real scale: sample ~256k rows for training, persist the
-    assignment clustered by cell (the inverted file), broadcast the
-    centroid table everywhere.
+    Scale shape (the classic IVF recipe, e.g. the inverted-file layout
+    of Jégou et al.'s IVFADC): Lloyd runs on a BOUNDED deterministic
+    sample (≤ ``train_rows`` rows, further capped so the training
+    matrix stays ≤ ~256 MB) pulled with a parallel hash-threshold
+    filter — never a full-table pass per iteration, never a global
+    sort. The sampled matrix trains locally in numpy (vectorized
+    ‖x‖²−2x·c+‖c‖² argmin per iteration — milliseconds at 256k×64×256
+    cells), then ONE distributed pass assigns all rows via the
+    Arrow-batched BLAS kernel in `_assign_cells`. Init is the first
+    n_cells sample rows in seeded-hash order — deterministic.
     """
+    import numpy as np
+
     vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
-    # deterministic sample: order by murmur hash of id
-    init = (
-        vecs.withColumn("_h", F.hash(F.col("id") + F.lit(seed)))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
+    first = vecs.select(F.size("vector").alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("ivf_build: empty input")
+    dims = int(first["d"])
+    cap = max(n_cells * 4, min(int(train_rows), _TRAIN_CELL_BUDGET // max(1, dims)))
+
+    n = vecs.count()
+    hashed = vecs.select(
+        "id", "vector", F.xxhash64(F.col("id") + F.lit(seed)).alias("_h")
     )
-    centroids = [[float(x) for x in r.vector] for r in init]
+    if n > cap:
+        # parallel deterministic sample: keep rows whose hash falls
+        # under a threshold sized with 25% margin, trim exactly below.
+        thr = min(1 << 20, int((1 << 20) * 1.25 * cap / n) + 1)
+        hashed = hashed.where(F.pmod(F.col("_h"), F.lit(1 << 20)) < F.lit(thr))
+    rows = hashed.collect()
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    rows = rows[:cap]
+    X = np.asarray([r["vector"] for r in rows], dtype=np.float64)
 
-    for _ in range(iters):
-        with_cell = _assign_cells(vecs, centroids)
-        # recompute centroids as per-cell per-dimension means
-        means = (
-            with_cell.select("cell", F.posexplode("vector").alias("idx", "val"))
-            .groupBy("cell", "idx")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.idx] = r.m
-        dims = len(centroids[0])
-        centroids = [
-            [by_cell.get(c, {}).get(d, centroids[c][d]) for d in range(dims)]
-            for c in range(len(centroids))
-        ]
+    k = min(n_cells, len(rows))
+    C = X[:k].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(max(0, int(iters))):
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # empty cells keep their previous centroid (reference-free
+        # deterministic behavior; matches the prior DataFrame Lloyd)
 
+    centroids = [[float(v) for v in c] for c in C]
     return _assign_cells(vecs, centroids), centroids
 
 
 def _assign_cells(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Attach the nearest-centroid `cell` column (argmin of squared L2
-    over the broadcast centroid array, all in codegen)."""
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    d2 = (
-        "transform(_cents, c -> aggregate(zip_with(vector, c, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v))"
-    )
-    return (
-        vecs.withColumn("_cents", cent_arr)
-        .withColumn(
-            "cell",
-            F.expr(f"array_position({d2}, array_min({d2})) - 1").cast("int"),
-        )
-        .drop("_cents")
-    )
+    """Attach the nearest-centroid `cell` column.
+
+    Arrow-batched BLAS kernel: each batch computes the full
+    batch×cells squared-distance matrix as ‖x‖² − 2 X·Cᵀ + ‖c‖² and
+    takes the row argmin (first minimum — the same lowest-cell
+    tie-break as SQL ``array_position(array_min(...))``). The round-2
+    version evaluated an interpreted array-HOF distance per (row,
+    centroid) — the repo's own measured-8×-slow pattern — and fell
+    over at thousands of cells; one dgemm per batch doesn't.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = [[float(x) for x in c] for c in centroids]
+    out_schema = StructType(list(vecs.schema.fields) + [StructField("cell", IntegerType())])
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]]
+            )
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            out = pdf.copy()
+            out["cell"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    return vecs.mapInPandas(assign, out_schema)
 
 
 def ivf_knn(
