@@ -233,6 +233,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The full MinHash-LSH dedup pipeline: signatures → band join →
     exact-Jaccard refinement. With J >= 0.5 pairs and 8×2 banding the
@@ -242,8 +243,9 @@ def minhash_dedup_pairs(
     One shared DISTINCT shingle pass feeds both the signature
     aggregation (min() is duplicate-insensitive) and the refinement's
     set algebra — the tokenize+window pass over the corpus runs once,
-    not twice."""
-    sh = shingle_rows(
+    not twice. Pass ``shingles`` (distinct, ideally persisted) to
+    share that pass across operators too."""
+    sh = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, distinct=True
     ).persist()
     sig = minhash_signatures(
@@ -270,6 +272,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
     max_shingle_df: int | None = 5000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index self-join.
 
@@ -292,7 +295,9 @@ def ngram_jaccard_pairs(
     matches is the standard inverted-index practice. ``None`` disables
     the cap (fully exact, quadratic-hazard accepted).
     """
-    inv = shingle_rows(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    inv = shingles if shingles is not None else shingle_rows(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
     join_inv = inv
     if max_shingle_df is not None:
         hot = (
@@ -316,7 +321,16 @@ def ngram_jaccard_pairs(
         text_col=text_col,
         shingle_n=shingle_n,
         threshold=threshold,
+        shingles=shingles,
     )
+
+
+# SWAR lane geometry for the packed simhash aggregate: 3 bit-counters
+# of 20 bits per long. A lane overflows only past 2^20 distinct
+# shingles in ONE document (~a 4 MB single doc) — beyond the operating
+# envelope of per-doc shingle sets generally.
+_SIMHASH_LANE_BITS = 20
+_SIMHASH_LANES = 3
 
 
 def simhash_signatures(
@@ -325,32 +339,60 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """60-bit SimHash over word shingles: ``(id, simhash: long)``.
 
-    bit_b(doc) = 1 iff Σ_features (±1 by feature-hash bit b) > 0.
-    Expressed as 60 conditional-sum aggregates in ONE groupBy — a
-    single shuffle regardless of bit width.
+    bit_b(doc) = 1 iff Σ_features (±1 by feature-hash bit b) > 0,
+    equivalently 2·(count of features with bit b set) > count — so the
+    per-bit counters pack SWAR-style into 20-bit lanes, 3 per long:
+    ONE codegen projection spreads each feature hash into 20 packed
+    longs and the groupBy sums 21 longs (20 packs + count) instead of
+    60 conditional ±1 aggregates (the round-2 shape — 3× the aggregate
+    buffer width and 60 branchy update expressions per row). Output is
+    bit-identical; a single shuffle regardless of bit width.
+
+    ``shingles``: optionally a precomputed DISTINCT ``(id, shingle)``
+    DataFrame to share one tokenize+window pass across operators.
     """
-    feats = shingle_rows(
+    sh = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).withColumn("h", h60("shingle"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
+    )
+    feats = sh.withColumn("h", h60("shingle"))
+    n_longs = (SIMHASH_BITS + _SIMHASH_LANES - 1) // _SIMHASH_LANES
+    packs = []
+    for g in range(n_longs):
+        terms = None
+        for lane in range(_SIMHASH_LANES):
+            b = g * _SIMHASH_LANES + lane
+            if b >= SIMHASH_BITS:
+                break
+            t = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)),
+                lane * _SIMHASH_LANE_BITS,
             )
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = feats.groupBy("id").agg(*aggs)
+            terms = t if terms is None else terms + t
+        packs.append(terms.alias(f"p{g}"))
+    packed = feats.select("id", *packs)
+    sums = packed.groupBy("id").agg(
+        *[F.sum(f"p{g}").alias(f"p{g}") for g in range(n_longs)],
+        F.count(F.lit(1)).alias("cnt"),
+    )
     sim = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sim = term if sim is None else sim + term
+    for g in range(n_longs):
+        for lane in range(_SIMHASH_LANES):
+            b = g * _SIMHASH_LANES + lane
+            if b >= SIMHASH_BITS:
+                break
+            sb = F.shiftright(F.col(f"p{g}"), lane * _SIMHASH_LANE_BITS).bitwiseAND(
+                F.lit((1 << _SIMHASH_LANE_BITS) - 1)
+            )
+            # s_b = 2·ones_b − cnt > 0  ⇔  2·ones_b > cnt (ties → 0)
+            bit = F.when(sb * 2 > F.col("cnt"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, b)
+            sim = term if sim is None else sim + term
     return sums.select("id", sim.alias("simhash"))
 
 

@@ -531,6 +531,143 @@ def _index_size(index_df: DataFrame, doc_id: int | None = None) -> int:
     return int(n)
 
 
+# Pilot-walk depth: the top (2^depth - 1) index rows PER DOC are
+# collected ONCE per (index, doc scope) and re-walked on the driver
+# per panel — ≤1023 rows/doc, microseconds per estimate.
+_PILOT_DEPTH = 10
+
+# Hard cap on the pilot collect across all docs (~64k slim rows).
+_PILOT_MAX_ROWS = 65_536
+
+# ---- cost model for `search(strategy='auto')` -----------------------
+# Fitted on the interleaved tools/route_probe.py sweep (200k×64,
+# local[32], round 3), in units of "scan one row for one query"
+# (the brute path's per-row cost — both sides are CPU-bound, so the
+# RATIOS transfer across hosts even though absolute times don't):
+#
+#   brute(p)          ≈ p · n
+#   walker(p, frac)   ≈ _TREE_FIXED_UNITS·n + p·n·(_WALK_UNIT
+#                       + frac·_WALK_FRAC_UNIT)
+#
+# The walker's fixed term is the per-call tree Arrow transfer + image
+# build (measured ~2.8 s at 200k rows ≈ 13 row-units/row); its
+# per-query term is the walk + candidate-join cost, strongly
+# frac-dependent. Tree beats scan iff
+#   p · (1 − _WALK_UNIT − frac·_WALK_FRAC_UNIT) · n > fixed_units
+# — i.e. only when the panel is big enough to amortize the transfer
+# AND the domain actually prunes (frac ≳ 0.26 can never win). On a
+# real cluster reading 100 TB from storage the brute side carries an
+# additional I/O factor the local model can't see — the pruned-read
+# advantage there is why the tree exists (README.md:72); these
+# constants deliberately describe the LOCAL compute-bound regime the
+# bench measures.
+_WALK_UNIT = 0.44
+_WALK_FRAC_UNIT = 2.12
+_TREE_FIXED_UNITS = 13.0
+# The iterative frontier join's fixed cost is job-latency dominated
+# (one Spark job per checkpoint_every levels), roughly independent of
+# n: ~25 s on this rig ≈ 25e6 row-units. It only pays off beyond the
+# walker cap when p·n·(pruning margin) clears it.
+_ITER_FIXED_ROW_UNITS = 25_000_000.0
+
+
+def _auto_strategy(n_index_rows: int, n_queries: int, est_frac: float) -> str:
+    """Pick brute | broadcast | iterative from the fitted cost model.
+    `n_index_rows` is the tree size (≈ 2× corpus); the scan terms use
+    the corpus row count n/2."""
+    n = max(1, n_index_rows // 2)
+    margin = 1.0 - _WALK_UNIT - est_frac * _WALK_FRAC_UNIT
+    if n_index_rows <= BROADCAST_INDEX_MAX_ROWS:
+        tree_wins = n_queries * margin * n > _TREE_FIXED_UNITS * n
+        return "broadcast" if tree_wins else "brute"
+    tree_wins = n_queries * margin * n > _ITER_FIXED_ROW_UNITS
+    return "iterative" if tree_wins else "brute"
+
+
+def _pilot_top_levels(index_df: DataFrame, doc_id: int | None) -> dict:
+    """Collect (memoized per index object + doc scope) the top
+    `_PILOT_DEPTH` levels of each tree: {doc_id: {range_id: row}}."""
+    cache = getattr(index_df, "_vds_pilot_top", None)
+    if not isinstance(cache, dict):
+        cache = {}
+        try:
+            index_df._vds_pilot_top = cache
+        except Exception:
+            pass
+    if doc_id in cache:
+        return cache[doc_id]
+    top = index_df.where(F.col("range_id") < F.lit((1 << _PILOT_DEPTH) - 1))
+    if doc_id is not None:
+        top = top.where(F.col("doc_id") == F.lit(doc_id))
+    # bounded driver traffic even at millions of documents: sample the
+    # doc population once the cap is hit (partially-collected trees
+    # only OVERestimate frac — missing reached children count as
+    # surviving subtrees — so the estimate degrades conservatively).
+    by_doc: dict = {}
+    for r in top.limit(_PILOT_MAX_ROWS).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["range_id"]] = r
+    cache[doc_id] = by_doc
+    return by_doc
+
+
+def estimate_candidate_frac(
+    index_df: DataFrame,
+    queries: DataFrame | list,
+    domain: float,
+    *,
+    doc_id: int | None = None,
+) -> float:
+    """Cheap panel-average estimate of ``candidate_frac`` (the share
+    of the corpus a box-pruned walk would touch — the v11 telemetry
+    signal) WITHOUT walking the full tree: a driver-side walk of the
+    collected top levels under the balanced-tree assumption (a
+    surviving undescended subtree at depth d weighs 2^-d; splits at
+    the mean keep real trees close to balanced). Worst-case estimate
+    1.0; used by `search(strategy='auto')` to spot domains where the
+    brute scan beats the tree."""
+    if isinstance(queries, DataFrame):
+        panel = [(int(r[0]), [float(x) for x in r[1]]) for r in queries.collect()]
+    else:
+        panel = [(q, [float(x) for x in v]) for q, v in queries]
+    if not panel:
+        return 0.0
+    by_doc = _pilot_top_levels(index_df, doc_id)
+    if not by_doc:
+        return 1.0
+    dom = float(domain)
+    total = 0.0
+    for _, qv in panel:
+        per_doc = 0.0
+        for nodes in by_doc.values():
+            acc = 0.0
+            stack = [(0, 0)]
+            while stack:
+                rid, d = stack.pop()
+                node = nodes.get(rid)
+                if node is None:
+                    # beyond the collected cut: whole surviving subtree
+                    acc += 2.0 ** -d
+                    continue
+                if node["id"] is not None:
+                    acc += 2.0 ** -d
+                    continue
+                dim = node["dimension"]
+                if dim is None:
+                    stack.append((2 * rid + 1, d + 1))
+                    stack.append((2 * rid + 2, d + 1))
+                    continue
+                if dim >= len(qv):
+                    continue  # dims beyond the query width prune both
+                mid = node["mid"]
+                if mid >= qv[dim] - dom:
+                    stack.append((2 * rid + 1, d + 1))
+                if mid <= qv[dim] + dom:
+                    stack.append((2 * rid + 2, d + 1))
+            per_doc += min(1.0, acc)
+        total += per_doc / len(by_doc)
+    return total / len(panel)
+
+
 def search_candidates_auto(
     index_df: DataFrame,
     queries: DataFrame | list,
@@ -544,7 +681,11 @@ def search_candidates_auto(
     walker for indexes whose per-task tree fits comfortably, the
     level-synchronous frontier join beyond (the iterative path only
     does box pruning). The facade and `search` both route through
-    this guard — nothing calls the walker unconditionally."""
+    this guard — nothing calls the walker unconditionally. (No brute
+    routing here: box-semantics CANDIDATE sets are a defined output —
+    leaves whose cell intersects the box — that a scan can't
+    reproduce; `search`, whose refined result is scan-equivalent,
+    adds the brute route.)"""
     n = _index_size(index_df, doc_id)
     if n <= BROADCAST_INDEX_MAX_ROWS:
         return search_candidates_broadcast(
@@ -570,14 +711,42 @@ def search(
     """Exact vicinity search: tree candidates + exact distance filter.
 
     Returns ``(qid, id, dist)`` with ``dist <= domain`` under `metric`
-    ('euclidean' | 'chebyshev'). `strategy`: 'auto' picks the broadcast
-    walker for small indexes, the iterative frontier join otherwise.
+    ('euclidean' | 'chebyshev'). `strategy`: 'auto' is cost-based
+    (`_auto_strategy` over corpus size, panel size, and the pilot
+    candidate-frac estimate): the brute codegen scan when the panel
+    can't amortize the tree's fixed cost or the domain doesn't prune
+    (identical refined output either way); otherwise the cogroup
+    walker for small indexes, the iterative frontier join beyond.
+    Explicit 'brute' | 'broadcast' | 'iterative' override the model.
     """
     if strategy == "auto":
-        strategy = (
-            "broadcast"
-            if _index_size(index_df, doc_id) <= BROADCAST_INDEX_MAX_ROWS
-            else "iterative"
+        est = estimate_candidate_frac(index_df, queries, domain, doc_id=doc_id)
+        n_q = queries.count() if isinstance(queries, DataFrame) else len(queries)
+        strategy = _auto_strategy(_index_size(index_df, doc_id), n_q, est)
+    if strategy == "brute":
+        scan_df = vectors_df
+        if doc_id is not None:
+            if "doc_id" in vectors_df.columns:
+                scan_df = vectors_df.where(F.col("doc_id") == F.lit(doc_id))
+            else:
+                # scope via the doc's leaf ids (the tree IS the doc
+                # membership when the vector table carries no doc col)
+                members = (
+                    index_df.where(
+                        (F.col("doc_id") == F.lit(doc_id))
+                        & F.col("id").isNotNull()
+                    )
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                scan_df = vectors_df.join(members, id_col, "left_semi")
+        return brute_force_search(
+            scan_df,
+            queries,
+            domain,
+            id_col=id_col,
+            vector_col=vector_col,
+            metric=metric,
         )
     if strategy == "broadcast":
         cands = search_candidates_broadcast(
@@ -718,16 +887,28 @@ def brute_force_search(
     *,
     id_col: str = "id",
     vector_col: str = "vector",
+    metric: str = "euclidean",
 ) -> DataFrame:
     """Linear-scan oracle (MemoryVectorIndexTests.cs:161-163):
-    ``(qid, id, dist)`` for every vector with L2 distance <= domain."""
+    ``(qid, id, dist)`` for every vector with distance <= domain under
+    `metric` ('euclidean' | 'chebyshev'). Also the unselective-domain
+    fast path `search(strategy='auto')` routes to — one codegen scan,
+    no candidate join."""
     qdf = _as_queries_df(vectors_df, queries)
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
     )
+    if metric == "euclidean":
+        dist = euclidean(F.col("_vec"), F.col("qvec"))
+    elif metric == "chebyshev":
+        from vector_database_spark.functions.vector import linf_distance
+
+        dist = linf_distance(F.col("_vec"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         vecs.crossJoin(F.broadcast(qdf))
-        .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+        .withColumn("dist", dist)
         .where(F.col("dist") <= F.lit(float(domain)))
         .select("qid", "id", "dist")
     )
