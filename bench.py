@@ -73,14 +73,24 @@ def main() -> int:
 
     # headline: BSP-tree index build over the embeddings table
     def _build():
-        workload._INDEX_CACHE.clear()
+        workload.drop_cached("index")
         workload.embeddings_index(spark, sf_dir)  # builds + materializes
 
     record("index_build", _build)
 
     qs = workload.queries()
+    # session caches a timed query must NOT ride across its min-of-2
+    # passes: d02 is charged the shared shingle pass every pass (the
+    # queries after it legitimately share the one it leaves behind)
+    pre_hooks = {"d02_dedup_minhash_lsh": lambda: workload.drop_cached("shingles")}
     for name in BENCH_QUERIES:
-        record(name, lambda name=name: _force(qs[name](spark, sf_dir)))
+        def thunk(name=name):
+            hook = pre_hooks.get(name)
+            if hook:
+                hook()
+            _force(qs[name](spark, sf_dir))
+
+        record(name, thunk)
 
     total = round(sum(timings.values()), 3)
     print(

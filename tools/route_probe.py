@@ -37,7 +37,7 @@ from vector_database_spark.sources.generators import clusters
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     dims = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3  # iterative always runs once
 
     spark = get_spark(app_name="route-probe", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,7 +53,11 @@ def main():
     panels = {p: [(i, rows[i]) for i in all_ids[:p]] for p in (1, 16, 64)}
     domains = {"tight": 0.1, "selective": 0.5, "unselective": 2.0}
 
-    strategies = ["brute", "broadcast", "iterative", "auto"]
+    # auto runs back-to-back with brute (the strategy it most often
+    # picks): the rig's throttle drifts over a 40-minute sweep, and
+    # separating a pair by two slow strategies measures the drift, not
+    # the routing
+    strategies = ["brute", "auto", "broadcast", "iterative"]
     failures = []
     for dname, dom in domains.items():
         for pname, panel in panels.items():
@@ -80,7 +84,7 @@ def main():
             for s in strategies[1:]:
                 assert results[s] == base, (dname, pname, s, "result mismatch")
             best = {s: min(ts) for s, ts in times.items()}
-            floor = min(best[s] for s in strategies[:3])
+            floor = min(best[s] for s in strategies if s != "auto")
             ok = best["auto"] <= floor * 1.2
             if not ok:
                 failures.append((dname, pname))

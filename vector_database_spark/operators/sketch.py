@@ -208,3 +208,91 @@ SELECT * FROM (
   WHERE {weight_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0
 ) WHERE rank <= {k}
 """
+
+
+def count_min(
+    df: DataFrame,
+    value_col,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    salt: int = 0,
+) -> DataFrame:
+    """Count-Min sketch table (Cormode & Muthukrishnan 2005):
+    ``(row, bucket, c)`` — ``depth`` independent md5-salted hash rows
+    of ``width`` counters each.
+
+    One explode (×depth) + one hash aggregate, map-side combined: the
+    sketch state is ``depth × width`` longs REGARDLESS of input size —
+    the fixed-memory frequency summary for 100 TB streams. Like every
+    sketch in this module the hashing is md5-derived, so an external
+    SQL engine reproduces the identical table (and therefore identical
+    estimates) bit-for-bit — unlike engine-internal CMS
+    implementations.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (h60(val.cast("string"), salt + r) % F.lit(width)).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    salt: int = 0,
+) -> DataFrame:
+    """Point-query the sketch for each item: the CMS estimate is the
+    MIN over the depth rows of the item's bucket counters (always >=
+    the true count; over-estimates come only from collisions).
+    Missing (row, bucket) cells count 0. Returns items + ``est``."""
+    val = F.col(value_col)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (h60(val.cast("string"), salt + r) % F.lit(width)).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    exploded = items.select(val.alias(value_col), F.explode(probes).alias("rb")).select(
+        value_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+def count_min_sql(
+    table: str,
+    value_expr: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    salt: int = 0,
+) -> str:
+    """DuckDB rendering of the identical sketch table (oracle side)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, ({h60_sql(f'CAST({value_expr} AS VARCHAR)', salt + r)})"
+        f" % {width} AS bucket FROM {table}"
+        for r in range(depth)
+    )
+    return f"SELECT row, bucket, count(*) AS c FROM (\n{unions}\n) GROUP BY row, bucket"

