@@ -203,12 +203,15 @@ def drop_cached(kind: str | None = None) -> None:
                 pass
 
 
-def _cached_index(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+def _cached_index(
+    key: tuple, build: Callable[[], DataFrame], *, eager: bool = True
+) -> DataFrame:
     if key in _INDEX_CACHE:
         _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)  # refresh LRU position
         return _INDEX_CACHE[key]
     idx = build().persist()
-    idx.count()
+    if eager:
+        idx.count()
     _INDEX_CACHE[key] = idx
     while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
         victim = next(iter(_INDEX_CACHE))
@@ -414,6 +417,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_index(
         (spark, sf_dir, "shingles"),
         lambda: dd.shingle_rows(_t(spark, sf_dir, "documents")),
+        # lazy: the first consumer's job materializes the cache —
+        # a standalone count here would be an extra full pass
+        eager=False,
     )
 
 
