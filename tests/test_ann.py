@@ -86,3 +86,75 @@ def test_ivf_persisted_partition_pruning(spark, embeddings):
     qdf = _queries_df(spark, vecs, [3])
     res = ivf_knn(assigned2, cents2, qdf, k=5, nprobe=4)
     assert res.count() == 5
+
+
+def test_pq_encode_shape_and_determinism(spark, embeddings):
+    from vector_database_spark.operators.ann import pq_encode, pq_train
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    books = pq_train(vecs, m=8, n_centroids=16, iters=4, seed=5)
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64/8 dims each
+    codes = pq_encode(vecs, books)
+    rows = codes.select("id", "code").orderBy("id").limit(5).collect()
+    assert all(len(bytes(r.code)) == 8 for r in rows)  # 8 bytes per vector
+    # deterministic: retrain + re-encode gives identical codes
+    books2 = pq_train(vecs, m=8, n_centroids=16, iters=4, seed=5)
+    assert books == books2
+    rows2 = pq_encode(vecs, books2).select("id", "code").orderBy("id").limit(5).collect()
+    assert [bytes(r.code) for r in rows] == [bytes(r.code) for r in rows2]
+
+
+def test_pq_knn_recall_with_refine(spark, embeddings):
+    from vector_database_spark.operators.ann import pq_encode, pq_train, pq_knn
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    books = pq_train(vecs, m=8, n_centroids=16, iters=6, seed=5)
+    codes = pq_encode(vecs, books)
+    qids = [3, 99, 250]
+    qdf = _queries_df(spark, vecs, qids)
+    approx = pq_knn(codes, books, qdf, k=10, refine_factor=8)
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs, panel, k=10)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.id)
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.id)
+    for q in qids:
+        recall = len(ex[q] & ap.get(q, set())) / 10
+        assert recall >= 0.8, f"qid={q} recall={recall}"
+        # exact refine: surviving distances match brute distances, so
+        # the query point itself must always rank first
+        assert q in ap[q]
+
+
+def test_ivfadc_recall(spark, embeddings):
+    from vector_database_spark.operators.ann import ivfadc_build, ivfadc_knn
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    codes, cents, books = ivfadc_build(
+        vecs, n_cells=8, m=8, n_centroids=16, iters=4, seed=5
+    )
+    codes = codes.persist()
+    qids = [3, 99]
+    qdf = _queries_df(spark, vecs, qids)
+    approx = ivfadc_knn(codes, cents, books, qdf, k=10, nprobe=7, refine_factor=8)
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs, panel, k=10)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.id)
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.id)
+    for q in qids:
+        recall = len(ex[q] & ap.get(q, set())) / 10
+        assert recall >= 0.7, f"qid={q} recall={recall}"
+    codes.unpersist()

@@ -138,6 +138,65 @@ def rp_lsh_knn(
 _TRAIN_CELL_BUDGET = 32_000_000
 
 
+def _train_sample(vecs: DataFrame, *, dims: int, train_rows: int, seed: int,
+                  floor_rows: int = 4):
+    """Bounded deterministic training sample as a numpy float64 matrix.
+
+    Parallel hash-threshold filter (never a full-table sort): keep rows
+    whose seeded xxhash64 falls under a threshold sized with 25% margin
+    for the target cap, trim exactly on the driver. The matrix is
+    capped so it stays ≤ ~256 MB regardless of `train_rows`.
+    Returns (X, n_total)."""
+    import numpy as np
+
+    cap = max(floor_rows, min(int(train_rows), _TRAIN_CELL_BUDGET // max(1, dims)))
+    n = vecs.count()
+    hashed = vecs.select(
+        "vector", F.xxhash64(F.col("id") + F.lit(seed)).alias("_h"), "id"
+    )
+    if n > cap:
+        thr = min(1 << 20, int((1 << 20) * 1.25 * cap / n) + 1)
+        hashed = hashed.where(F.pmod(F.col("_h"), F.lit(1 << 20)) < F.lit(thr))
+    rows = hashed.collect()
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    rows = rows[:cap]
+    return np.asarray([r["vector"] for r in rows], dtype=np.float64), n
+
+
+def _lloyd(X, k: int, iters: int, chunk: int = 65536):
+    """Deterministic vectorized Lloyd on a local matrix: init = first k
+    sample rows (seeded-hash order upstream), first-minimum argmin,
+    empty cells keep their previous centroid.
+
+    Assignment runs CHUNKED in float32 (the d2 matrix at 262k×256
+    float64 is a 537 MB temporary per iteration — measured 74 s for a
+    full PQ train; chunked float32 sgemm cuts it ~8×) and accumulation
+    uses per-dim bincount (np.add.at's scattered adds are the other
+    hot spot). Centroids stay float64."""
+    import numpy as np
+
+    k = min(k, len(X))
+    C = X[:k].copy()
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    x2 = (Xf * Xf).sum(axis=1)
+    a = np.empty(len(X), dtype=np.int64)
+    for _ in range(max(0, int(iters))):
+        Cf = np.ascontiguousarray(C, dtype=np.float32)
+        c2 = (Cf * Cf).sum(axis=1)
+        for lo in range(0, len(X), chunk):
+            hi = min(lo + chunk, len(X))
+            d2 = x2[lo:hi, None] - 2.0 * (Xf[lo:hi] @ Cf.T) + c2[None, :]
+            a[lo:hi] = d2.argmin(axis=1)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.stack(
+            [np.bincount(a, weights=X[:, j], minlength=k) for j in range(X.shape[1])],
+            axis=1,
+        )
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return C
+
+
 def ivf_build(
     df: DataFrame,
     *,
@@ -162,43 +221,15 @@ def ivf_build(
     Arrow-batched BLAS kernel in `_assign_cells`. Init is the first
     n_cells sample rows in seeded-hash order — deterministic.
     """
-    import numpy as np
-
     vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
     first = vecs.select(F.size("vector").alias("d")).first()
     if first is None or first["d"] is None:
         raise ValueError("ivf_build: empty input")
     dims = int(first["d"])
-    cap = max(n_cells * 4, min(int(train_rows), _TRAIN_CELL_BUDGET // max(1, dims)))
-
-    n = vecs.count()
-    hashed = vecs.select(
-        "id", "vector", F.xxhash64(F.col("id") + F.lit(seed)).alias("_h")
+    X, _n = _train_sample(
+        vecs, dims=dims, train_rows=train_rows, seed=seed, floor_rows=n_cells * 4
     )
-    if n > cap:
-        # parallel deterministic sample: keep rows whose hash falls
-        # under a threshold sized with 25% margin, trim exactly below.
-        thr = min(1 << 20, int((1 << 20) * 1.25 * cap / n) + 1)
-        hashed = hashed.where(F.pmod(F.col("_h"), F.lit(1 << 20)) < F.lit(thr))
-    rows = hashed.collect()
-    rows.sort(key=lambda r: (r["_h"], r["id"]))
-    rows = rows[:cap]
-    X = np.asarray([r["vector"] for r in rows], dtype=np.float64)
-
-    k = min(n_cells, len(rows))
-    C = X[:k].copy()
-    x2 = (X * X).sum(axis=1)
-    for _ in range(max(0, int(iters))):
-        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
-        a = d2.argmin(axis=1)
-        counts = np.bincount(a, minlength=k).astype(np.float64)
-        sums = np.zeros_like(C)
-        np.add.at(sums, a, X)
-        nonempty = counts > 0
-        C[nonempty] = sums[nonempty] / counts[nonempty, None]
-        # empty cells keep their previous centroid (reference-free
-        # deterministic behavior; matches the prior DataFrame Lloyd)
-
+    C = _lloyd(X, n_cells, iters)
     centroids = [[float(v) for v in c] for c in C]
     return _assign_cells(vecs, centroids), centroids
 
@@ -297,3 +328,380 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
         for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     ]
     return assigned, cents
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN for the 100 TB path
+# --------------------------------------------------------------------------
+#
+# A 64-dim float64 embedding is 512 bytes; its PQ code (m=8 subspaces,
+# 256 centroids each) is 8 bytes — 64× smaller. At 100 TB of raw
+# embeddings the code table is ~1.6 TB: it fits where the vectors
+# don't, and ADC scoring per candidate is m table lookups instead of a
+# d-dim float loop. Layout follows Jégou/Douze/Schmid, "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011): per-subspace
+# k-means codebooks, asymmetric distance computation (query stays
+# uncompressed), optional IVF coarse stage with residual encoding
+# (IVFADC). No counterpart in the reference repo (it ships an exact
+# BSP tree only) — this is north-star LLM-pipeline surface.
+
+
+def _subspace_bounds(dims: int, m: int) -> list[tuple[int, int]]:
+    """Deterministic contiguous subspace split (np.array_split
+    convention: the first dims % m subspaces get one extra dim)."""
+    if m <= 0 or m > dims:
+        raise ValueError(f"pq: need 1 <= m <= dims, got m={m}, dims={dims}")
+    base, extra = divmod(dims, m)
+    bounds, lo = [], 0
+    for j in range(m):
+        hi = lo + base + (1 if j < extra else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    m: int = 8,
+    n_centroids: int = 256,
+    iters: int = 8,
+    seed: int = 42,
+    train_rows: int = 131_072,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on a bounded deterministic sample.
+
+    Returns ``codebooks[m][n_centroids][sub_dims]``. Training is the
+    same shape as `ivf_build`: one parallel hash-threshold sample pass,
+    then local vectorized Lloyd per subspace. The default sample
+    (131k rows) gives 512 points per codeword at n_centroids=256 —
+    well above the ~39×k k-means floor faiss documents; more sample
+    buys argmin time, not accuracy."""
+    if n_centroids > 256:
+        raise ValueError("pq codes are packed one byte per subspace: n_centroids <= 256")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
+    first = vecs.select(F.size("vector").alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("pq_train: empty input")
+    dims = int(first["d"])
+    X, _n = _train_sample(
+        vecs, dims=dims, train_rows=train_rows, seed=seed, floor_rows=n_centroids
+    )
+    bounds = _subspace_bounds(dims, m)
+    return [
+        [[float(v) for v in c] for c in _lloyd(X[:, lo:hi].copy(), n_centroids, iters)]
+        for lo, hi in bounds
+    ]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              *, vector_col: str = "vector") -> DataFrame:
+    """Attach a `code` BinaryType column: one byte per subspace (the
+    index of the nearest codeword, first-minimum tie-break). All
+    original columns pass through; at scale you'd then drop the raw
+    vector column and persist the 8-byte codes. One Arrow-batched
+    dgemm per (batch, subspace) — no interpreted per-row work."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    out_schema = StructType(list(df.schema.fields) + [StructField("code", BinaryType())])
+    vcol = vector_col
+    dims_total = sum(len(book[0]) for book in books)
+    bounds = _subspace_bounds(dims_total, len(books))
+
+    def encode(batches):
+        import numpy as np
+
+        Cs = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+            codes = np.empty((len(X), len(Cs)), dtype=np.uint8)
+            for j, ((lo, hi), C) in enumerate(zip(bounds, Cs)):
+                S = X[:, lo:hi]
+                d2 = (S * S).sum(axis=1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["code"] = [c.tobytes() for c in codes]
+            yield out
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def _adc_luts(panel: list[tuple[int, list[float]]], books) -> dict:
+    """Per-query ADC lookup tables: LUT[qid] has shape (m, n_centroids)
+    of squared distances from the query's subvector to each codeword.
+    Tiny (panel × m × 256 floats) — safe to close over / broadcast."""
+    import numpy as np
+
+    Cs = [np.asarray(b, dtype=np.float64) for b in books]
+    dims = sum(c.shape[1] for c in Cs)
+    bounds = _subspace_bounds(dims, len(Cs))
+    luts = {}
+    for qid, qvec in panel:
+        q = np.asarray(qvec, dtype=np.float64)
+        luts[int(qid)] = np.stack(
+            [((C - q[lo:hi][None, :]) ** 2).sum(axis=1)
+             for (lo, hi), C in zip(bounds, Cs)]
+        )
+    return luts
+
+
+def pq_knn(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries_df: DataFrame,
+    k: int,
+    *,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Compressed-domain kNN: ADC shortlist + exact re-rank.
+
+    Each Arrow batch scores ALL its rows against the whole query panel
+    with one fancy-indexed gather per query (``LUT[arange(m), codes]``
+    summed — m lookups per row, no float vector math), keeps a local
+    top-``k·refine_factor`` per query (map-side pre-reduce, so the
+    shuffle carries survivors only), then the global shortlist is
+    re-ranked exactly on the raw vectors kept in `codes_df`. Returns
+    (qid, id, dist, rank) — same contract as `ivf_knn`/`knn`."""
+    panel = [(int(r["qid"]), list(r["qvec"])) for r in queries_df.collect()]
+    if not panel:
+        raise ValueError("pq_knn: empty query panel")
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    shortlist = max(int(k), int(k) * int(refine_factor))
+    # LUTs are precomputed driver-side and closed over as plain lists
+    # (panel × m × 256 floats — tiny); the kernel stays a pure nested
+    # closure with no module references (pickle-by-value requirement).
+    luts_ser = {q: lut.tolist() for q, lut in _adc_luts(panel, books).items()}
+    n_sub = len(books)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        luts = {q: np.asarray(v, dtype=np.float64) for q, v in luts_ser.items()}
+        m = n_sub
+        mi = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(bytes(c) for c in pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf[id_col].to_numpy()
+            for qid, lut in luts.items():
+                sc = lut[mi[None, :], codes].sum(axis=1)
+                take = min(shortlist, len(sc))
+                part = np.argpartition(sc, take - 1)[:take]
+                yield pd.DataFrame(
+                    {"qid": qid, "id": ids[part], "adc": sc[part]}
+                )
+
+    cands = codes_df.select(F.col(id_col).alias(id_col), "code").mapInPandas(
+        score, "qid long, id long, adc double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("id").asc())
+    short = (
+        cands.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("qid", "id")
+    )
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+    ranked = (
+        codes_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_vec"))
+        .join(short, "id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+def ivfadc_build(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    n_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 256,
+    iters: int = 4,
+    seed: int = 42,
+    train_rows: int = 131_072,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVFADC: coarse IVF cells + PQ codes of the RESIDUAL
+    (x − centroid[cell]). Residual encoding is what makes the 8-byte
+    code accurate: within a cell the residuals are small and the
+    codebooks spend their 256 levels on fine structure. Returns
+    (assigned_codes_df, centroids, codebooks).
+
+    One training-sample collect feeds BOTH stages (coarse Lloyd, then
+    residual Lloyd per subspace — all local numpy), and ONE fused
+    Arrow-batched pass assigns cells, forms residuals, and encodes
+    them. No intermediate residual materialization, no second sample
+    pass — at 100 TB this is one read of the data after training."""
+    import numpy as np
+
+    if n_centroids > 256:
+        raise ValueError("pq codes are packed one byte per subspace: n_centroids <= 256")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
+    first = vecs.select(F.size("vector").alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("ivfadc_build: empty input")
+    dims = int(first["d"])
+    X, _n = _train_sample(
+        vecs, dims=dims, train_rows=train_rows, seed=seed,
+        floor_rows=max(n_cells * 4, n_centroids),
+    )
+    C = _lloyd(X, n_cells, iters)
+    # assign the (local) sample and train residual codebooks locally
+    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    R = X - C[d2.argmin(axis=1)]
+    bounds = _subspace_bounds(dims, m)
+    books = [
+        [[float(v) for v in c] for c in _lloyd(R[:, lo:hi].copy(), n_centroids, iters)]
+        for lo, hi in bounds
+    ]
+    cents = [[float(v) for v in c] for c in C]
+
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(vecs.schema.fields)
+        + [StructField("cell", IntegerType()), StructField("code", BinaryType())]
+    )
+
+    def fused(batches):
+        import numpy as np
+
+        CM = np.asarray(cents, dtype=np.float64)
+        c2 = (CM * CM).sum(axis=1)
+        Cs = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vector"]])
+            db = (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ CM.T) + c2[None, :]
+            cell = db.argmin(axis=1)
+            Rb = Xb - CM[cell]
+            codes = np.empty((len(Xb), len(Cs)), dtype=np.uint8)
+            for j, ((lo, hi), Cj) in enumerate(zip(bounds, Cs)):
+                S = Rb[:, lo:hi]
+                dj = (S * S).sum(axis=1)[:, None] - 2.0 * (S @ Cj.T) + (Cj * Cj).sum(axis=1)[None, :]
+                codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["cell"] = cell.astype("int32")
+            out["code"] = [c.tobytes() for c in codes]
+            yield out
+
+    return vecs.mapInPandas(fused, out_schema), cents, books
+
+
+def ivfadc_knn(
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries_df: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 4,
+    refine_factor: int = 8,
+) -> DataFrame:
+    """Probe nprobe cells, ADC-score residual codes with per-(query,
+    cell) LUTs built from (q − centroid), re-rank the shortlist
+    exactly. The candidate read is cell-partition-pruned exactly like
+    `ivf_knn`; scoring touches 8 bytes per candidate."""
+    panel = [(int(r["qid"]), list(r["qvec"])) for r in queries_df.collect()]
+    if not panel:
+        raise ValueError("ivfadc_knn: empty query panel")
+    import numpy as np
+
+    CM = np.asarray(centroids, dtype=np.float64)
+    qd2 = {
+        qid: ((CM - np.asarray(qv, dtype=np.float64)[None, :]) ** 2).sum(axis=1)
+        for qid, qv in panel
+    }
+    probes = {
+        qid: [int(c) for c in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
+        for qid, d2 in qd2.items()
+    }
+    cells = sorted({c for ps in probes.values() for c in ps})
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    shortlist = max(int(k), int(k) * int(refine_factor))
+    # per-(query, cell) residual LUTs precomputed driver-side (tiny:
+    # panel × nprobe × m × 256 floats), closed over as plain lists so
+    # the kernel is a pure nested closure (pickle-by-value).
+    luts_ser: dict = {}
+    for qid, qv in panel:
+        q = np.asarray(qv, dtype=np.float64)
+        for cell in probes[qid]:
+            lut = _adc_luts([(0, list(q - CM[cell]))], books)[0]
+            luts_ser[(qid, cell)] = lut.tolist()
+    probes_ser = {int(q): list(ps) for q, ps in probes.items()}
+    n_sub = len(books)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        luts = {kk: np.asarray(v, dtype=np.float64) for kk, v in luts_ser.items()}
+        m = n_sub
+        mi = np.arange(m)
+        by_cell = {}
+        for qid, ps in probes_ser.items():
+            for cell in ps:
+                by_cell.setdefault(cell, []).append(qid)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell_arr = pdf["cell"].to_numpy()
+            codes_all = np.frombuffer(
+                b"".join(bytes(c) for c in pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf["id"].to_numpy()
+            for cell in np.unique(cell_arr):
+                mask = cell_arr == cell
+                codes = codes_all[mask]
+                cids = ids[mask]
+                for qid in by_cell.get(int(cell), ()):
+                    sc = luts[(qid, int(cell))][mi[None, :], codes].sum(axis=1)
+                    take = min(shortlist, len(sc))
+                    part = np.argpartition(sc, take - 1)[:take]
+                    yield pd.DataFrame(
+                        {"qid": qid, "id": cids[part], "adc": sc[part]}
+                    )
+
+    cand_src = codes_df.where(F.col("cell").isin(cells))
+    cands = cand_src.select("id", "cell", "code").mapInPandas(
+        score, "qid long, id long, adc double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("id").asc())
+    short = (
+        cands.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("qid", "id")
+    )
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+    ranked = (
+        codes_df.select("id", F.col("vector").alias("_vec"))
+        .join(short, "id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )

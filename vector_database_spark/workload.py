@@ -1318,6 +1318,33 @@ def a02_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a03_pq_adc")  # approximate: rows-only gate; self-asserted recall
+def a03_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (compressed-domain kNN, 8-byte
+    codes) with exact re-rank; recall contract vs exact kNN computed
+    in the same query. The 100 TB story: codes are 64× smaller than
+    the raw float64 vectors, ADC scoring is m=8 table lookups per
+    candidate, and the refine join touches only the shortlist."""
+    from vector_database_spark.operators.ann import pq_encode, pq_knn, pq_train
+    from vector_database_spark.operators.search import knn
+
+    vecs = _embeddings(spark, sf_dir)
+    books = pq_train(vecs, m=8, n_centroids=16, iters=6, seed=5)
+    codes = pq_encode(vecs, books)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    # refine_factor 16: the synthetic embeddings are near-uniform in
+    # 64-d, so ADC ordering under 16-level codebooks is noisy and the
+    # exact re-rank needs a deep shortlist for recall >= 0.9 (clustered
+    # real data needs far less — see tests/test_ann.py at factor 8).
+    res = pq_knn(codes, books, qdf, k=10, refine_factor=16)
+    exact = knn(vecs, qdf, k=10, metric="euclidean")
+    return _ann_recall_contract(
+        res.select("qid", "id"), exact.select("qid", "id"), k=10
+    )
+
+
 @query(
     "e05_session_window",
     oracle="""
@@ -2248,6 +2275,7 @@ _DRIVER_TAIL = [
     "r09_sort_limit",      # ORDER BY+LIMIT: r17/r03 exercise the shape
     "t03_regex_tokens",    # token counting: t01 stays (t07 tf-idf joins the head)
     "s04_count_min",       # sketch family: s01 KMV + s03 A-ES stay
+    "a03_pq_adc",          # ANN family: a01 IVF + a02 LSH stay
 ]
 
 
