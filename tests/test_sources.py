@@ -123,3 +123,114 @@ def test_json_vector_ingest(spark):
     pts = explode_points(parsed)
     assert pts.count() == 6
     assert pts.where((F.col("id") == 2) & (F.col("idx") == 1)).collect()[0].value == -2.0
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    stereo = np.stack(
+        [
+            np.rint(12000 * np.sin(2 * np.pi * 440 * t)),
+            np.rint(8000 * np.sin(2 * np.pi * 220 * t)),
+        ],
+        axis=1,
+    ).astype(np.int16)
+    payload = encode_wav(stereo, rate)
+    samples, r = decode_wav(payload)
+    assert r == rate
+    assert samples.shape == stereo.shape
+    assert (samples == stereo).all()  # 16-bit PCM is lossless
+    # spectral featurizer: a 440 Hz tone lands in band 0 of 8 over
+    # [0, 4000] Hz; energies normalize to ~1
+    f = audio_features(payload, n_bands=8)
+    assert len(f) == 9
+    assert f[0] > 0.9
+    assert abs(sum(f[:8]) - 1.0) < 1e-3
+    # resample halves the frame count (rate 8000 -> 4000)
+    down = resample_audio(samples, rate, rate // 2)
+    assert down.shape == (len(stereo) // 2, 2)
+
+
+def test_y4m_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_frames,
+        sample_media,
+        video_features,
+    )
+
+    frames = np.zeros((3, 12, 16, 3), dtype=np.uint8)
+    frames[0, :, :, 0] = 200  # red frame
+    frames[1, :, :, 1] = 200  # green frame
+    frames[2, :, :, 2] = 200  # blue frame
+    payload = encode_y4m(frames, fps=10)
+    dec, fps = decode_y4m(payload)
+    assert fps == 10.0
+    assert dec.shape == (3, 12, 16, 3)
+    # C444 + BT.601 studio swing round-trips within quantization error
+    assert int(np.abs(dec.astype(int) - frames.astype(int)).max()) <= 3
+    feat = video_features(payload)
+    assert len(feat) == 13
+
+    # distributed frame sampling composes with the image operators
+    media = sample_media(spark, n=9)  # 3 video rows, 4-7 frames each
+    out = sample_frames(media, every=2).collect()
+    assert all(bytes(r.payload)[:2] == b"P6" for r in out)
+    assert all(r.frame_idx % 2 == 0 for r in out)
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    # videos are media_id 2, 5, 8 with 4+ (i%4) frames -> ceil(n/2) sampled
+    assert set(by_media) == {2, 5, 8}
+    for mid, rows in by_media.items():
+        n_frames = 4 + (mid % 4)
+        assert len(rows) == (n_frames + 1) // 2
+    capped = sample_frames(media, every=1, max_frames=2)
+    assert capped.groupBy("media_id").count().agg(F.max("count")).collect()[0][0] == 2
+
+
+def test_y4m_c420_decode(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.multimodal import decode_y4m
+
+    # hand-build a C420 stream: 4x4 gray frame (Y=128, U=V=128)
+    w = h = 4
+    hdr = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"
+    frame = b"FRAME\n" + bytes([128] * (w * h)) + bytes([128] * 4) + bytes([128] * 4)
+    dec, fps = decode_y4m(hdr + frame)
+    assert dec.shape == (1, 4, 4, 3)
+    # Y=128 studio swing -> ~130 in full range, all channels equal
+    assert int(np.abs(dec[0].astype(int) - 130).max()) <= 1
+
+
+def test_sample_media_real_payloads(spark):
+    from vector_database_spark.sources.multimodal import (
+        decode_wav,
+        decode_y4m,
+        sample_media,
+    )
+
+    rows = sample_media(spark, n=9).collect()
+    for r in rows:
+        raw = bytes(r.payload)
+        if r.kind == "audio":
+            samples, rate = decode_wav(raw)
+            assert rate == 8000
+            assert abs(r.duration_ms - 1000 * len(samples) / rate) < 1
+        elif r.kind == "video":
+            frames, fps = decode_y4m(raw)
+            assert len(frames) >= 4 and fps == 10.0
+            assert (r.width, r.height) == (16, 12)

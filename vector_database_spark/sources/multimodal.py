@@ -3,12 +3,22 @@ columns with typed metadata, processed by Arrow-batched pandas
 transforms.
 
 The Spark-side contract is fully real and tested: schema, partitioning,
-`mapInPandas` batch shape, metadata propagation, deterministic fake
-featurizers. The actual codec calls (PIL/ffmpeg/torchaudio) are not
-available in this container, so the decode kernels are stubbed behind
-`NotImplementedError` with a deterministic fake used by default in
-tests — swap `decode_fn` for a real codec on a cluster with the libs
-installed.
+`mapInPandas` batch shape, metadata propagation. Each modality has a
+GENUINELY WORKING decode path with zero codec libraries, via the
+uncompressed interchange format of its domain:
+
+* image — P6 PPM (netpbm): `decode_ppm`/`encode_ppm`, bilinear
+  resize, color-layout featurizer;
+* audio — RIFF/WAVE PCM: `decode_wav`/`encode_wav`, linear
+  resampling, FFT band-energy featurizer;
+* video — YUV4MPEG2 (ffmpeg's raw interchange): `decode_y4m`/
+  `encode_y4m`, frame sampling to PPM rows, frame-averaged
+  featurizer.
+
+Compressed codecs (JPEG/MP3/H.264) need external libraries this
+container doesn't ship; those remain behind the documented
+`decode_fn`/`real_image_decode` hooks — swap in PIL/ffmpeg on a
+cluster that has them. The Spark plumbing is identical either way.
 
 Design for 100 TB of media:
 * binary payloads stay in their own parquet column chunk (columnar
@@ -183,13 +193,11 @@ def sample_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table (binary payloads derived
     from the id) for tests and demos."""
     def gen():
-        import random
-
         import numpy as np
 
         for i in range(n):
-            rng = random.Random(seed + i)
             kind = ["image", "audio", "video"][i % 3]
+            dur = None
             if kind == "image":
                 # REAL P6 PPM payload: deterministic gradient + noise
                 w = h = 16 + 8 * (i % 3)
@@ -204,19 +212,52 @@ def sample_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
                     axis=-1,
                 ).astype(np.uint8)
                 payload, pw, ph = encode_ppm(img), w, h
+            elif kind == "audio":
+                # REAL 16-bit PCM WAV: deterministic two-tone + noise
+                rate = 8000
+                n_samp = rate // 4 + 100 * (i % 5)  # ~250ms
+                t = np.arange(n_samp) / rate
+                g = np.random.default_rng(seed + i)
+                sig = (
+                    0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 7)) * t)
+                    + 0.3 * np.sin(2 * np.pi * (900 + 100 * (i % 3)) * t)
+                    + 0.05 * g.standard_normal(n_samp)
+                )
+                samples = np.clip(np.rint(sig * 20000), -32768, 32767).astype(
+                    np.int16
+                )
+                payload, pw, ph = encode_wav(samples, rate), None, None
+                dur = int(1000 * n_samp / rate)
             else:
-                size = 128 + (i % 5) * 64
-                payload = bytes(rng.randrange(256) for _ in range(size))
-                pw = ph = None
+                # REAL YUV4MPEG2 stream: moving gradient, 4-7 frames
+                w, h = 16, 12
+                n_frames = 4 + (i % 4)
+                g = np.random.default_rng(seed + i)
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                (255 * ((xx + 3 * f) % w) / (w - 1)),
+                                (255 * yy / (h - 1)),
+                                g.integers(0, 256, size=(h, w)),
+                            ],
+                            axis=-1,
+                        )
+                        for f in range(n_frames)
+                    ]
+                ).astype(np.uint8)
+                payload, pw, ph = encode_y4m(frames, fps=10), w, h
+                dur = int(1000 * n_frames / 10)
             yield (
                 i,
                 kind,
                 {"image": "image/x-portable-pixmap", "audio": "audio/wav",
-                 "video": "video/mp4"}[kind],
+                 "video": "video/x-yuv4mpeg"}[kind],
                 payload,
                 pw,
                 ph,
-                1000 * (i % 30) if kind != "image" else None,
+                dur,
             )
 
     return spark.createDataFrame(gen(), MEDIA_SCHEMA)
@@ -269,3 +310,269 @@ def resize_images(
 # Back-compat alias for the round-1 name (the kernel is no longer a
 # stub for netpbm payloads).
 resize_stub = resize_images
+
+
+# --------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM codec (pure bytes + numpy, no audio libs)
+# --------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to ``(samples, sample_rate)``
+    where samples is int16 ``(n_frames, n_channels)``. Pure struct
+    parsing — WAV PCM is a genuinely working decode path here, like
+    P6 PPM for images. Supports 16-bit and (unsigned) 8-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM (fmt 1) supported, got {audio_fmt}")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    n = len(samples) // n_ch
+    return samples[: n * n_ch].reshape(n, n_ch).copy(), int(rate)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode int16 ``(n_frames, n_channels)`` as 16-bit PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    data = a.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def resample_audio(samples, rate_in: int, rate_out: int):
+    """Linear-interpolation resample to ``rate_out`` (per channel).
+    int16 in, int16 out; sample positions use the same center
+    convention as `resize_bilinear`."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_in = a.shape[0]
+    n_out = max(1, int(round(n_in * rate_out / rate_in)))
+    pos = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    w = np.clip(pos - lo, 0.0, 1.0)[:, None]
+    out = a[lo] * (1 - w) + a[hi] * w
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def audio_features(payload: bytes, *, n_bands: int = 8) -> list[float]:
+    """REAL audio featurizer (no libs): decode WAV, mono-mix, rFFT,
+    aggregate |spectrum|² into ``n_bands`` equal bands over
+    [0, Nyquist], L1-normalize. Deterministic; returns n_bands + 1
+    floats (band energies + log10 duration_ms)."""
+    import math
+
+    import numpy as np
+
+    samples, rate = decode_wav(payload)
+    mono = samples.astype(np.float64).mean(axis=1)
+    if len(mono) == 0:
+        return [0.0] * (n_bands + 1)
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array_split(spec, n_bands)
+    e = np.asarray([b.sum() for b in bands])
+    tot = e.sum()
+    out = (e / tot if tot > 0 else e).tolist()
+    dur_ms = 1000.0 * len(mono) / rate
+    return [round(float(v), 6) for v in out] + [round(math.log10(1.0 + dur_ms), 6)]
+
+
+# --------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (y4m) parser + distributed frame sampling
+# --------------------------------------------------------------------------
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 stream to ``(frames, fps)`` where frames is
+    uint8 ``(n, h, w, 3)`` RGB. Y4M is ffmpeg's uncompressed
+    interchange format (plain-text header + raw planar YUV frames) —
+    parseable with bytes + numpy alone. Supports C444 and C420
+    (chroma upsampled by nearest neighbor); BT.601 studio-swing
+    YUV→RGB."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    fps_n, fps_d = 25, 1
+    chroma = "420jpeg"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fps_n, fps_d = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith("444"):
+        ysz, csz, sub = w * h, w * h, 1
+    elif chroma.startswith("420"):
+        ysz, csz, sub = w * h, (w // 2) * (h // 2), 2
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma}")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        need = ysz + 2 * csz
+        if pos + need > len(payload):
+            raise ValueError("truncated y4m frame")
+        Y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        U = np.frombuffer(payload, np.uint8, csz, pos + ysz).reshape(
+            h // sub, w // sub
+        )
+        V = np.frombuffer(payload, np.uint8, csz, pos + ysz + csz).reshape(
+            h // sub, w // sub
+        )
+        if sub > 1:  # nearest-neighbor chroma upsample
+            U = U.repeat(sub, axis=0).repeat(sub, axis=1)[:h, :w]
+            V = V.repeat(sub, axis=0).repeat(sub, axis=1)[:h, :w]
+        yf = (Y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+        uf = (U.astype(np.float64) - 128.0) * (255.0 / 224.0)
+        vf = (V.astype(np.float64) - 128.0) * (255.0 / 224.0)
+        r = yf + 1.402 * vf
+        g = yf - 0.344136 * uf - 0.714136 * vf
+        b = yf + 1.772 * uf
+        frames.append(
+            np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        )
+        pos += need
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps_n / fps_d
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Encode uint8 ``(n, h, w, 3)`` RGB as C444 YUV4MPEG2 (BT.601
+    studio swing — the inverse of `decode_y4m`'s matrix)."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.float64)
+    n, h, w, _ = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, int(fps))]
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) / 1.772
+    v = (r - y) / 1.402
+    Y = np.clip(np.rint(y * (219.0 / 255.0) + 16.0), 0, 255).astype(np.uint8)
+    U = np.clip(np.rint(u * (224.0 / 255.0) + 128.0), 0, 255).astype(np.uint8)
+    V = np.clip(np.rint(v * (224.0 / 255.0) + 128.0), 0, 255).astype(np.uint8)
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(Y[i].tobytes())
+        out.append(U[i].tobytes())
+        out.append(V[i].tobytes())
+    return b"".join(out)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, width int, height int, "
+    "payload binary"
+)
+
+
+def sample_frames(media_df: DataFrame, *, every: int = 1,
+                  max_frames: int | None = None) -> DataFrame:
+    """Explode video rows into frame rows: every ``every``-th frame
+    (capped at ``max_frames`` per video) re-encoded as a P6 PPM
+    payload, so sampled frames compose directly with the image
+    operators (`resize_images`, `image_features`). Runs in
+    `mapInPandas` — video bytes never visit the driver; non-video and
+    undecodable rows yield no frames. This is the training-pipeline
+    frame-sampling primitive: at 100 TB the decode parallelism is the
+    number of input partitions, and the output is image-shaped data
+    for the downstream dedup/featurize stages."""
+    step = max(1, int(every))
+    cap = max_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F401  (decode helpers below use it)
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "frame_idx", "ts_ms", "width", "height", "payload")}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                raw = bytes(payload)
+                if not raw.startswith(b"YUV4MPEG2"):
+                    continue  # compressed codecs: not decodable here
+                frames, fps = decode_y4m(raw)
+                idxs = list(range(0, len(frames), step))
+                if cap is not None:
+                    idxs = idxs[:cap]
+                for fi in idxs:
+                    f = frames[fi]
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["ts_ms"].append(int(round(1000.0 * fi / fps)))
+                    rows["height"].append(f.shape[0])
+                    rows["width"].append(f.shape[1])
+                    rows["payload"].append(encode_ppm(f))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def video_features(payload: bytes, *, grid: int = 2) -> list[float]:
+    """REAL video featurizer: decode y4m, average the per-frame
+    color-layout descriptors (same patch grid as `image_features`),
+    append log10 duration. Returns 3·grid² + 1 floats."""
+    import math
+
+    import numpy as np
+
+    frames, fps = decode_y4m(payload)
+    if len(frames) == 0:
+        return [0.0] * (3 * grid * grid + 1)
+    descs = [
+        image_features(encode_ppm(f), grid=grid) for f in frames
+    ]
+    mean = np.asarray(descs, dtype=np.float64).mean(axis=0)
+    dur_ms = 1000.0 * len(frames) / fps
+    return [round(float(v), 6) for v in mean] + [round(math.log10(1.0 + dur_ms), 6)]

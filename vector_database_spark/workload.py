@@ -1385,21 +1385,29 @@ def e05_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("m01_multimodal_features")  # binary payloads: rows-only check
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image rows carry REAL P6 PPM payloads and go through the real
-    decode -> patch-grid color-layout featurizer (pure numpy, no codec
-    libs); audio/video payloads use the deterministic byte-histogram
-    stand-in. Rows-only gate: DuckDB has no image decode to mirror."""
+    """Every modality goes through its REAL decode path (pure numpy,
+    no codec libs): P6 PPM -> color-layout grid for images, RIFF/WAVE
+    PCM -> FFT band energies for audio, YUV4MPEG2 -> frame-averaged
+    color layout for video. Rows-only gate: DuckDB has no media
+    decode to mirror."""
     from vector_database_spark.sources.multimodal import (
+        audio_features,
         extract_features,
         fake_feature,
         image_features,
         sample_media,
+        video_features,
     )
 
     def feat(payload):
-        if payload is not None and bytes(payload[:2]) == b"P6":
-            return image_features(bytes(payload))
-        return fake_feature(payload)
+        raw = bytes(payload) if payload is not None else b""
+        if raw[:2] == b"P6":
+            return image_features(raw)
+        if raw[:4] == b"RIFF":
+            return audio_features(raw)
+        if raw[:9] == b"YUV4MPEG2":
+            return video_features(raw)
+        return fake_feature(raw)
 
     media = sample_media(spark, n=64)
     feats = extract_features(media, feature_fn=feat)
@@ -1408,6 +1416,44 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_bytes",
         F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
+@query("m02_frame_sample")  # video payloads: rows-only check
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: decode YUV4MPEG2 videos in `mapInPandas`, emit
+    every 2nd frame re-encoded as P6 PPM, then run the sampled frames
+    through the IMAGE featurizer — the compose-with-image-operators
+    contract the training pipeline needs. Rows-only gate (no media
+    decode in DuckDB)."""
+    from vector_database_spark.sources.multimodal import (
+        image_features,
+        sample_frames,
+        sample_media,
+    )
+
+    media = sample_media(spark, n=24)
+    frames = sample_frames(media, every=2)
+
+    def feat(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_ms": pdf["ts_ms"].astype("int64"),
+                    "f0": [
+                        round(image_features(bytes(p))[0], 4)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        frames.mapInPandas(feat, "media_id long, frame_idx int, ts_ms long, f0 double")
+        .orderBy("media_id", "frame_idx")
     )
 
 
@@ -2276,6 +2322,7 @@ _DRIVER_TAIL = [
     "t03_regex_tokens",    # token counting: t01 stays (t07 tf-idf joins the head)
     "s04_count_min",       # sketch family: s01 KMV + s03 A-ES stay
     "a03_pq_adc",          # ANN family: a01 IVF + a02 LSH stay
+    "m02_frame_sample",    # multimodal family: m01 (all-modality decode) stays
 ]
 
 
