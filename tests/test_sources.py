@@ -234,3 +234,73 @@ def test_sample_media_real_payloads(spark):
             frames, fps = decode_y4m(raw)
             assert len(frames) >= 4 and fps == 10.0
             assert (r.width, r.height) == (16, 12)
+
+
+def test_fvecs_roundtrip_distributed_read(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.fvecs import read_vecs, write_vecs
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((1000, 16)).astype(np.float32)
+    path = f"{tmp}/train.fvecs"
+    assert write_vecs(path, vecs) == 1000
+    # small chunk_rows forces a genuinely multi-task read
+    df = read_vecs(spark, path, chunk_rows=128)
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 1000
+    assert rows[0].id == 0 and rows[-1].id == 999
+    got = np.asarray([r.vector for r in rows], dtype=np.float32)
+    assert (got == vecs).all()  # float32 round-trip is bit-exact
+
+
+def test_ivecs_bvecs_and_errors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_database_spark.sources.fvecs import read_vecs, write_vecs
+
+    tmp = tempfile.mkdtemp()
+    gt = np.arange(50 * 10, dtype=np.int32).reshape(50, 10)
+    path = f"{tmp}/gt.ivecs"
+    write_vecs(path, gt)
+    rows = read_vecs(spark, path, chunk_rows=16).orderBy("id").collect()
+    assert (np.asarray([r.vector for r in rows], dtype=np.int32) == gt).all()
+
+    b = (np.arange(30 * 8) % 256).reshape(30, 8)
+    bpath = f"{tmp}/base.bvecs"
+    write_vecs(bpath, b)
+    brows = read_vecs(spark, bpath).orderBy("id").collect()
+    assert (np.asarray([r.vector for r in brows]) == b).all()
+
+    # mixed dims are not splittable: loud error, not silent corruption
+    mixed = f"{tmp}/mixed.fvecs"
+    write_vecs(mixed, [np.zeros(4, np.float32), np.zeros(6, np.float32)])
+    with _pytest.raises(ValueError, match="not a multiple"):
+        read_vecs(spark, mixed)
+
+
+def test_fvecs_feeds_index_build(spark):
+    """The fvecs path composes with the engine end-to-end: read ->
+    build -> exact search == brute (the ann-benchmarks flow the
+    reference runs over HDF5)."""
+    import numpy as np
+
+    from vector_database_spark.operators.index_build import build_index
+    from vector_database_spark.operators.search import brute_force_search, search
+    from vector_database_spark.sources.fvecs import read_vecs, write_vecs
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-1, 1, (400, 8)).astype(np.float32)
+    path = f"{tmp}/base.fvecs"
+    write_vecs(path, base)
+    vecs = read_vecs(spark, path, chunk_rows=100).select(
+        "id", F.col("vector").cast("array<double>").alias("vector")
+    )
+    idx = build_index(vecs, local_threshold=64)
+    panel = [(0, [float(x) for x in base[0]]), (7, [float(x) for x in base[7]])]
+    got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.9).collect()}
+    want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.9).collect()}
+    assert got == want and got

@@ -281,6 +281,68 @@ def count_min_estimate(
     )
 
 
+def fixed_histogram(
+    df: DataFrame,
+    value_col,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Fixed-width histogram: ``(bin, n, lo_val, hi_val)`` — the
+    deterministic distribution profile. Unlike `percentile_approx`
+    (engine-internal GK sketch, not externally reproducible), every
+    engine computes the identical bins, so the profile itself is
+    oracle-checkable.
+
+    One map-side-combined hash aggregate into ``n_bins`` rows
+    regardless of input size; bins are trivially mergeable across
+    partitions/days — the fixed-memory shape for 100 TB profiling.
+    Out-of-range values clamp to the edge bins; NULLs are dropped.
+    Only order-independent aggregates (count/min/max) so the result
+    is bit-stable under any partitioning."""
+    val = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((val - F.lit(float(lo))) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        df.where(val.isNotNull())
+        .select(b.alias("bin"), val.alias("_v"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo_val"),
+            F.max("_v").alias("hi_val"),
+        )
+    )
+
+
+def fixed_histogram_sql(
+    table: str,
+    value_expr: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> str:
+    """DuckDB rendering of the identical histogram (oracle side).
+    Same clamp + floor arithmetic in double precision — IEEE ops, so
+    the bins agree bit-for-bit."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = (
+        f"LEAST(GREATEST(CAST(floor((CAST({value_expr} AS DOUBLE) - {lo!r}) "
+        f"/ {width!r}) AS BIGINT), 0), {int(n_bins) - 1})"
+    )
+    return (
+        f"SELECT {b} AS bin, count(*)::BIGINT AS n, "
+        f"min(CAST({value_expr} AS DOUBLE)) AS lo_val, "
+        f"max(CAST({value_expr} AS DOUBLE)) AS hi_val "
+        f"FROM {table} WHERE {value_expr} IS NOT NULL GROUP BY 1"
+    )
+
+
 def count_min_sql(
     table: str,
     value_expr: str,

@@ -2175,6 +2175,28 @@ FROM est JOIN exact USING (user_id)
 """
 
 
+@query(
+    "s05_histogram",
+    oracle=sk.fixed_histogram_sql(
+        "lineitem", "l_extendedprice", lo=900.0, hi=105000.0, n_bins=32
+    ),
+)
+def s05_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profile of l_extendedprice: 32 bins over
+    [900, 105000), count/min/max per bin. Unlike percentile_approx
+    the profile is externally reproducible — the oracle computes the
+    identical clamp+floor binning in double precision. One map-side-
+    combined aggregate to 32 rows at any scale; bins merge across
+    partitions/days."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = sk.fixed_histogram(
+        li, "l_extendedprice", lo=900.0, hi=105000.0, n_bins=32
+    )
+    return h.select(
+        "bin", F.col("n").cast("long").alias("n"), "lo_val", "hi_val"
+    )
+
+
 @query("s04_count_min", oracle=_cms_oracle())
 def s04_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch: md5-derived 4×256 counter table +
@@ -2323,6 +2345,7 @@ _DRIVER_TAIL = [
     "s04_count_min",       # sketch family: s01 KMV + s03 A-ES stay
     "a03_pq_adc",          # ANN family: a01 IVF + a02 LSH stay
     "m02_frame_sample",    # multimodal family: m01 (all-modality decode) stays
+    "s05_histogram",       # sketch family: s01 KMV + s03 A-ES stay
 ]
 
 
