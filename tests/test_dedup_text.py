@@ -177,3 +177,55 @@ def test_dedup_groups_canonical(spark):
     # exactly one canonical per group
     n_canon = sum(r.is_canonical for r in rows.values())
     assert n_canon == 3
+
+
+def test_contamination_overlap(spark):
+    from vector_database_spark.operators.dedup import (
+        contamination_overlap,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content with no overlap here at all"),
+            (100, "quick brown fox is a benchmark phrase"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_rows(docs)
+    bench = sh.where(F.col("id") == 100)
+    train = sh.where(F.col("id") != 100)
+    out = {r.id: (r.n_shingles, r.n_overlap)
+           for r in contamination_overlap(train, bench).collect()}
+    # doc 1 shares the 'quick brown fox' shingle with the benchmark
+    assert out[1][1] == 1
+    assert out[2][1] == 0
+    assert out[1][0] == 7 and out[2][0] == 7  # 9-token docs -> 7 trigrams
+    # non-broadcast path agrees
+    out2 = {r.id: (r.n_shingles, r.n_overlap)
+            for r in contamination_overlap(
+                train, bench, broadcast_bench=False).collect()}
+    assert out == out2
+
+
+def test_boilerplate_stats(spark):
+    from vector_database_spark.operators.dedup import (
+        boilerplate_stats,
+        shingle_rows,
+    )
+
+    footer = "all rights reserved by the example corporation"
+    docs = spark.createDataFrame(
+        [(i, f"unique body text number {i} is here {footer}") for i in range(4)]
+        + [(9, "totally unrelated document with zero repeated spans")],
+        "doc_id long, text string",
+    )
+    out = {r.id: (r.n_shingles, r.n_boiler)
+           for r in boilerplate_stats(shingle_rows(docs), min_docs=3).collect()}
+    # the footer trigrams (and the ' here '-bridge trigrams sharing
+    # footer words) repeat across 4 docs; the unrelated doc has none
+    assert out[9][1] == 0
+    for i in range(4):
+        assert out[i][1] >= 5  # footer contributes >= 5 shared trigrams
+        assert out[i][1] < out[i][0]

@@ -693,3 +693,67 @@ def embedding_neardup_pairs(
     return tagged.groupBy("pk").applyInPandas(
         make_kernel(thr), "a_id long, b_id long, cos_sim double"
     )
+
+
+def contamination_overlap(
+    train_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    *,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct shingles appear anywhere in the benchmark/eval set.
+
+    Input: (id, shingle) rows (from `shingle_rows`) for both sides.
+    Output: (id, n_shingles, n_overlap) — callers derive flags/
+    fractions. The benchmark side is reduced to DISTINCT shingles and
+    (by default) broadcast — eval suites are tiny next to a 100 TB
+    corpus, so the training table is scanned once with a broadcast
+    hash join and never shuffles. Set ``broadcast_bench=False`` for a
+    benchmark too large to broadcast (falls back to a shuffle
+    equi-join on the shingle)."""
+    bench = bench_shingles.select("shingle").distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    hit = bench.withColumn("_hit", F.lit(1))
+    return (
+        train_shingles.join(hit, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+
+
+def boilerplate_stats(
+    shingles: DataFrame,
+    *,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Repeated-passage (boilerplate) detection: a shingle occurring in
+    ``min_docs``+ DISTINCT documents is boilerplate (headers, footers,
+    license blocks, templated spans); per document, report how much of
+    it is boilerplate.
+
+    Input: DISTINCT (id, shingle) rows. Output: (id, n_shingles,
+    n_boiler). Two hash aggregates + one equi-join, all map-side
+    combinable; the hot-shingle table is usually small enough that AQE
+    broadcasts the join at runtime. This is the cheap cross-doc
+    complement to pairwise near-dup: it catches spans repeated across
+    THOUSANDS of docs that pairwise Jaccard thresholds miss."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= int(min_docs))
+        .select("shingle")
+        .withColumn("_hot", F.lit(1))
+    )
+    return (
+        shingles.join(hot, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hot").alias("n_boiler"),
+        )
+    )

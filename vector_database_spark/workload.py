@@ -2311,6 +2311,122 @@ def r22_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_ROWS_CTE = f"""
+{_SHINGLES_CTE},
+r AS (SELECT doc_id, shingle
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh))
+"""
+
+
+@query(
+    "p02_decontaminate",
+    oracle=f"""
+WITH {_SHINGLE_ROWS_CTE},
+bench AS (SELECT DISTINCT shingle FROM r WHERE doc_id % 97 = 0)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       count(b.shingle)::BIGINT AS n_overlap,
+       (count(b.shingle) > 0) AS contaminated,
+       round(count(b.shingle)::DOUBLE / count(*), 4) AS frac
+FROM (SELECT * FROM r WHERE doc_id % 97 <> 0) t
+LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+""",
+)
+def p02_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 'eval set' (doc_id %
+    97 == 0) donates its distinct shingles; every training doc reports
+    how many of its shingles leak from the eval set. The eval side is
+    broadcast — the 100 TB training scan never shuffles. Reuses the
+    session-shared shingle pass (d02/d03/d04/p01)."""
+    sh = _doc_shingles(spark, sf_dir)
+    bench = sh.where(F.col("id") % 97 == 0)
+    train = sh.where(F.col("id") % 97 != 0)
+    out = dd.contamination_overlap(train, bench)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        (F.col("n_overlap") > 0).alias("contaminated"),
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias("frac"),
+    )
+
+
+@query(
+    "d07_boilerplate",
+    oracle=f"""
+WITH {_SHINGLE_ROWS_CTE},
+hot AS (SELECT shingle FROM r GROUP BY shingle HAVING count(*) >= 3)
+SELECT r.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       count(h.shingle)::BIGINT AS n_boiler,
+       round(count(h.shingle)::DOUBLE / count(*), 4) AS boiler_frac
+FROM r LEFT JOIN hot h ON r.shingle = h.shingle
+GROUP BY r.doc_id
+""",
+)
+def d07_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage (boilerplate) detection: shingles present in
+    >= 3 distinct docs are boilerplate; per doc, the boilerplate
+    fraction. Catches spans repeated across thousands of docs that
+    pairwise near-dup thresholds miss (license blocks, templates).
+    Two map-side-combined aggregates + one equi-join."""
+    sh = _doc_shingles(spark, sf_dir)
+    out = dd.boilerplate_stats(sh, min_docs=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias("boiler_frac"),
+    )
+
+
+@query(
+    "t08_domain_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, source, lang, n_chars, text,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+m AS (SELECT doc_id, source, lang, n_chars,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS avg_len,
+             len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','on','for','with'], x)))::DOUBLE / len(toks) AS stop
+      FROM t)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(*) FILTER (WHERE n >= 5 AND n <= 100000
+                          AND avg_len >= 2.0 AND avg_len <= 12.0
+                          AND stop >= 0.05)::BIGINT AS n_hq,
+       sum(n_chars)::BIGINT AS total_chars,
+       (sum(n)::BIGINT // count(*))::BIGINT AS avg_tokens_floor
+FROM m GROUP BY source
+""",
+)
+def t08_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus profile: doc count, language spread,
+    high-quality count (all three boolean quality bands pass), total
+    chars, floor-mean tokens — the mix-building summary a training
+    pipeline keys its sampling weights on. All-integer aggregates, so
+    the oracle is exact at any scale; one hash aggregate per source."""
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select(
+        F.col("id").alias("doc_id"), "len_ok", "wordlen_ok", "stop_ok"
+    )
+    toks_n = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = docs.select("doc_id", "source", "lang", "n_chars", toks_n.alias("n_toks"))
+    j = base.join(q, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.count_if(
+            F.col("len_ok") & F.col("wordlen_ok") & F.col("stop_ok")
+        ).alias("n_hq"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_toks) div count(1)").alias("avg_tokens_floor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2346,6 +2462,9 @@ _DRIVER_TAIL = [
     "a03_pq_adc",          # ANN family: a01 IVF + a02 LSH stay
     "m02_frame_sample",    # multimodal family: m01 (all-modality decode) stays
     "s05_histogram",       # sketch family: s01 KMV + s03 A-ES stay
+    "p02_decontaminate",   # shingle-join family: d02/d04 + p01 stay
+    "d07_boilerplate",     # shingle-agg family: d02/d03 + t06 stay
+    "t08_domain_stats",    # text/quality family: t05 + r-aggs stay
 ]
 
 
