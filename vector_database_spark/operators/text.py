@@ -78,11 +78,18 @@ def language_scores(
 
 
 def quality_score(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:
     length band, mean word length band, stopword presence, uniqueness.
-    (id, len_ok, wordlen_ok, stop_ok, uniq_ratio, score)."""
+    (id, *keep_cols, n_tokens, len_ok, wordlen_ok, stop_ok,
+    uniq_ratio, score). ``keep_cols`` pass through so downstream
+    aggregations (per-domain profiles) never need a self-join back to
+    the source table."""
     toks = tokens(text_col)
     n = F.size(toks)
     avg_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
@@ -101,6 +108,8 @@ def quality_score(
     )
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        n.alias("n_tokens"),
         len_ok.alias("len_ok"),
         wordlen_ok.alias("wordlen_ok"),
         stop_ok.alias("stop_ok"),

@@ -609,7 +609,10 @@ FROM m
 )
 def t05_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return tx.quality_score(docs).withColumnRenamed("id", "doc_id")
+    return tx.quality_score(docs).select(
+        F.col("id").alias("doc_id"),
+        "len_ok", "wordlen_ok", "stop_ok", "uniq_ratio", "score",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2408,14 +2411,15 @@ def t08_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-quality count (all three boolean quality bands pass), total
     chars, floor-mean tokens — the mix-building summary a training
     pipeline keys its sampling weights on. All-integer aggregates, so
-    the oracle is exact at any scale; one hash aggregate per source."""
+    the oracle is exact at any scale; ONE scan (quality features
+    computed with source/lang/n_chars passed through — no self-join)
+    into one hash aggregate per source."""
     docs = _t(spark, sf_dir, "documents")
-    q = tx.quality_score(docs).select(
-        F.col("id").alias("doc_id"), "len_ok", "wordlen_ok", "stop_ok"
+    j = tx.quality_score(docs, keep_cols=("source", "lang", "n_chars")).select(
+        "source", "lang", "n_chars",
+        F.col("n_tokens").alias("n_toks"),
+        "len_ok", "wordlen_ok", "stop_ok",
     )
-    toks_n = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    base = docs.select("doc_id", "source", "lang", "n_chars", toks_n.alias("n_toks"))
-    j = base.join(q, "doc_id")
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
