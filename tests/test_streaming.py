@@ -189,3 +189,96 @@ def test_stateful_running_stats_across_batches(spark):
     }
     assert rows2[1] == (3, 17.0)  # accumulated across runs
     assert rows2[3] == (1, 7.0)
+
+
+def test_streaming_exact_dedup_across_batches(spark):
+    """dropDuplicatesWithinWatermark state persists across availableNow
+    runs: a duplicate arriving in a LATER batch (within the watermark)
+    is still dropped; the first arrival survives."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.dedup import streaming_exact_dedup
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    spark.createDataFrame(
+        [
+            (0, "2024-01-01 10:00:00", "hello   WORLD"),
+            (1, "2024-01-01 10:01:00", "hello world"),  # dup of 0 (normalized)
+            (2, "2024-01-01 10:02:00", "something else"),
+        ],
+        "doc_id long, ts_s string, text string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src)
+
+    def run(out):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            streaming_exact_dedup(stream, watermark="2 hours")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(f"{tmp}/out1")
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(f"{tmp}/out1").collect())
+    # exactly one of the two duplicates survives (which one is
+    # engine-chosen within a micro-batch), plus the distinct doc
+    assert len(ids1) == 2 and 2 in ids1 and (0 in ids1) != (1 in ids1)
+
+    # batch 2: another dup of doc 0 within the watermark + a new doc
+    spark.createDataFrame(
+        [
+            (3, "2024-01-01 10:30:00", "HELLO    world"),  # still a dup
+            (4, "2024-01-01 10:31:00", "brand new content"),
+        ],
+        "doc_id long, ts_s string, text string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.mode(
+        "append"
+    ).parquet(src)
+    run(f"{tmp}/out2")
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(f"{tmp}/out2").collect())
+    assert ids2 == [4]  # the cross-batch duplicate was dropped by state
+
+
+def test_batch_sketch_operators_run_on_streams(spark):
+    """The count-min sketch operator is stream-capable UNCHANGED: the
+    streaming sketch table equals the batch sketch table."""
+    import tempfile as _tf
+
+    from vector_database_spark.operators.sketch import count_min
+
+    tmp = _tf.mkdtemp()
+    src = f"{tmp}/src"
+    batch = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "event_id long, user_id long"
+    )
+    batch.write.parquet(src)
+    want = {
+        (r.row, r.bucket): r.c
+        for r in count_min(batch, "user_id", width=32, depth=4).collect()
+    }
+
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+    out = count_min(stream, "user_id", width=32, depth=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.row, r.bucket): r.c
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    assert got == want and got
