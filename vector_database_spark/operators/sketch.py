@@ -184,6 +184,62 @@ def weighted_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    quotas: DataFrame,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum quota sampling — the training-mix builder: each
+    stratum (domain, language, quality bucket, …) contributes exactly
+    ``quota`` rows (or all of them if smaller), drawn deterministically
+    as the quota smallest md5-hash ranks. Re-running with a grown
+    corpus keeps previously drawn keys drawn (hash order is stable),
+    so mixes are reproducible AND incrementally extendable.
+
+    ``quotas``: a (strata..., quota) DataFrame — typically a groupBy
+    over the same table (proportional / sqrt / capped allocations).
+    Scale shape: one per-stratum top-k window + a broadcast join of
+    the tiny quota table; the shuffle carries survivors only once AQE
+    sees the rank filter. Returns sampled rows + ``rank``."""
+    key = F.col(key_col)
+    win = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_hrank").asc(), key.asc()
+    )
+    return (
+        df.withColumn("_hrank", h60(key.cast("string"), salt))
+        .withColumn("rank", F.row_number().over(win))
+        .join(F.broadcast(quotas), strata_cols)
+        .where(F.col("rank") <= F.col("quota"))
+        .drop("_hrank", "quota")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_cols: list[str],
+    key_expr: str,
+    quota_sql: str,
+    *,
+    salt: int = 0,
+) -> str:
+    """DuckDB rendering of the identical draw. ``quota_sql`` must
+    yield (strata..., quota)."""
+    groups = ", ".join(strata_cols)
+    hv = h60_sql(f"CAST({key_expr} AS VARCHAR)", salt)
+    return f"""
+SELECT * EXCLUDE (_hrank, quota) FROM (
+  SELECT t.*, {hv} AS _hrank,
+         row_number() OVER (PARTITION BY {groups}
+                            ORDER BY {hv} ASC, {key_expr} ASC) AS rank
+  FROM {table} t
+) s JOIN ({quota_sql}) q USING ({groups})
+WHERE s.rank <= q.quota
+"""
+
+
 def weighted_sample_sql(
     table: str,
     group_cols: list[str],

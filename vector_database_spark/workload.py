@@ -2431,6 +2431,37 @@ def t08_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P03_QUOTA_SQL = (
+    "SELECT source, least(count(*) // 5, 30) AS quota "
+    "FROM documents GROUP BY source"
+)
+
+
+@query(
+    "p03_mix_sample",
+    oracle=(
+        "SELECT source, doc_id, rank::BIGINT AS rank FROM ("
+        + sk.stratified_sample_sql(
+            "documents", ["source"], "doc_id", _P03_QUOTA_SQL
+        )
+        + ")"
+    ),
+)
+def p03_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix builder: per-source quotas (20% capped at 30)
+    filled by deterministic hash-rank draw — the same mix on every
+    engine and every rerun, and stable under corpus growth. The quota
+    table is a tiny broadcast; one window pass does the draw."""
+    docs = _t(spark, sf_dir, "documents")
+    quotas = docs.groupBy("source").agg(
+        F.expr("least(count(1) div 5, 30)").alias("quota")
+    )
+    out = sk.stratified_sample(docs, ["source"], "doc_id", quotas)
+    return out.select(
+        "source", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2469,6 +2500,7 @@ _DRIVER_TAIL = [
     "p02_decontaminate",   # shingle-join family: d02/d04 + p01 stay
     "d07_boilerplate",     # shingle-agg family: d02/d03 + t06 stay
     "t08_domain_stats",    # text/quality family: t05 + r-aggs stay
+    "p03_mix_sample",      # sampling family: s02/s03 + p01 stay
 ]
 
 
