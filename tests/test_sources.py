@@ -12,11 +12,7 @@ from vector_database_spark.operators.index_build import build_index
 from vector_database_spark.schemas import explode_points, ingest_json_vectors
 from vector_database_spark.sources.export import export_index_csv, export_vectors_csv
 from vector_database_spark.sources.generators import random_uniform
-from vector_database_spark.sources.hdf5 import (
-    HAS_H5PY,
-    iter_hdf5_chunks,
-    stage_chunks_to_parquet,
-)
+from vector_database_spark.sources.hdf5 import stage_chunks_to_parquet
 from vector_database_spark.sources.multimodal import (
     decode_ppm,
     image_features,
@@ -41,10 +37,7 @@ def test_export_csv_roundtrip(spark):
     assert len(row.vector.split(",")) == 3
 
 
-def test_hdf5_gated_and_staging(spark):
-    if not HAS_H5PY:
-        with pytest.raises(NotImplementedError):
-            list(iter_hdf5_chunks("/nonexistent.h5", "/train"))
+def test_hdf5_staging(spark):
     # fake chunk iterator exercises the staging path the HDF5 reader uses
     chunks = iter(
         [(0, [[0.1, 0.2], [0.3, 0.4]]), (2, [[0.5, 0.6]])]
@@ -54,6 +47,73 @@ def test_hdf5_gated_and_staging(spark):
     df = spark.read.parquet(f"{tmp}/staged")
     rows = {r.id: list(r.vector) for r in df.collect()}
     assert len(rows) == 3 and rows[2] == pytest.approx([0.5, 0.6])
+
+
+def test_hdf5_native_roundtrip(spark):
+    """Pure-Python HDF5: contiguous, chunked, and gzip-chunked numeric
+    datasets round-trip bit-exactly; unsupported features error
+    loudly."""
+    import numpy as np
+
+    from vector_database_spark.sources.hdf5_native import (
+        Hdf5FormatError,
+        list_hdf5,
+        read_hdf5_dataset,
+        write_hdf5,
+    )
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(5)
+    train = rng.standard_normal((150, 8)).astype(np.float32)
+    testq = rng.standard_normal((12, 8)).astype(np.float64)
+    gt = np.arange(120, dtype=np.int32).reshape(12, 10)
+    p = f"{tmp}/ann.hdf5"
+    write_hdf5(p, {"train": train, "test": testq, "neighbors": gt})
+    assert list_hdf5(p) == ["neighbors", "test", "train"]
+    assert (read_hdf5_dataset(p, "train") == train).all()
+    assert (read_hdf5_dataset(p, "test") == testq).all()
+    assert (read_hdf5_dataset(p, "neighbors") == gt).all()
+
+    p2 = f"{tmp}/chunked.hdf5"
+    write_hdf5(p2, {"train": train}, chunks=41, gzip=6)
+    assert (read_hdf5_dataset(p2, "train") == train).all()
+
+    with pytest.raises(KeyError):
+        read_hdf5_dataset(p, "missing")
+    with pytest.raises(Hdf5FormatError):
+        bad = f"{tmp}/bad.hdf5"
+        open(bad, "wb").write(b"not an hdf5 file at all........")
+        read_hdf5_dataset(bad, "train")
+
+
+def test_hdf5_ann_benchmarks_flow(spark):
+    """The reference's ann-benchmarks flow end-to-end WITHOUT h5py:
+    hdf5 -> chunked staging -> parquet -> build -> search == brute
+    (VectorIndex.MainTest/Program.cs:183-260)."""
+    import numpy as np
+
+    from vector_database_spark.operators.index_build import build_index
+    from vector_database_spark.operators.search import (
+        brute_force_search,
+        search,
+    )
+    from vector_database_spark.sources.hdf5 import read_hdf5_vectors
+    from vector_database_spark.sources.hdf5_native import write_hdf5
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(9)
+    train = rng.uniform(-1, 1, (300, 6)).astype(np.float32)
+    write_hdf5(f"{tmp}/data.hdf5", {"train": train}, chunks=128, gzip=4)
+
+    vecs = read_hdf5_vectors(
+        spark, f"{tmp}/data.hdf5", "train", f"{tmp}/staged", chunk_rows=100
+    ).select("id", F.col("vector").cast("array<double>").alias("vector"))
+    assert vecs.count() == 300
+    idx = build_index(vecs, local_threshold=64)
+    panel = [(3, [float(x) for x in train[3]]), (9, [float(x) for x in train[9]])]
+    got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.8).collect()}
+    want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.8).collect()}
+    assert got == want and got
 
 
 def test_multimodal_features(spark):
