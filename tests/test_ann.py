@@ -158,3 +158,33 @@ def test_ivfadc_recall(spark, embeddings):
         recall = len(ex[q] & ap.get(q, set())) / 10
         assert recall >= 0.7, f"qid={q} recall={recall}"
     codes.unpersist()
+
+
+def test_ivfadc_persistence_roundtrip(spark, embeddings):
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        ivfadc_build,
+        ivfadc_knn,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    codes, cents, books = ivfadc_build(
+        vecs, n_cells=4, m=8, n_centroids=16, iters=3, seed=5
+    )
+    path = tempfile.mkdtemp() + "/ivfadc"
+    ivfadc_write(codes, cents, books, path)
+    codes2, cents2, books2 = ivfadc_read(spark, path)
+    assert cents2 == cents and books2 == books
+    assert codes2.count() == vecs.count()
+    # probe reads are partition-pruned on cell
+    probe = codes2.where(F.col("cell").isin([0, 2]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    qdf = _queries_df(spark, vecs, [3])
+    res = ivfadc_knn(codes2, cents2, books2, qdf, k=5, nprobe=4)
+    assert res.count() == 5

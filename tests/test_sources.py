@@ -364,3 +364,24 @@ def test_fvecs_feeds_index_build(spark):
     got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.9).collect()}
     want = {(r.qid, r.id) for r in brute_force_search(vecs, panel, 0.9).collect()}
     assert got == want and got
+
+
+def test_y4m_selective_decode(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        y4m_frame_count,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (9, 8, 8, 3)).astype(np.uint8)
+    payload = encode_y4m(frames, fps=5)
+    assert y4m_frame_count(payload) == 9
+    full, _ = decode_y4m(payload)
+    sel, _ = decode_y4m(payload, frame_indices=[0, 4, 8])
+    assert sel.shape[0] == 3
+    assert (sel[0] == full[0]).all()
+    assert (sel[1] == full[4]).all()
+    assert (sel[2] == full[8]).all()

@@ -330,6 +330,59 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return assigned, cents
 
 
+def ivfadc_write(
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    *,
+    keep_vectors: bool = True,
+) -> None:
+    """Persist the IVFADC layout: codes partitioned by cell (probe
+    reads nprobe partitions), centroid table, and the per-subspace
+    codebooks flattened to rows. ``keep_vectors=False`` drops the raw
+    vector column — the pure compressed layout (8 bytes/vector + ids);
+    exact re-ranking then needs the original table joined back."""
+    spark = codes_df.sparkSession
+    out = codes_df if keep_vectors else codes_df.drop("vector")
+    out.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, i, [float(x) for x in c])
+            for j, book in enumerate(codebooks)
+            for i, c in enumerate(book)
+        ],
+        "subspace int, code int, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfadc_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    codes = spark.read.parquet(f"{path}/codes")
+    cents = [
+        list(r.cvec)
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r.subspace:
+            books.append([])
+        books[r.subspace].append(list(r.cvec))
+    return codes, cents, books
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — compressed-domain ANN for the 100 TB path
 # --------------------------------------------------------------------------

@@ -419,13 +419,18 @@ def audio_features(payload: bytes, *, n_bands: int = 8) -> list[float]:
 # --------------------------------------------------------------------------
 
 
-def decode_y4m(payload: bytes):
+def decode_y4m(payload: bytes, *, frame_indices=None):
     """Decode a YUV4MPEG2 stream to ``(frames, fps)`` where frames is
     uint8 ``(n, h, w, 3)`` RGB. Y4M is ffmpeg's uncompressed
     interchange format (plain-text header + raw planar YUV frames) —
     parseable with bytes + numpy alone. Supports C444 and C420
     (chroma upsampled by nearest neighbor); BT.601 studio-swing
-    YUV→RGB."""
+    YUV→RGB.
+
+    ``frame_indices``: decode only these frame numbers — frames are
+    fixed-size, so skipping SEEKS (byte arithmetic per skipped frame,
+    no pixel work): sampling k frames of an n-frame video costs O(k)
+    decode, not O(n)."""
     import numpy as np
 
     nl = payload.find(b"\n")
@@ -452,8 +457,10 @@ def decode_y4m(payload: bytes):
         ysz, csz, sub = w * h, (w // 2) * (h // 2), 2
     else:
         raise ValueError(f"unsupported y4m chroma {chroma}")
+    wanted = None if frame_indices is None else set(int(i) for i in frame_indices)
     frames = []
     pos = nl + 1
+    fi = 0
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
         if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
@@ -462,6 +469,10 @@ def decode_y4m(payload: bytes):
         need = ysz + 2 * csz
         if pos + need > len(payload):
             raise ValueError("truncated y4m frame")
+        if wanted is not None and fi not in wanted:
+            pos += need  # pure seek: no pixel work for skipped frames
+            fi += 1
+            continue
         Y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
         U = np.frombuffer(payload, np.uint8, csz, pos + ysz).reshape(
             h // sub, w // sub
@@ -482,7 +493,40 @@ def decode_y4m(payload: bytes):
             np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
         )
         pos += need
+        fi += 1
     return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps_n / fps_d
+
+
+def y4m_frame_count(payload: bytes) -> int:
+    """Count frames by walking the fixed-size frame records — byte
+    arithmetic only, no pixel decode."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    chroma = "420jpeg"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            chroma = t[1:]
+    if chroma.startswith("444"):
+        need = 3 * w * h
+    elif chroma.startswith("420"):
+        need = w * h + 2 * (w // 2) * (h // 2)
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma}")
+    n, pos = 0, nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1 + need
+        n += 1
+    return n
 
 
 def encode_y4m(frames, fps: int = 25) -> bytes:
@@ -542,12 +586,13 @@ def sample_frames(media_df: DataFrame, *, every: int = 1,
                 raw = bytes(payload)
                 if not raw.startswith(b"YUV4MPEG2"):
                     continue  # compressed codecs: not decodable here
-                frames, fps = decode_y4m(raw)
-                idxs = list(range(0, len(frames), step))
+                idxs = list(range(0, y4m_frame_count(raw), step))
                 if cap is not None:
                     idxs = idxs[:cap]
-                for fi in idxs:
-                    f = frames[fi]
+                # selective decode: skipped frames are SEEKED over
+                # (byte arithmetic), so cost ∝ sampled frames
+                frames, fps = decode_y4m(raw, frame_indices=idxs)
+                for fi, f in zip(idxs, frames):
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(fi)
                     rows["ts_ms"].append(int(round(1000.0 * fi / fps)))
