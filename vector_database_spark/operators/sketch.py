@@ -195,9 +195,10 @@ def stratified_sample(
     """Per-stratum quota sampling — the training-mix builder: each
     stratum (domain, language, quality bucket, …) contributes exactly
     ``quota`` rows (or all of them if smaller), drawn deterministically
-    as the quota smallest md5-hash ranks. Re-running with a grown
-    corpus keeps previously drawn keys drawn (hash order is stable),
-    so mixes are reproducible AND incrementally extendable.
+    as the quota smallest md5-hash ranks. The draw is reproducible on
+    any engine/partitioning, and under corpus growth it only changes
+    by displacement — a drawn key stays drawn unless a new key hashes
+    below it inside a full quota (no reshuffling of survivors).
 
     ``quotas``: a (strata..., quota) DataFrame — typically a groupBy
     over the same table (proportional / sqrt / capped allocations).
