@@ -69,3 +69,24 @@ def test_auto_equals_every_strategy(spark):
         assert got == want, strategy
     idx.unpersist()
     vecs.unpersist()
+
+
+def test_calibrate_costs(spark):
+    """Calibration yields sane positive measurements, updates only the
+    hardware-dependent constant, and leaves decision extremes stable:
+    huge-panel selective domains keep the tree, tiny panels on big
+    corpora keep brute."""
+    from vector_database_spark.operators import search as S
+
+    old = S._ITER_FIXED_ROW_UNITS
+    try:
+        out = S.calibrate_costs(spark)
+        assert out["job_latency_s"] > 0
+        assert out["scan_rows_per_s"] > 1e4
+        assert S._ITER_FIXED_ROW_UNITS == out["iter_fixed_row_units"] >= 1e6
+        # extremes survive any plausible calibration
+        big = S.BROADCAST_INDEX_MAX_ROWS + 2
+        assert S._auto_strategy(big, 1, 1.0) == "brute"
+        assert S._auto_strategy(2000, 10_000, 0.001) == "broadcast"
+    finally:
+        S._ITER_FIXED_ROW_UNITS = old

@@ -282,3 +282,58 @@ def test_batch_sketch_operators_run_on_streams(spark):
         for r in spark.sql("SELECT * FROM cms_stream").collect()
     }
     assert got == want and got
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream interval join (attribution shape): the streaming
+    result equals the batch join of the same frames (unified
+    semantics are the oracle)."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.joins import interval_join
+
+    tmp = _tf.mkdtemp()
+    imps = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (1, "2024-01-01 12:00:00", 101),
+            (2, "2024-01-01 10:05:00", 102),
+        ],
+        "user_id long, ts_s string, imp_id long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:10:00", 900),  # within 30m of imp 100
+            (1, "2024-01-01 11:00:00", 901),  # matches nothing
+            (2, "2024-01-01 10:06:00", 902),  # within 30m of imp 102
+        ],
+        "user_id long, ts_s string, click_id long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    imps.write.parquet(f"{tmp}/imps")
+    clicks.write.parquet(f"{tmp}/clicks")
+
+    batch = interval_join(imps, clicks, on="user_id", within="30 minutes")
+    want = {(r.imp_id, r.click_id) for r in batch.collect()}
+    assert want == {(100, 900), (102, 902)}
+
+    s_imps = spark.readStream.schema(
+        "user_id long, imp_id long, ts timestamp"
+    ).parquet(f"{tmp}/imps")
+    s_clicks = spark.readStream.schema(
+        "user_id long, click_id long, ts timestamp"
+    ).parquet(f"{tmp}/clicks")
+    out = interval_join(s_imps, s_clicks, on="user_id", within="30 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.imp_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    assert got == want

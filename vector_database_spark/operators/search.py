@@ -584,6 +584,55 @@ def _auto_strategy(n_index_rows: int, n_queries: int, est_frac: float) -> str:
     return "iterative" if tree_wins else "brute"
 
 
+def calibrate_costs(spark, *, scan_rows: int = 2_000_000) -> dict:
+    """Refit the HARDWARE-DEPENDENT cost constant on this rig.
+
+    The walker/brute ratios (`_WALK_UNIT`, `_WALK_FRAC_UNIT`) compare
+    two CPU-bound codepaths and transfer across machines; the
+    iterative path's fixed cost does not — it is Spark job latency
+    expressed in scan-row units, i.e. (seconds per job round-trip) ×
+    (scan rows per second), which varies with both scheduler overhead
+    and CPU speed. This opt-in pass measures both with two tiny timed
+    jobs (~1 s total), updates `_ITER_FIXED_ROW_UNITS`, and returns
+    the measurements. Call once per session on unfamiliar hardware;
+    the shipped default stays the conservative fit from the probe rig
+    (SCALE.md §Search)."""
+    global _ITER_FIXED_ROW_UNITS
+    # job latency: empty-ish job round-trips, best of 3
+    lat = min(
+        _timed(lambda: spark.range(1).count()) for _ in range(3)
+    )
+    # scan rate: a codegen distance-shaped expression over scan_rows
+    df = spark.range(scan_rows).select(
+        (F.col("id") * 0.5).alias("a"), (F.col("id") * 0.25).alias("b")
+    )
+    expr = ((F.col("a") - 1.0) * (F.col("a") - 1.0)
+            + (F.col("b") - 2.0) * (F.col("b") - 2.0))
+    scan_s = min(
+        _timed(lambda: df.select(F.sum(expr)).collect()) for _ in range(2)
+    )
+    rate = scan_rows / max(scan_s, 1e-6)
+    # the iterative walk costs ~levels/checkpoint_every job round-trips;
+    # keep the fitted ~25-job shape, scale by measured latency × rate
+    new_units = max(1e6, 25.0 * lat * rate)
+    old = _ITER_FIXED_ROW_UNITS
+    _ITER_FIXED_ROW_UNITS = new_units
+    return {
+        "job_latency_s": lat,
+        "scan_rows_per_s": rate,
+        "iter_fixed_row_units": new_units,
+        "previous": old,
+    }
+
+
+def _timed(fn) -> float:
+    import time
+
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def _pilot_top_levels(index_df: DataFrame, doc_id: int | None) -> dict:
     """Collect (memoized per index object + doc scope) the top
     `_PILOT_DEPTH` levels of each tree: {doc_id: {range_id: row}}."""
