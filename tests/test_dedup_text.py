@@ -229,3 +229,70 @@ def test_boilerplate_stats(spark):
     for i in range(4):
         assert out[i][1] >= 5  # footer contributes >= 5 shared trigrams
         assert out[i][1] < out[i][0]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50))),  # 50 tokens
+         (2, "a b c"),                               # 3 tokens, one chunk
+         (3, "")],                                   # split('') -> ['']
+        "doc_id long, text string",
+    )
+    out = tx.chunk_documents(docs, size=8, stride=5)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: ceil(50/5) = 10 chunks; chunk 0 = w0..w7, chunk 1 = w5..w12
+    assert sum(1 for k in rows if k[0] == 1) == 10
+    assert rows[(1, 0)].chunk_text.split() == [f"w{i}" for i in range(8)]
+    assert rows[(1, 1)].chunk_text.split() == [f"w{i}" for i in range(5, 13)]
+    # last chunk starts at 45, only 5 tokens remain
+    assert rows[(1, 9)].n_chunk_tokens == 5
+    assert rows[(1, 9)].chunk_text.split() == [f"w{i}" for i in range(45, 50)]
+    # every token index is covered by at least one chunk
+    covered = set()
+    for (d, _c), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(50)}
+    # tiny docs -> exactly one (possibly short/empty) chunk
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    assert sum(1 for k in rows if k[0] == 2) == 1
+    assert rows[(3, 0)].chunk_text == ""
+
+
+def test_repetition_stats_signals(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),          # one word repeated
+         (2, "all tokens here are distinct"),  # no repetition
+         (3, "ab cd ab cd ab cd")],            # repeated bigram "ab cd"
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in tx.repetition_stats(docs).collect()}
+    assert out[1].top_word_frac == 1.0
+    assert out[1].dup_bigram_frac == round(1 - 1 / 3, 4)  # 3 bigrams, 1 distinct
+    assert out[2].top_word_frac == 0.2
+    assert out[2].dup_bigram_frac == 0.0 and out[2].top_bigram_frac == 0.25
+    # "ab cd" appears 3x among 5 bigrams; "cd ab" 2x
+    assert out[3].top_bigram_frac == 0.6
+    assert out[3].dup_bigram_frac == round(1 - 2 / 5, 4)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.org now"),
+         (2, "server at 10.0.42.7 port open"),
+         (3, "call 555-012 3456 today"),
+         (4, "clean text with no pii at all"),
+         (5, "x a@b.io y 1.2.3.4 z 99-111-2222 w")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in tx.pii_scrub(docs).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (1, 0, 0)
+    assert out[1].scrubbed == "mail <EMAIL> now"
+    assert (out[2].n_email, out[2].n_ip) == (0, 1)
+    assert out[2].scrubbed == "server at <IP> port open"
+    assert out[3].n_phone == 1
+    assert out[3].scrubbed == "call <PHONE> today"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+    assert out[4].scrubbed == out[4].scrubbed  # untouched
+    assert (out[5].n_email, out[5].n_ip, out[5].n_phone) == (1, 1, 1)
+    assert out[5].scrubbed == "x <EMAIL> y <IP> z <PHONE> w"

@@ -146,6 +146,157 @@ def fingerprint(text_col: Column | str) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    This is the reference's own data model made into an operator: the
+    reference stores a Document and its Text CHUNKS as separate rows
+    (`DDL.sql:302-326`) but leaves the chunking itself to the caller;
+    an embedding pipeline needs it as a first-class step. Chunk i
+    covers tokens [i*stride+1 .. i*stride+size] (1-based), i in
+    [0, ceil(n_tokens/stride)); the last chunk may be shorter, and
+    with stride < size consecutive chunks overlap by (size - stride)
+    tokens so no embedding window loses cross-boundary context.
+
+    Shape at scale: one narrow projection — per-row tokenize, a
+    sequence/explode over chunk starts, one array slice per chunk. No
+    shuffle at all; output partitioning inherits the scan, so the
+    downstream embed/index stages repartition however they need.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, F.lit(size)
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+    ``(id, n_tokens, top_word_frac, dup_bigram_frac, top_bigram_frac)``.
+
+    - top_word_frac: count of the most frequent token / n_tokens
+      (the "fraction in most common word" filter);
+    - dup_bigram_frac: 1 - distinct_bigrams/total_bigrams — mass of
+      repeated 2-grams (template/spam smell pairwise near-dup
+      thresholds don't see);
+    - top_bigram_frac: count of the most frequent 2-gram / n_bigrams.
+
+    Shape at scale: one explode into (doc, token) rows, a lead-window
+    per doc for bigrams (doc-partitioned — the same layout the shingle
+    passes use), then two map-side-combinable hash aggregates joined
+    on doc id. No driver state, no quadratic step.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    ug = ex.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    us = ug.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_word")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bgc = bg.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bs = bgc.groupBy("id").agg(
+        F.sum("c").alias("n_bg"),
+        F.count(F.lit(1)).alias("n_distinct_bg"),
+        F.max("c").alias("top_bg"),
+    )
+    out = us.join(bs, "id", "left")
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("top_word").cast("double") / F.col("n_tokens"), 4).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                - F.col("n_distinct_bg").cast("double") / F.col("n_bg"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.coalesce(
+                F.col("top_bg").cast("double") / F.col("n_bg"), F.lit(0.0)
+            ),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# PII scrub patterns: applied IN ORDER (earlier replacements remove
+# text later patterns might otherwise match). Every pattern sticks to
+# the regex subset where Java regex (Spark) and RE2 (DuckDB) agree:
+# literal classes + bounded/greedy quantifiers, no backrefs, no
+# lookaround, no \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\d[\d -]{5,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact PII spans (emails, IPv4 addresses, phone-like digit
+    runs) and count them: ``(id, n_email, n_ip, n_phone, scrubbed)``.
+
+    Counts are taken on the ORIGINAL text (all patterns), then the
+    replacements are applied sequentially in PII_PATTERNS order, so
+    e.g. an IP consumed by an email replacement is still counted once
+    as seen. Pure Catalyst regexp expressions — one narrow projection,
+    no shuffle, no Python in the row path.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = c
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"), *counts, scrubbed.alias("scrubbed")
+    )
+
+
 def tfidf_top_terms(
     df,
     *,

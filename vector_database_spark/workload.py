@@ -2462,6 +2462,121 @@ def p03_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p04_chunk_documents",
+    oracle="""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(ceil(len(toks)/24.0)::BIGINT, 1)))
+               AS chunk_id
+      FROM t)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       len(toks[chunk_id*24+1 : chunk_id*24+32])::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+         AS chunk_text
+FROM e
+""",
+)
+def p04_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document -> overlapping token-window chunks (size 32, stride
+    24; 8-token overlap) — the reference's Document/Text-chunk data
+    model (`DDL.sql:302-326`) as a pipeline operator feeding the
+    embed -> index stages. Zero-shuffle narrow projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, size=32, stride=24)
+
+
+@query(
+    "t09_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+ug AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+us AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word
+       FROM ug GROUP BY doc_id),
+b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, sum(c) AS n_bg, count(*) AS n_distinct_bg,
+              max(c) AS top_bg
+       FROM bgc GROUP BY doc_id)
+SELECT us.doc_id AS id,
+       us.n_tokens::BIGINT AS n_tokens,
+       round(us.top_word::DOUBLE / us.n_tokens, 4) AS top_word_frac,
+       round(coalesce(1.0 - bs.n_distinct_bg::DOUBLE / bs.n_bg, 0.0), 4)
+         AS dup_bigram_frac,
+       round(coalesce(bs.top_bg::DOUBLE / bs.n_bg, 0.0), 4)
+         AS top_bigram_frac
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+""",
+)
+def t09_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters: most-common-word
+    fraction, duplicate-bigram mass, top-bigram fraction — the quality
+    signals that catch templated/spammy docs pairwise near-dup misses.
+    One explode, doc-partitioned lead window, two map-side-combined
+    aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs)
+
+
+# The documents fixture contains no real PII, so the gate synthesizes
+# deterministic spans from fixture values IDENTICALLY on both engines
+# (append an email, an IPv4, and a phone-like run derived from doc_id)
+# and then scrubs them — the redaction path is exercised for real.
+_T10_MK_TEXT = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.0.'"
+    " || (doc_id % 256)::VARCHAR || '.7 tel 555-01'"
+    " || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+)
+_T10_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_T10_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_T10_PHONE = r"\d[\d -]{5,}\d"
+
+
+@query(
+    "t10_pii_scrub",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_T10_MK_TEXT} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_T10_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{_T10_IP}'))::BIGINT AS n_ip,
+       len(regexp_extract_all(text, '{_T10_PHONE}'))::BIGINT AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_T10_EMAIL}', '<EMAIL>', 'g'),
+           '{_T10_IP}', '<IP>', 'g'),
+           '{_T10_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM t
+""",
+)
+def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count + scrub emails, IPv4s, phone-like digit
+    runs (patterns in the Java-regex/RE2 common subset so both engines
+    agree). Counts are taken on the original text; replacements apply
+    in a fixed order. Pure regexp projection — no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = tx.pii_scrub(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_email", "n_ip", "n_phone", "scrubbed"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2501,6 +2616,9 @@ _DRIVER_TAIL = [
     "d07_boilerplate",     # shingle-agg family: d02/d03 + t06 stay
     "t08_domain_stats",    # text/quality family: t05 + r-aggs stay
     "p03_mix_sample",      # sampling family: s02/s03 + p01 stay
+    "p04_chunk_documents", # narrow text projections: t01-t05 cover it
+    "t09_repetition",      # text/quality family: t05 + t08 stay
+    "t10_pii_scrub",       # regexp projections: t03 regex tokens stays
 ]
 
 
