@@ -188,3 +188,58 @@ def test_ivfadc_persistence_roundtrip(spark, embeddings):
     qdf = _queries_df(spark, vecs, [3])
     res = ivfadc_knn(codes2, cents2, books2, qdf, k=5, nprobe=4)
     assert res.count() == 5
+
+
+def test_sq8_roundtrip_error_and_codes(spark, embeddings):
+    from vector_database_spark.operators.ann import (
+        sq8_decode,
+        sq8_encode,
+        sq8_profile,
+        sq8_stats,
+    )
+
+    # deterministic subset: limit() may pick different rows between the
+    # stats job and the encode job, putting values outside [lo, hi]
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 300)
+    lo, hi = sq8_stats(vecs)
+    dims = len(lo)
+    assert dims == len(hi) and all(l <= h for l, h in zip(lo, hi))
+    enc = sq8_encode(vecs, lo, hi)
+    rows = enc.select("id", "vector", "codes").collect()
+    for r in rows[:50]:
+        assert len(r.codes) == dims
+        assert all(0 <= c <= 255 for c in r.codes)
+    # reconstruction: max |v - deq| <= cell width per dimension
+    deq = enc.select(
+        "id", "vector", sq8_decode("codes", lo, hi).alias("deq")
+    ).collect()
+    for r in deq[:50]:
+        for i, (v, d) in enumerate(zip(r.vector, r.deq)):
+            width = (hi[i] - lo[i]) / 255 or 1e-12
+            assert abs(v - d) <= width * 0.51, (i, v, d, width)
+    prof = sq8_profile(vecs)
+    p = {r.id: r for r in prof.collect()}
+    assert len(p) == 300
+    mean_dim_range = sum(h - l for l, h in zip(lo, hi)) / dims
+    for r in list(p.values())[:50]:
+        assert 0 <= r.code_min <= r.code_max <= 255
+        # mse bounded by the mean squared cell width (loose upper bound)
+        assert r.mse <= (mean_dim_range / 255) ** 2 * 4 + 1e-9
+
+
+def test_sq8_constant_dimension(spark):
+    from vector_database_spark.operators.ann import sq8_encode, sq8_stats
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 5.0]) for i in range(20)],
+        "id long, vector array<float>",
+    )
+    lo, hi = sq8_stats(vecs)
+    assert lo[1] == hi[1] == 5.0
+    rows = sq8_encode(vecs, lo, hi).collect()
+    assert all(r.codes[1] == 0 for r in rows)  # constant dim -> code 0
+    # varying dim hits both ends of the code range
+    codes0 = {r.codes[0] for r in rows}
+    assert 0 in codes0 and 255 in codes0

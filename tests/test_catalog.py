@@ -151,3 +151,53 @@ def test_range_join_boundaries(spark):
     out = {r.id: r.bucket for r in range_join(facts, b, value_col="v").collect()}
     # half-open [lo, hi): 5.0 goes to 'hi', 10.0 matches nothing
     assert out == {1: "lo", 2: "hi", 3: "hi", 4: None}
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    from vector_database_spark.operators.catalog import (
+        read_bucketed,
+        save_bucketed,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 7).alias("b")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        save_bucketed(
+            left, "vds_bkt_left", bucket_col="doc_id", n_buckets=4,
+            path=f"{d}/left",
+        )
+        save_bucketed(
+            right, "vds_bkt_right", bucket_col="doc_id", n_buckets=4,
+            path=f"{d}/right",
+        )
+        try:
+            l = read_bucketed(spark, "vds_bkt_left")
+            r = read_bucketed(spark, "vds_bkt_right")
+            # force SMJ so the test asserts the exchange-free bucketed
+            # plan rather than a broadcast fallback
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = l.join(r, "doc_id")
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" in plan, plan
+                assert "Exchange" not in plan, plan
+                # bucket-sorted tables: no extra Sort before the SMJ
+                assert j.count() == 500
+                got = {(x.doc_id, x.a, x.b) for x in j.collect()}
+                assert (0, 0, 7) in got and (499, 1497, 506) in got
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            # groupBy on the bucket column is also exchange-free
+            agg = read_bucketed(spark, "vds_bkt_left").groupBy("doc_id").agg(
+                F.sum("a").alias("s")
+            )
+            aplan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in aplan, aplan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS vds_bkt_left")
+            spark.sql("DROP TABLE IF EXISTS vds_bkt_right")

@@ -758,3 +758,110 @@ def ivfadc_knn(
         .where(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization
+# --------------------------------------------------------------------------
+
+
+def sq8_stats(vecs: DataFrame, *, vector_col: str = "vector") -> tuple[list, list]:
+    """Per-dimension [min, max] training pass for 8-bit scalar
+    quantization. ONE map-side-combinable aggregate over the corpus;
+    the result is bounded by the dimensionality (like a centroid
+    table), so collecting it to the driver is safe at any corpus size.
+    Returns (lo, hi) as plain Python lists ordered by dimension.
+    """
+    ex = vecs.select(F.posexplode(vector_col).alias("idx", "v"))
+    rows = (
+        ex.groupBy("idx")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .orderBy("idx")
+        .collect()
+    )
+    return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def sq8_encode(
+    vecs: DataFrame,
+    lo: list,
+    hi: list,
+    *,
+    vector_col: str = "vector",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Quantize each float vector into uint8 codes (4x compression vs
+    float32; 64 dims -> 64 bytes): code_i = clamp(floor((v_i - lo_i) /
+    (hi_i - lo_i) * 255), 0, 255); a constant dimension encodes as 0.
+
+    Pure per-row projection (interpreted HOF over dims elements —
+    fine for per-row vector math, see the measured note in
+    CLAUDE.md), no shuffle; lo/hi are literal arrays, never a join.
+    """
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    hi_a = F.array(*[F.lit(float(x)) for x in hi])
+
+    def _code(v, i):
+        l = F.try_element_at(lo_a, i + 1)
+        h = F.try_element_at(hi_a, i + 1)
+        raw = F.floor((v.cast("double") - l) / (h - l) * F.lit(255.0))
+        return (
+            F.when(h == l, F.lit(0))
+            .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+            .cast("int")
+        )
+
+    return vecs.withColumn(codes_col, F.transform(F.col(vector_col), _code))
+
+
+def sq8_decode(
+    codes_col, lo: list, hi: list
+):
+    """Midpoint dequantization expression: lo_i + (c_i + 0.5) *
+    (hi_i - lo_i) / 255 — the midpoint of the floor-encode cell
+    (code c covers [lo + c*w, lo + (c+1)*w), w = (hi-lo)/255), so
+    |v - deq| <= w/2 for every in-range value."""
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    hi_a = F.array(*[F.lit(float(x)) for x in hi])
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+
+    def _deq(code, i):
+        l = F.try_element_at(lo_a, i + 1)
+        h = F.try_element_at(hi_a, i + 1)
+        return l + (code.cast("double") + F.lit(0.5)) * (h - l) / F.lit(255.0)
+
+    return F.transform(c, _deq)
+
+
+def sq8_profile(vecs: DataFrame, *, vector_col: str = "vector") -> DataFrame:
+    """Train + encode + reconstruction-error profile in one pass:
+    ``(id, code_sum, code_min, code_max, mse)``.
+
+    code_sum/min/max are exact integers (order-independent), mse is a
+    deterministic left-to-right fold of squared residuals — every
+    output is reproducible bit-for-bit by an external SQL engine, so
+    the quantizer has a REAL oracle (unlike recall-style ANN checks).
+    """
+    lo, hi = sq8_stats(vecs, vector_col=vector_col)
+    enc = sq8_encode(vecs, lo, hi, vector_col=vector_col)
+    deq = sq8_decode("codes", lo, hi)
+    resid = F.zip_with(
+        F.col(vector_col),
+        deq,
+        lambda v, d: (v.cast("double") - d) * (v.cast("double") - d),
+    )
+    n = F.size(F.col(vector_col))
+    return enc.select(
+        F.col("id"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.round(
+            F.aggregate(resid, F.lit(0.0), lambda a, x: a + x) / n, 6
+        ).alias("mse"),
+    )

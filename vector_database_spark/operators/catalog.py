@@ -183,3 +183,45 @@ def index_stats(index_df: DataFrame) -> DataFrame:
             ((~F.col("is_leaf")) & F.col("dimension").isNull()).cast("long")
         ).alias("n_id_splits"),
     )
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a BUCKETED (and bucket-sorted) table so
+    repeated joins/aggregations on ``bucket_col`` are co-located and
+    shuffle-free.
+
+    This is the 100 TB answer to the reference's per-document access
+    pattern: `dbo.TextIndex` is keyed (RangeID, DocID) and every
+    IndexDocument/Search touches one doc (DDL.sql:209-227, 352-419).
+    Bucketing text/index/embedding tables by the join key at write
+    time means each of the daily join passes reads co-partitioned
+    buckets — Catalyst drops BOTH exchanges from a bucketed SMJ (and
+    the sort, when sort=True), which at 1000 executors is the
+    difference between a full-corpus shuffle per query and none.
+
+    Spark's bucketing lives in the session catalog (saveAsTable);
+    ``path`` makes the table external so the files land where the
+    caller wants them.
+    """
+    w = df.write.mode(mode).bucketBy(int(n_buckets), bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table saved by ``save_bucketed`` with its bucket layout
+    (output partitioning metadata) intact — a plain parquet-path read
+    would discard it and re-shuffle on the next join."""
+    return spark.table(table)

@@ -2577,6 +2577,49 @@ def t10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a04_sq8",
+    oracle="""
+WITH ex AS (SELECT (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+st AS (SELECT idx, min(v) AS lo, max(v) AS hi FROM ex GROUP BY idx),
+arr AS (SELECT list(lo ORDER BY idx) AS lo, list(hi ORDER BY idx) AS hi
+        FROM st),
+enc AS (SELECT e.vec_id AS id, e.embedding, a.lo, a.hi,
+               list_transform(list_zip(e.embedding, a.lo, a.hi), s ->
+                 CASE WHEN s[3] = s[2] THEN 0
+                      ELSE least(255, greatest(0,
+                        floor((CAST(s[1] AS DOUBLE) - s[2])
+                              / (s[3] - s[2]) * 255)))::INT END) AS codes
+        FROM embeddings e CROSS JOIN arr a),
+deq AS (SELECT id, embedding, codes,
+               list_transform(list_zip(codes, lo, hi), s ->
+                 s[2] + (CAST(s[1] AS DOUBLE) + 0.5) * (s[3] - s[2]) / 255)
+                 AS d
+        FROM enc)
+SELECT id,
+       list_sum(codes)::BIGINT AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max,
+       round(list_sum(list_transform(list_zip(embedding, d), s ->
+         (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2])))
+         / len(embedding), 6) AS mse
+FROM deq
+""",
+)
+def a04_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization (SQ8) of the embedding corpus: one
+    per-dimension min/max training aggregate (bounded by dims, like a
+    centroid table), then a zero-shuffle encode + midpoint-decode
+    reconstruction profile. Unlike the recall-style ANN gates this one
+    has a REAL value oracle — codes are exact integers and the mse is
+    a deterministic left-to-right fold."""
+    from vector_database_spark.operators.ann import sq8_profile
+
+    return sq8_profile(_embeddings(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2619,6 +2662,7 @@ _DRIVER_TAIL = [
     "p04_chunk_documents", # narrow text projections: t01-t05 cover it
     "t09_repetition",      # text/quality family: t05 + t08 stay
     "t10_pii_scrub",       # regexp projections: t03 regex tokens stays
+    "a04_sq8",             # ANN/compression family: a01 IVF + a02 LSH stay
 ]
 
 
