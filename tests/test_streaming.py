@@ -337,3 +337,55 @@ def test_stream_stream_interval_join(spark):
         for r in spark.sql("SELECT * FROM ssjoin").collect()
     }
     assert got == want
+
+
+def test_stateless_text_operators_run_on_streams(spark):
+    """chunk_documents and pii_scrub are stateless narrow projections,
+    so they run on a stream UNCHANGED (append mode, no watermark, no
+    state store) and emit exactly the batch result — the property that
+    lets the ingest pipeline chunk/scrub documents at arrival time."""
+    import tempfile as _tf
+
+    from vector_database_spark.operators import text as tx
+
+    tmp = _tf.mkdtemp()
+    src = f"{tmp}/docs"
+    batch = spark.createDataFrame(
+        [(i, f"w{i} mail u{i}@ex.io " + " ".join(f"t{j}" for j in range(10)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch.write.parquet(src)
+    want_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in tx.chunk_documents(batch, size=4, stride=3).collect()
+    }
+    want_pii = {
+        (r.id, r.n_email, r.scrubbed)
+        for r in tx.pii_scrub(batch).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q1 = (
+        tx.chunk_documents(stream, size=4, stride=3)
+        .writeStream.format("memory").queryName("chunk_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2 = (
+        tx.pii_scrub(stream)
+        .writeStream.format("memory").queryName("pii_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in spark.sql("SELECT * FROM chunk_stream").collect()
+    }
+    got_pii = {
+        (r.id, r.n_email, r.scrubbed)
+        for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got_chunks == want_chunks and got_chunks
+    assert got_pii == want_pii
+    assert all(n == 1 and "<EMAIL>" in s for _, n, s in got_pii)
