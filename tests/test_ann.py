@@ -243,3 +243,31 @@ def test_sq8_constant_dimension(spark):
     # varying dim hits both ends of the code range
     codes0 = {r.codes[0] for r in rows}
     assert 0 in codes0 and 255 in codes0
+
+
+def test_sq8_knn_recall_exact_after_rerank(spark, embeddings):
+    from vector_database_spark.operators.ann import (
+        sq8_encode,
+        sq8_knn,
+        sq8_stats,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    lo, hi = sq8_stats(vecs)
+    enc = sq8_encode(vecs, lo, hi)
+    qids = [3, 99, 250]
+    qdf = _queries_df(spark, vecs, qids)
+    approx = sq8_knn(enc, lo, hi, qdf, k=10, refine_factor=8)
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs, panel, k=10)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.id)
+    for r in approx.collect():
+        ap.setdefault(r.qid, set()).add(r.id)
+    for q in qids:
+        recall = len(ex[q] & ap.get(q, set())) / 10
+        assert recall >= 0.9, f"qid={q} recall={recall}"
+        assert q in ap[q]  # the query point itself survives the shortlist

@@ -296,3 +296,36 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[4].scrubbed == out[4].scrubbed  # untouched
     assert (out[5].n_email, out[5].n_ip, out[5].n_phone) == (1, 1, 1)
     assert out[5].scrubbed == "x <EMAIL> y <IP> z <PHONE> w"
+
+
+def test_embedding_neardup_blocked_subset_and_planted_recall(spark, embeddings):
+    emb = embeddings.select("vec_id", "embedding")
+    # plant near-identical (scaled) copies: cosine == 1, L2-close
+    planted = emb.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    got = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dd.embedding_neardup_blocked(
+            aug, threshold=0.999, n_cells=4, seed=7
+        ).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dd.embedding_neardup_pairs(aug, threshold=0.999).collect()
+    }
+    # within-cell pairs are computed exactly: blocked is a SUBSET of
+    # exact with bit-identical similarities
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]
+    # every planted pair is geometrically coincident -> same cell
+    want = {
+        (r.vec_id, r.vec_id + 10_000_000)
+        for r in emb.where(F.col("vec_id") % 40 == 0).collect()
+    }
+    assert want <= set(got)

@@ -865,3 +865,94 @@ def sq8_profile(vecs: DataFrame, *, vector_col: str = "vector") -> DataFrame:
             F.aggregate(resid, F.lit(0.0), lambda a, x: a + x) / n, 6
         ).alias("mse"),
     )
+
+
+def sq8_knn(
+    enc_df: DataFrame,
+    lo: list,
+    hi: list,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Compressed-domain kNN over SQ8 codes: per-query (dims x 256)
+    LUT of squared residuals — LUT[d][c] = (q_d - deq(d, c))² — so a
+    batch scores every row with one fancy-indexed gather + row sum
+    (no float vector math per row), keeps a local top-k·refine_factor
+    (map-side pre-reduce: the shuffle carries survivors only), then
+    re-ranks the global shortlist exactly on the raw vectors.
+    Same (qid, id, dist, rank) contract as `knn`/`pq_knn`.
+
+    The SQ8 grid is much finer than PQ's 256 centroids per subspace,
+    so the ADC estimate is within (cell/2)² per dim of the true
+    distance — with any reasonable refine_factor the exact re-rank
+    recovers brute-force top-k on real data.
+    """
+    panel = [(int(r["qid"]), list(r["qvec"])) for r in queries_df.collect()]
+    if not panel:
+        raise ValueError("sq8_knn: empty query panel")
+    import numpy as np
+
+    lo_v = np.asarray([float(x) for x in lo], dtype=np.float64)
+    hi_v = np.asarray([float(x) for x in hi], dtype=np.float64)
+    d = len(lo_v)
+    codes256 = np.arange(256, dtype=np.float64)
+    # deq[dim, code] = lo + (code + 0.5) * (hi - lo) / 255
+    deq = lo_v[:, None] + (codes256[None, :] + 0.5) * (hi_v - lo_v)[:, None] / 255.0
+    luts_ser = {}
+    for qid, qv in panel:
+        q = np.asarray(qv, dtype=np.float64)
+        if len(q) != d:
+            raise ValueError("sq8_knn: query dims != corpus dims")
+        luts_ser[qid] = ((q[:, None] - deq) ** 2).tolist()
+    shortlist = max(int(k), int(k) * int(refine_factor))
+    n_dims = d
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        luts = {q: np.asarray(v, dtype=np.float64) for q, v in luts_ser.items()}
+        di = np.arange(n_dims)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            ids = pdf["id"].to_numpy()
+            for qid, lut in luts.items():
+                sc = lut[di[None, :], codes].sum(axis=1)
+                take = min(shortlist, len(sc))
+                part = np.argpartition(sc, take - 1)[:take]
+                yield pd.DataFrame(
+                    {"qid": qid, "id": ids[part], "adc": sc[part]}
+                )
+
+    cands = enc_df.select(
+        F.col(id_col).alias("id"), F.col(codes_col).alias("codes")
+    ).mapInPandas(score, "qid long, id long, adc double")
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("id").asc())
+    short = (
+        cands.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("qid", "id")
+    )
+    spark = enc_df.sparkSession
+    qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+    ranked = (
+        enc_df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_vec"))
+        .join(short, "id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )

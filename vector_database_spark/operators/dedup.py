@@ -798,3 +798,94 @@ def boilerplate_stats(
             F.count("_hot").alias("n_boiler"),
         )
     )
+
+
+def embedding_neardup_blocked(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style APPROXIMATE embedding near-dup: cluster the
+    corpus into IVF cells (bounded-sample Lloyd + one BLAS assignment
+    pass, `ann.ivf_build`), then run the exact all-pairs kernel WITHIN
+    each cell only. Returns ``(a_id, b_id, cos_sim)`` like the exact
+    `embedding_neardup_pairs`.
+
+    This is the 100 TB operating point for embedding dedup (Abbas et
+    al., "SemDeDup", 2023): near-duplicates are by definition close in
+    embedding space, so with enough cells almost every true pair lands
+    in one cell and pair work drops from O(n²) to Σ|cell|² — with
+    n_cells sized so cells hold ~1/√(work budget) rows, a 1000×
+    corpus growth is absorbed by growing n_cells, not pair work.
+    Cross-cell pairs are missed BY DESIGN (the gate self-asserts
+    measured recall against the exact operator); raise n_cells for
+    finer blocking or run the exact block-pair variant when recall
+    must be 1. Reported similarities for found pairs are exact-fold
+    recomputed — bit-identical to the exact operator's values.
+    """
+    from vector_database_spark.operators.ann import ivf_build
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+    assigned, _cents = ivf_build(
+        vecs, id_col="id", vector_col="v", n_cells=n_cells, iters=iters,
+        seed=seed,
+    )
+    thr = float(threshold)
+
+    def make_cell_kernel(threshold_val: float):
+        def kernel(pdf):
+            import math
+
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out_a: list = []
+            out_b: list = []
+            out_s: list = []
+            if len(ids) > 1:
+                mat = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["vector"]],
+                    dtype=np.float64,
+                )
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                chunk = 1024
+                for c0 in range(0, len(ids), chunk):
+                    c1 = min(c0 + chunk, len(ids))
+                    sims = (mat[c0:c1] @ mat.T) / np.outer(
+                        norms[c0:c1], norms
+                    )
+                    ai, bi = np.nonzero(sims >= threshold_val - 1e-9)
+                    for i, j in zip(ai, bi):
+                        ia, ib = int(ids[c0 + i]), int(ids[j])
+                        if ia >= ib:  # self matrix covers both orders
+                            continue
+                        va, vb = mat[c0 + i], mat[j]
+                        d = na = nb = 0.0
+                        for x, y in zip(va, vb):
+                            d += x * y
+                            na += x * x
+                            nb += y * y
+                        s = d / (math.sqrt(na) * math.sqrt(nb))
+                        if s >= threshold_val:
+                            out_a.append(ia)
+                            out_b.append(ib)
+                            out_s.append(s)
+            return pd.DataFrame(
+                {
+                    "a_id": pd.array(out_a, dtype="int64"),
+                    "b_id": pd.array(out_b, dtype="int64"),
+                    "cos_sim": pd.array(out_s, dtype="float64"),
+                }
+            )
+
+        return kernel
+
+    return assigned.groupBy("cell").applyInPandas(
+        make_cell_kernel(thr), "a_id long, b_id long, cos_sim double"
+    )
