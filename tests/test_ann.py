@@ -271,3 +271,33 @@ def test_sq8_knn_recall_exact_after_rerank(spark, embeddings):
         recall = len(ex[q] & ap.get(q, set())) / 10
         assert recall >= 0.9, f"qid={q} recall={recall}"
         assert q in ap[q]  # the query point itself survives the shortlist
+
+
+def test_sq8_persistence_roundtrip(spark, embeddings):
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        sq8_encode,
+        sq8_knn,
+        sq8_read,
+        sq8_stats,
+        sq8_write,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 400)
+    lo, hi = sq8_stats(vecs)
+    enc = sq8_encode(vecs, lo, hi)
+    path = tempfile.mkdtemp() + "/sq8"
+    sq8_write(enc, lo, hi, path)
+    enc2, lo2, hi2 = sq8_read(spark, path)
+    assert lo2 == lo and hi2 == hi
+    assert enc2.count() == 400
+    qdf = _queries_df(spark, vecs, [3])
+    res = sq8_knn(enc2, lo2, hi2, qdf, k=5)
+    assert res.count() == 5
+    # compressed-only layout drops the raw vectors
+    sq8_write(enc, lo, hi, path + "_c", keep_vectors=False)
+    enc3, _, _ = sq8_read(spark, path + "_c")
+    assert "vector" not in enc3.columns and "codes" in enc3.columns
