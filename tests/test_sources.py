@@ -385,3 +385,25 @@ def test_y4m_selective_decode(spark):
     assert (sel[0] == full[0]).all()
     assert (sel[1] == full[4]).all()
     assert (sel[2] == full[8]).all()
+
+
+def test_jsonl_roundtrip_gzip(spark):
+    import tempfile
+
+    from vector_database_spark.sources.export import export_jsonl, read_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a b", ["x", "y"], 0.5), (2, "c", [], None)],
+        "doc_id long, text string, tags array<string>, score double",
+    )
+    d = tempfile.mkdtemp() + "/jsonl"
+    export_jsonl(df, d)
+    back = read_jsonl(
+        spark, d, "doc_id long, text string, tags array<string>, score double"
+    )
+    got = {(r.doc_id, r.text, tuple(r.tags or []), r.score) for r in back.collect()}
+    want = {(1, "a b", ("x", "y"), 0.5), (2, "c", (), None)}
+    assert got == want
+    # gzip shards on disk
+    import glob
+    assert glob.glob(f"{d}/*.json.gz")

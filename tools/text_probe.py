@@ -49,10 +49,12 @@ def main() -> int:
     print(f"{sf_dir}: {n_docs} docs, {n_vecs} vectors; best of {passes}")
     for name, (fn, n) in ops.items():
         best = float("inf")
-        n_out = None
+        n_out = fn().count()
         for _ in range(passes):
             t0 = time.time()
-            n_out = fn().count()  # count() forces a full evaluation
+            # noop sink materializes EVERY output column (a count()
+            # would let Catalyst prune the expensive projections away)
+            fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         print(f"  {name:>18}: best {best:6.2f} s  "
               f"{n / best:>10,.0f} rows/s in  ({n_out:,} rows out)")

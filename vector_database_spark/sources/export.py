@@ -46,3 +46,29 @@ def export_vectors_csv(
         .option("sep", "|")
         .csv(path)
     )
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = "gzip",
+) -> None:
+    """Training-data JSONL sink: one JSON object per line, gzip by
+    default (the interchange format LLM data pipelines feed trainers
+    and labelers). Spark's json writer is distributed and splittable
+    per file; pair with `.repartition(n)` upstream to control shard
+    count/size."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """Read a JSONL dataset back; pass an explicit DDL ``schema`` to
+    skip the inference pass (an extra full read at scale)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
