@@ -1,0 +1,109 @@
+"""End-to-end prep funnel: every stage's effect is observable on a
+crafted corpus, and the JSONL export round-trips."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.pipeline import prepare_training_data
+
+# distinct bodies per group so only the INTENDED pairs are near-dups
+# (a shared long prefix would glue every doc into one LSH component)
+_B0 = ("the quick brown fox jumps over the lazy dog near a quiet "
+       "river in the morning light")
+_B1 = ("a tall ship sails on the open sea with the wind and many "
+       "bright stars to guide her crew at night")
+_B3 = _B1.replace("crew", "captain")  # near-dup of _B1
+_B6 = ("please send the signed forms to our office and write to me "
+       "at bob@corp.example.com before the end of this week")
+_EVAL = ("a silver comet streaks across the dark night sky while "
+         "children watch in wonder from the top of a windy hill")
+
+
+def _corpus(spark):
+    rows = [
+        # survivors: good quality, distinct
+        (0, _B0, "src0"),
+        (1, _B1, "src0"),
+        # exact dup of 0 -> dropped at stage 3
+        (2, _B0, "src0"),
+        # near-dup of 1 (one word changed) -> dropped at stage 4
+        (3, _B3, "src0"),
+        # junk quality (too short) -> dropped at stage 1
+        (4, "tiny", "src1"),
+        # contaminated: equals the eval doc -> dropped at stage 2
+        (5, _EVAL, "src1"),
+        # survivor with PII -> scrubbed at stage 5
+        (6, _B6, "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_prepare_training_data_funnel(spark):
+    docs = _corpus(spark)
+    eval_docs = spark.createDataFrame(
+        [(100, _EVAL)], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp() + "/out"
+    chunks = prepare_training_data(
+        docs,
+        eval_docs=eval_docs,
+        contamination_max_frac=0.5,
+        jaccard_threshold=0.5,
+        chunk_size=8,
+        chunk_stride=8,
+        out_path=d,
+    )
+    rows = chunks.collect()
+    survivors = {r.doc_id for r in rows}
+    # 2 exact-dup'd, 3 near-dup'd, 4 low-quality, 5 contaminated
+    assert survivors == {0, 1, 6}, survivors
+    # near-dup canonical is the MIN doc id of the component (1 < 3)
+    assert 3 not in survivors
+    # stage 5: the email never reaches a chunk
+    joined = " ".join(r.chunk_text for r in rows if r.doc_id == 6)
+    # chunk tokenization lowercases, so the placeholder is <email>
+    assert "bob@corp.example.com" not in joined and "<email>" in joined
+    # chunking tiles exactly at stride == size
+    for did in survivors:
+        text = dict((r.doc_id, r.text) for r in docs.collect())[did]
+        toks = text.lower().split()
+        if did == 6:
+            toks = [t if "@" not in t else "<email>" for t in toks]
+        got = []
+        for r in sorted((r for r in rows if r.doc_id == did),
+                        key=lambda r: r.chunk_id):
+            got.extend(r.chunk_text.split())
+        assert got == toks, (did, got, toks)
+    # strata column rides along; JSONL shards exist and round-trip
+    assert all(r.source in ("src0", "src1") for r in rows)
+    files = glob.glob(f"{d}/*.json.gz")
+    assert files
+    back = spark.read.json(d)
+    assert back.count() == len(rows)
+
+
+def test_prepare_training_data_mix_quotas(spark):
+    docs = _corpus(spark)
+    quotas = spark.createDataFrame(
+        [("src0", 1), ("src1", 1)], "source string, quota int"
+    )
+    chunks = prepare_training_data(
+        docs, quotas=quotas, chunk_size=8, chunk_stride=8
+    )
+    # at most one surviving doc per source after the draw
+    per_src = (
+        chunks.select("doc_id", "source").distinct()
+        .groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= 1 for r in per_src) and per_src
+    # deterministic: the same draw on a rerun
+    again = prepare_training_data(
+        docs, quotas=quotas, chunk_size=8, chunk_stride=8
+    )
+    assert {(r.doc_id, r.chunk_id) for r in chunks.collect()} == {
+        (r.doc_id, r.chunk_id) for r in again.collect()
+    }

@@ -1,0 +1,131 @@
+"""End-to-end training-data preparation: the funnel an LLM data
+pipeline runs over a raw document corpus, composed entirely from the
+engine's already-gated operators — every stage keeps its individually
+audited 100 TB plan shape, and nothing materializes on the driver.
+
+Stages (each optional via parameters):
+
+1. quality gate        — `text.quality_score` boolean bands (filter)
+2. decontamination     — `dedup.contamination_overlap` vs an eval set
+                         (broadcast eval shingles; train side never
+                         shuffles for the join)
+3. exact dedup         — `dedup.exact_dedup` (one hash-agg)
+4. near-dup removal    — MinHash-LSH pairs -> connected components ->
+                         canonical survivors (banded equi-join, never
+                         quadratic)
+5. PII scrub           — `text.pii_scrub` (zero-shuffle regexp)
+6. chunking            — `text.chunk_documents` (zero-shuffle)
+7. mix sampling        — `sketch.stratified_sample` per-source quotas
+                         (deterministic hash-rank draw)
+8. JSONL export        — `sources.export.export_jsonl` (gzip shards)
+
+The single shingle pass (stage 2's and 4's shared input) is computed
+once and reused, mirroring the session-shared pass the gate queries
+use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators import dedup as dd
+from vector_database_spark.operators import sketch as sk
+from vector_database_spark.operators import text as tx
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    *,
+    eval_docs: DataFrame | None = None,
+    contamination_max_frac: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    quotas: DataFrame | None = None,
+    strata_col: str = "source",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Run the full prep funnel over ``docs`` (doc_id, text, and
+    optionally ``strata_col`` for mix sampling). Returns the final
+    chunk-level DataFrame ``(doc_id, chunk_id, n_chunk_tokens,
+    chunk_text)`` (plus ``strata_col`` when sampling); writes gzip
+    JSONL shards when ``out_path`` is given.
+
+    ``eval_docs``: benchmark/eval documents (same schema); training
+    docs whose shingle overlap fraction exceeds
+    ``contamination_max_frac`` are dropped. ``quotas``: per-stratum
+    (strata_col, quota) table for the mix draw; None keeps every
+    surviving document.
+    """
+    # 1. quality gate — one narrow projection + semi join on doc_id
+    q = tx.quality_score(docs)
+    keep = docs.join(
+        q.where(F.col("len_ok") & F.col("wordlen_ok") & F.col("stop_ok"))
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+
+    # shared shingle pass for stages 2 and 4
+    shingles = dd.shingle_rows(keep)
+
+    # 2. decontamination — broadcast eval shingles, train never shuffles
+    if eval_docs is not None:
+        ov = dd.contamination_overlap(shingles, dd.shingle_rows(eval_docs))
+        clean_ids = ov.where(
+            F.col("n_overlap") / F.col("n_shingles")
+            <= F.lit(float(contamination_max_frac))
+        ).select(F.col("id").alias("doc_id"))
+        keep = keep.join(clean_ids, "doc_id", "left_semi")
+        shingles = shingles.join(
+            clean_ids.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+
+    # 3. exact dedup — keep one representative per normalized text
+    reps = dd.exact_dedup(keep).select(F.col("rep_id").alias("doc_id"))
+    keep = keep.join(reps, "doc_id", "left_semi")
+    shingles = shingles.join(
+        keep.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+
+    # 4. near-dup removal — canonical survivor per connected component
+    pairs = dd.minhash_dedup_pairs(
+        keep, threshold=float(jaccard_threshold), shingles=shingles
+    )
+    groups = dd.dedup_groups(keep, pairs)
+    keep = keep.join(
+        groups.where(F.col("is_canonical") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 7 (placement: before the wide chunk fan-out so the draw scans
+    # documents, not chunks). mix sampling — deterministic hash-rank
+    if quotas is not None:
+        drawn = sk.stratified_sample(keep, [strata_col], "doc_id", quotas)
+        keep = keep.join(drawn.select("doc_id"), "doc_id", "left_semi")
+
+    # 5. PII scrub — zero-shuffle regexp projection
+    scrub_cols = [c for c in keep.columns if c != "text"]
+    scrubbed = (
+        tx.pii_scrub(keep)
+        .select(F.col("id").alias("doc_id"), F.col("scrubbed").alias("text"))
+        .join(keep.select(*scrub_cols), "doc_id")
+    )
+
+    # 6. chunking — zero-shuffle narrow fan-out
+    chunks = tx.chunk_documents(
+        scrubbed, size=int(chunk_size), stride=int(chunk_stride)
+    )
+    if strata_col in scrubbed.columns:
+        chunks = chunks.join(
+            scrubbed.select("doc_id", strata_col), "doc_id"
+        )
+
+    # 8. JSONL export
+    if out_path is not None:
+        from vector_database_spark.sources.export import export_jsonl
+
+        export_jsonl(chunks, out_path)
+    return chunks
