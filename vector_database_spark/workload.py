@@ -2218,10 +2218,9 @@ def s04_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p01_pipeline_keep",
-    oracle=f"""
-WITH RECURSIVE
+# the p01 funnel CTE (quality -> exact dedup -> near-dup CC ->
+# canonical labels) is shared with p05, which chunks the survivors
+_P01_FUNNEL_CTE = f"""WITH RECURSIVE
 t AS (SELECT doc_id, text,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents),
@@ -2248,7 +2247,12 @@ e AS (SELECT a_id AS u, b_id AS v FROM p
 reach AS (SELECT doc_id AS u, doc_id AS r FROM ek
           UNION
           SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u)
+lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u)"""
+
+
+@query(
+    "p01_pipeline_keep",
+    oracle=_P01_FUNNEL_CTE + """
 SELECT l.doc_id, d.lang
 FROM lab l JOIN documents d USING (doc_id)
 WHERE l.doc_id = l.group_id
@@ -2680,6 +2684,37 @@ def d08_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p05_pipeline_chunks",
+    oracle=_P01_FUNNEL_CTE + """,
+surv AS (SELECT l.doc_id FROM lab l WHERE l.doc_id = l.group_id),
+c AS (SELECT t.doc_id, t.toks,
+             unnest(range(0, greatest(ceil(len(t.toks)/24.0)::BIGINT, 1)))
+               AS chunk_id
+      FROM t JOIN surv USING (doc_id))
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       len(toks[chunk_id*24+1 : chunk_id*24+32])::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+         AS chunk_text
+FROM c
+""",
+)
+def p05_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prep COMPOSITION with a hash-matching oracle: the p01
+    funnel's canonical survivors fed through the chunking fan-out —
+    the oracle recomputes quality gate, exact dedup, the transitive
+    near-dup closure AND the chunk slicing from first principles in
+    one SQL statement. This is the end-to-end correctness anchor for
+    `pipeline.prepare_training_data` (whose remaining stages — PII
+    scrub, mix draw — have their own exact gates t10/p03)."""
+    surv = p01_pipeline_keep(spark, sf_dir).select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(
+        docs.join(surv, "doc_id", "left_semi"), size=32, stride=24
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2725,6 +2760,7 @@ _DRIVER_TAIL = [
     "a04_sq8",             # ANN/compression family: a01 IVF + a02 LSH stay
     "a05_sq8_knn",         # ANN family: a01/a02/a03 stay
     "d08_semantic_neardup",  # embedding dedup family: d05 (exact) stays
+    "p05_pipeline_chunks",   # pipeline composition: p01 + p04 stay
 ]
 
 
