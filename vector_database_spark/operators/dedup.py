@@ -532,8 +532,16 @@ def connected_components(
     sym = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
     sym = sym.localCheckpoint(eager=True)
+    # Propagate over the PAIRED subgraph only: a node with no pair has
+    # no neighbors and can never change its label, so shuffling the
+    # full corpus every round is pure waste — at 100 TB the near-dup
+    # subgraph is typically a small fraction of the node set, and this
+    # keeps each round's join/agg proportional to |pairs|, not |docs|.
+    # Singletons rejoin (component = own id) once, after the fixpoint.
+    labels = (
+        sym.select("u").distinct().withColumn("component", F.col("u"))
+    )
     labels = labels.localCheckpoint(eager=True)
     for it in range(max_iter):
         neighbor_min = (
@@ -572,7 +580,14 @@ def connected_components(
             f"connected_components: no fixpoint after {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"
         )
-    return labels.select(F.col("u").alias(id_col), "component")
+    return (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(labels, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("component", F.col("u")).alias("component"),
+        )
+    )
 
 
 def dedup_groups(
