@@ -2715,6 +2715,48 @@ def p05_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e07_ewma",
+    oracle="""
+WITH s AS (SELECT user_id,
+                  list(value::DOUBLE ORDER BY ts, event_id) AS vals
+           FROM events GROUP BY user_id)
+SELECT user_id,
+       len(vals)::BIGINT AS n_events,
+       round(list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25), 6)
+         AS ewma
+FROM s
+""",
+)
+def e07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially weighted moving average (alpha = 0.25)
+    over event time — the inherently SEQUENTIAL per-key analytic
+    (acc = 0.75*acc + 0.25*x), expressed as one hash aggregate that
+    collects each key's ordered value list plus a left-to-right fold.
+    Both engines fold left-to-right seeded with the first value, so
+    the doubles are bit-identical. At scale the state per key is the
+    key's own event list (same bound as sessionization); the
+    streaming twin is `stateful.running_stats`' shape with the EWMA
+    update."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return g.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2761,6 +2803,7 @@ _DRIVER_TAIL = [
     "a05_sq8_knn",         # ANN family: a01/a02/a03 stay
     "d08_semantic_neardup",  # embedding dedup family: d05 (exact) stays
     "p05_pipeline_chunks",   # pipeline composition: p01 + p04 stay
+    "e07_ewma",              # events family: e01/e05 stay
 ]
 
 
