@@ -329,3 +329,18 @@ def test_embedding_neardup_blocked_subset_and_planted_recall(spark, embeddings):
         for r in emb.where(F.col("vec_id") % 40 == 0).collect()
     }
     assert want <= set(got)
+
+
+def test_minhash_fused_signatures_bit_identical(spark, documents):
+    a = {r.id: list(r.minhash)
+         for r in dd.minhash_signatures(documents).collect()}
+    b = {r.id: list(r.minhash)
+         for r in dd.minhash_signatures_fused(documents).collect()}
+    assert a == b and a
+    # the full pipeline agrees pair-for-pair under either path
+    pa = {(r.a_id, r.b_id, r.jaccard)
+          for r in dd.minhash_dedup_pairs(documents, threshold=0.5).collect()}
+    pb = {(r.a_id, r.b_id, r.jaccard)
+          for r in dd.minhash_dedup_pairs(
+              documents, threshold=0.5, fused_signatures=True).collect()}
+    assert pa == pb

@@ -275,6 +275,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    fused_signatures: bool = False,
 ) -> DataFrame:
     """The full MinHash-LSH dedup pipeline: signatures → band join →
     exact-Jaccard refinement. With J >= 0.5 pairs and 8×2 banding the
@@ -285,14 +286,30 @@ def minhash_dedup_pairs(
     aggregation (min() is duplicate-insensitive) and the refinement's
     set algebra — the tokenize+window pass over the corpus runs once,
     not twice. Pass ``shingles`` (distinct, ideally persisted) to
-    share that pass across operators too."""
+    share that pass across operators too. ``fused_signatures=True``
+    computes the signatures in the zero-shuffle Arrow kernel instead
+    (bit-identical; see `minhash_signatures_fused`) — the right call
+    when no other operator shares the shingle pass, since the
+    refinement then only shingles what the corpus-wide signature
+    shuffle would otherwise have paid for. Measured at sf0.1
+    (interleaved best-of-3, full pipeline): expr 0.93 s vs fused
+    1.37 s — the shared persisted shingle pass makes the expression
+    aggregate marginal at this size, so expr stays the default; the
+    crossover is where the (id, hash) shuffle dwarfs a second
+    tokenize pass (corpus >> memory)."""
     sh = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, distinct=True
     ).persist()
-    sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_n=shingle_n, shingles=sh,
-    )
+    if fused_signatures:
+        sig = minhash_signatures_fused(
+            df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            shingle_n=shingle_n,
+        )
+    else:
+        sig = minhash_signatures(
+            df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            shingle_n=shingle_n, shingles=sh,
+        )
     cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
     return jaccard_pairs(
         df,
@@ -903,4 +920,73 @@ def embedding_neardup_blocked(
 
     return assigned.groupBy("cell").applyInPandas(
         make_cell_kernel(thr), "a_id long, b_id long, cos_sim double"
+    )
+
+
+def minhash_signatures_fused(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash) in ONE Arrow pass: tokenize, shingle, md5-hash
+    and take the k affine-permutation minima per document INSIDE the
+    kernel — ZERO shuffles. The expression path
+    (`minhash_signatures`) explodes to (id, shingle-hash) rows and
+    shuffles them all into a 16-min groupBy; at 100 TB that shuffle
+    is corpus-sized while this kernel's output is one row per doc.
+
+    Output is BIT-IDENTICAL to the expression path (same md5[18:15]
+    base hash, same affine maps mod 2^31-1, min over the same
+    distinct shingle sets; docs with no shingles emit no row) —
+    asserted by test and interchangeable under the d02 oracle.
+    """
+    p = 2147483647
+    nperm, nsh = int(num_perm), int(shingle_n)
+    a_consts = [(1103515245 * (j + 1) + 12345) % p for j in range(nperm)]
+
+    def kern(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(a_consts, dtype=np.int64)
+        J = np.arange(nperm, dtype=np.int64)
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.lower().split()
+                ss = {
+                    " ".join(toks[j : j + nsh])
+                    for j in range(len(toks) - nsh + 1)
+                }
+                if not ss:
+                    continue  # expression path emits no row either
+                hb = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(s.encode("utf-8")).hexdigest()[17:32],
+                            16,
+                        )
+                        % p
+                        for s in ss
+                    ),
+                    dtype=np.int64,
+                    count=len(ss),
+                )
+                mins = ((hb[:, None] * A[None, :] + J[None, :]) % p).min(
+                    axis=0
+                )
+                ids.append(i)
+                sigs.append(mins.tolist())
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"), "minhash": sigs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kern, "id long, minhash array<long>"
     )
