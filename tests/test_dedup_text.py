@@ -344,3 +344,29 @@ def test_minhash_fused_signatures_bit_identical(spark, documents):
           for r in dd.minhash_dedup_pairs(
               documents, threshold=0.5, fused_signatures=True).collect()}
     assert pa == pb
+
+
+def test_hashing_embed_dense_long_consistency_and_knn(spark):
+    from vector_database_spark.operators.search import knn
+
+    docs = _docs(spark)
+    long = {(r.id, r.bucket): r.weight
+            for r in tx.hashing_embed_long(docs, dims=32).collect()}
+    dense = {r.id: list(r.vector)
+             for r in tx.hashing_embed(docs, dims=32).collect()}
+    # dense agrees with long; absent buckets are exactly 0
+    for i, v in dense.items():
+        assert len(v) == 32
+        for b, x in enumerate(v):
+            assert x == long.get((i, b), 0.0)
+        # L2-normalized
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # exact-dup docs (3, 4) embed identically; composition with knn
+    # puts each doc's duplicate at distance 0
+    assert dense[3] == dense[4]
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in dense.items()], "id long, vector array<double>"
+    )
+    res = knn(vecs, [(3, dense[3])], k=2)
+    got = {(r.id, round(r.dist, 9)) for r in res.collect()}
+    assert (3, 0.0) in got and (4, 0.0) in got

@@ -346,3 +346,85 @@ def tfidf_top_terms(
         .where(F.col("rank") <= int(k))
         .select("id", "term", "tfidf", "rank")
     )
+
+
+def hashing_embed_long(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature-hashing document embedding, LONG format:
+    ``(id, bucket, weight)`` — token counts folded into ``dims``
+    md5-hash buckets (signed hashing trick: an independent hash bit
+    decides +/-, which unbiases collision noise), L2-normalized per
+    document. Every value is exact integer arithmetic + one
+    correctly-rounded sqrt, so an external SQL engine reproduces the
+    embedding bit-for-bit.
+
+    Shape at scale: one explode + two map-side-combinable hash
+    aggregates (token-fold, then per-doc norm) — the same profile as
+    the token-stats pass. The dense form is `hashing_embed`.
+    """
+    from vector_database_spark.functions.hashing import h60
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    bucket = (h60("tok") % F.lit(int(dims))).cast("int")
+    if signed:
+        sign = F.when(
+            (h60(F.concat(F.lit("s:"), F.col("tok"))) % 2) == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+    else:
+        sign = F.lit(1)
+    folded = (
+        ex.select("id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("c"))
+        .where(F.col("c") != 0)  # signed collisions can cancel exactly
+    )
+    norm = folded.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
+    )
+    return (
+        folded.join(norm, "id")
+        .select(
+            "id",
+            "bucket",
+            (F.col("c").cast("double") / F.col("_n")).alias("weight"),
+        )
+    )
+
+
+def hashing_embed(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    signed: bool = True,
+) -> DataFrame:
+    """Dense form of `hashing_embed_long`: ``(id, vector)`` with
+    ``vector: array<double>`` of length ``dims`` — the bridge from the
+    text table into every vector operator (index build, kNN, SQ8/PQ,
+    embedding near-dup) with zero model dependencies and full
+    cross-engine determinism."""
+    long = hashing_embed_long(
+        df, id_col=id_col, text_col=text_col, dims=int(dims), signed=signed
+    )
+    g = long.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+        ).alias("_m")
+    )
+    return g.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(dims) - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_m"), i.cast("int")), F.lit(0.0)
+            ),
+        ).alias("vector"),
+    )

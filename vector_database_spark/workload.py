@@ -2757,6 +2757,43 @@ def e07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t11_hashing_embed",
+    oracle="""
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    AS tok
+           FROM documents),
+f AS (SELECT doc_id,
+             (('0x' || substr(md5(tok), 18, 15))::BIGINT % 64) AS bucket,
+             CASE WHEN ('0x' || substr(md5('s:' || tok), 18, 15))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM u),
+c AS (SELECT doc_id, bucket, sum(s)::BIGINT AS c
+      FROM f GROUP BY doc_id, bucket HAVING sum(s) <> 0),
+n AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM c GROUP BY doc_id)
+SELECT c.doc_id, c.bucket::BIGINT AS bucket,
+       round(c.c::DOUBLE / n.nn, 6) AS weight
+FROM c JOIN n USING (doc_id)
+""",
+)
+def t11_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic feature-hashing document embedding (signed
+    hashing trick, 64 buckets, L2-normalized) — the model-free bridge
+    from the text table into the vector operators (build/kNN/SQ8/
+    near-dup). Long format so every value is exact: integer folds +
+    one correctly-rounded sqrt. Two map-side aggregates, no driver
+    state."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.hashing_embed_long(docs, dims=64)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2804,6 +2841,7 @@ _DRIVER_TAIL = [
     "d08_semantic_neardup",  # embedding dedup family: d05 (exact) stays
     "p05_pipeline_chunks",   # pipeline composition: p01 + p04 stay
     "e07_ewma",              # events family: e01/e05 stay
+    "t11_hashing_embed",     # text->vector bridge: t01-t05 + v* stay
 ]
 
 
