@@ -108,6 +108,21 @@ CHECKS = {
          "ArrowEvalPython"],
         "PII scrub: pure JVM regexp projection, no shuffle at all",
     ),
+    "t11_hashing_embed": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>",
+         "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+        "feature-hashing embed: column-pruned scan into two map-side "
+        "hash aggregates, JVM-only expressions, norm join broadcast",
+    ),
+    "e07_ewma": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "Window"],
+        "EWMA: ONE hash aggregate collects each key's ordered list "
+        "(no global window/sort); the fold is a scalar expression",
+    ),
     "a04_sq8": (
         [],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
