@@ -301,3 +301,26 @@ def test_sq8_persistence_roundtrip(spark, embeddings):
     sq8_write(enc, lo, hi, path + "_c", keep_vectors=False)
     enc3, _, _ = sq8_read(spark, path + "_c")
     assert "vector" not in enc3.columns and "codes" in enc3.columns
+
+
+def test_standardize_moments_and_roundtrip(spark, embeddings):
+    import numpy as np
+
+    from vector_database_spark.operators.ann import standardize
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 500)
+    out, means, stds = standardize(vecs)
+    M = np.asarray([list(r.vector) for r in out.collect()])
+    # standardized columns have mean ~0 and pop-std ~1
+    assert np.abs(M.mean(axis=0)).max() < 1e-9
+    assert np.abs(M.std(axis=0) - 1.0).max() < 1e-9
+    # constant dim -> 0
+    cvecs = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(10)],
+        "id long, vector array<float>",
+    )
+    cout, _, cstds = standardize(cvecs)
+    assert cstds[1] == 0.0
+    assert all(r.vector[1] == 0.0 for r in cout.collect())

@@ -370,3 +370,42 @@ def test_hashing_embed_dense_long_consistency_and_knn(spark):
     res = knn(vecs, [(3, dense[3])], k=2)
     got = {(r.id, round(r.dist, 9)) for r in res.collect()}
     assert (3, 0.0) in got and (4, 0.0) in got
+
+
+def test_incremental_neardup_across_batches(spark):
+    """Micro-batch ingest: each batch is checked against the
+    accumulated corpus state (signatures + shingles) and then
+    appended to it; results match a full batch recompute."""
+    b0 = ["the quick brown fox jumps over the lazy dog today",
+          "a tall ship sails on the open sea tonight with the wind"]
+    b1 = ["the quick brown fox jumps over the lazy cat today",  # ~dup of 0
+          "completely unrelated text about spark execution engines"]
+    b2 = ["a tall ship sails on the open sea tonight with the breeze",  # ~dup of 1
+          "the quick brown fox jumps over the lazy cat today"]  # exact of 2
+    mk = lambda rows, off: spark.createDataFrame(
+        [(off + i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    batches = [mk(b0, 0), mk(b1, 10), mk(b2, 20)]
+
+    # incremental: state starts with batch 0
+    state_sigs = dd.minhash_signatures_fused(batches[0]).localCheckpoint(eager=True)
+    state_sh = dd.shingle_rows(batches[0]).localCheckpoint(eager=True)
+    found = set()
+    for nb in batches[1:]:
+        pairs, new_sigs, new_sh = dd.incremental_neardup(
+            nb, state_sigs, state_sh, threshold=0.5
+        )
+        found |= {(r.a_id, r.b_id) for r in pairs.collect()}
+        state_sigs = state_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+        state_sh = state_sh.unionByName(new_sh).localCheckpoint(eager=True)
+
+    # full recompute over everything
+    alldocs = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    full = {(r.a_id, r.b_id)
+            for r in dd.minhash_dedup_pairs(alldocs, threshold=0.5).collect()}
+    # incremental sees every pair that involves a post-batch-0 doc;
+    # batch-0-internal pairs (none here) are the only exclusion
+    assert found == full and found
+    assert (0, 10) in found       # cross-batch near-dup
+    assert (1, 20) in found       # batch-2 vs batch-0
+    assert (10, 21) in found      # exact dup arriving later

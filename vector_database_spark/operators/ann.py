@@ -985,3 +985,42 @@ def sq8_read(spark, path: str) -> tuple[DataFrame, list, list]:
     enc = spark.read.parquet(f"{path}/codes")
     rows = spark.read.parquet(f"{path}/stats").orderBy("idx").collect()
     return enc, [r.lo for r in rows], [r.hi for r in rows]
+
+
+def standardize(
+    vecs: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> tuple[DataFrame, list, list]:
+    """Per-dimension z-score standardization: returns
+    (standardized_df, means, stds). The preprocessing the reference's
+    MemoryVectorIndex normalization contract implies (vectors must be
+    scaled into a common cube, MemoryVectorIndex.cs:7-9) — one
+    bounded stats aggregate (like `sq8_stats`), then a zero-shuffle
+    literal-closure projection. Constant dimensions pass through as
+    0."""
+    ex = vecs.select(F.posexplode(vector_col).alias("idx", "v"))
+    rows = (
+        ex.groupBy("idx")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.stddev_pop(F.col("v").cast("double")).alias("sd"),
+        )
+        .orderBy("idx")
+        .collect()
+    )
+    means = [r.m for r in rows]
+    stds = [r.sd for r in rows]
+    m_a = F.array(*[F.lit(float(x)) for x in means])
+    s_a = F.array(*[F.lit(float(x)) for x in stds])
+
+    def _z(v, i):
+        m = F.try_element_at(m_a, i + 1)
+        s = F.try_element_at(s_a, i + 1)
+        return F.when(s == 0, F.lit(0.0)).otherwise(
+            (v.cast("double") - m) / s
+        )
+
+    out = vecs.withColumn(vector_col, F.transform(F.col(vector_col), _z))
+    return out, means, stds

@@ -990,3 +990,94 @@ def minhash_signatures_fused(
     return df.select(id_col, text_col).mapInPandas(
         kern, "id long, minhash array<long>"
     )
+
+
+def _band_signatures(
+    signatures: DataFrame, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, key) rows from (id, minhash) signatures."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("minhash")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    corpus_shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    include_new_pairs: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Ingest-time near-dup detection: check a NEW batch of documents
+    against an EXISTING corpus without touching corpus state —
+    signatures for the new batch only (zero-shuffle fused kernel), a
+    banded equi-join against the persisted corpus signature table,
+    exact-Jaccard refinement over the union of shingle rows.
+
+    Returns ``(pairs, new_signatures, new_shingles)`` — pairs is
+    (a_id, b_id, jaccard) with a corpus-vs-new pair ordered
+    (corpus, new) when ids allow; the caller appends new_signatures /
+    new_shingles to the corpus state tables (parquet append at scale)
+    so the next batch checks against the grown corpus. Shuffle per
+    batch: batch×bands signature rows + the candidates' shingles —
+    the corpus is never rescanned.
+
+    ``include_new_pairs``: also detect near-dups WITHIN the batch
+    (exact same banding; one extra small self-join).
+    """
+    new_sigs = minhash_signatures_fused(
+        new_docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n,
+    )
+    new_sh = shingle_rows(
+        new_docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        distinct=True,
+    )
+    bn = _band_signatures(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    bc = _band_signatures(
+        corpus_signatures, bands=bands, rows_per_band=rows_per_band
+    )
+    cross = (
+        bc.alias("a")
+        .join(bn.alias("b"), ["band", "key"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    cand = cross
+    if include_new_pairs:
+        within = lsh_candidate_pairs(
+            new_sigs, bands=bands, rows_per_band=rows_per_band
+        )
+        cand = cross.unionByName(within).distinct()
+    all_sh = corpus_shingles.unionByName(new_sh)
+    pairs = jaccard_pairs(
+        new_docs, cand, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=threshold, shingles=all_sh,
+    )
+    return pairs, new_sigs, new_sh

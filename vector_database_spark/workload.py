@@ -2794,6 +2794,47 @@ def t11_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "v15_standardize",
+    oracle="""
+WITH ex AS (SELECT vec_id,
+                   (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+st AS (SELECT idx, avg(v) AS m, stddev_pop(v) AS sd
+       FROM ex GROUP BY idx)
+SELECT ex.vec_id, ex.idx,
+       round(CASE WHEN st.sd = 0 THEN 0.0
+                  ELSE (ex.v - st.m) / st.sd END, 4) AS z
+FROM ex JOIN st USING (idx)
+""",
+)
+def v15_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization in long form — the
+    preprocessing behind the reference's normalization contract
+    (MemoryVectorIndex.cs:7-9: vectors must live in a common cube).
+    One bounded stats aggregate + one broadcast join back onto the
+    exploded rows; constant dims map to 0."""
+    vecs = _embeddings(spark, sf_dir)
+    ex = vecs.select(
+        F.col("id").alias("vec_id"), F.posexplode("vector").alias("idx", "v")
+    )
+    st = ex.groupBy("idx").agg(
+        F.avg(F.col("v").cast("double")).alias("m"),
+        F.stddev_pop(F.col("v").cast("double")).alias("sd"),
+    )
+    return ex.join(F.broadcast(st), "idx").select(
+        "vec_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(
+            F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+                (F.col("v").cast("double") - F.col("m")) / F.col("sd")
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2842,6 +2883,7 @@ _DRIVER_TAIL = [
     "p05_pipeline_chunks",   # pipeline composition: p01 + p04 stay
     "e07_ewma",              # events family: e01/e05 stay
     "t11_hashing_embed",     # text->vector bridge: t01-t05 + v* stay
+    "v15_standardize",       # per-dim stats family: v05 stays
 ]
 
 
