@@ -1037,8 +1037,8 @@ def incremental_neardup(
     exact-Jaccard refinement over the union of shingle rows.
 
     Returns ``(pairs, new_signatures, new_shingles)`` — pairs is
-    (a_id, b_id, jaccard) with a corpus-vs-new pair ordered
-    (corpus, new) when ids allow; the caller appends new_signatures /
+    (a_id, b_id, jaccard), canonically ordered a_id < b_id; the
+    caller appends new_signatures /
     new_shingles to the corpus state tables (parquet append at scale)
     so the next batch checks against the grown corpus. Shuffle per
     batch: batch×bands signature rows + the candidates' shingles —
