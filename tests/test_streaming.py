@@ -389,3 +389,49 @@ def test_stateless_text_operators_run_on_streams(spark):
     assert got_chunks == want_chunks and got_chunks
     assert got_pii == want_pii
     assert all(n == 1 and "<EMAIL>" in s for _, n, s in got_pii)
+
+
+def test_streaming_neardup_ingest_accumulates_state(spark):
+    """Near-dup flagging at ingest: parquet-backed corpus state
+    accumulates across micro-batches AND across query restarts; the
+    flagged pairs equal the full-batch recompute."""
+    import tempfile as _tf
+
+    from vector_database_spark.operators.dedup import minhash_dedup_pairs
+    from vector_database_spark.streaming.dedup import streaming_neardup_ingest
+
+    tmp = _tf.mkdtemp()
+    src, state, ckpt, sink = (
+        f"{tmp}/src", f"{tmp}/state", f"{tmp}/ckpt", f"{tmp}/flagged"
+    )
+    b0 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "a tall ship sails on the open sea tonight with the wind")],
+        "doc_id long, text string",
+    )
+    b0.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = streaming_neardup_ingest(
+            stream, state, threshold=0.5, checkpoint=ckpt, flagged_sink=sink
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # restart with new arrivals: a near-dup of doc 0 and an exact
+    # late duplicate of doc 1
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat today"),
+         (11, "a tall ship sails on the open sea tonight with the wind")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r.a_id, r.b_id) for r in spark.read.parquet(sink).collect()}
+    alldocs = spark.read.parquet(src)
+    want = {(r.a_id, r.b_id)
+            for r in minhash_dedup_pairs(alldocs, threshold=0.5).collect()}
+    assert got == want and (0, 10) in got and (1, 11) in got
+    # state grew to one signature row per doc
+    assert spark.read.parquet(f"{state}/signatures").count() == 4

@@ -42,3 +42,85 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_dedup_key")
     )
+
+
+def streaming_neardup_ingest(
+    docs_stream: DataFrame,
+    state_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    flagged_sink: str | None = None,
+):
+    """Ingest-time NEAR-dup detection: each micro-batch is checked
+    against the accumulated corpus (signatures + shingles persisted
+    under ``state_path``) via `operators.dedup.incremental_neardup`,
+    then appended to that state. Near-dup pairs go to
+    ``flagged_sink`` (parquet) when given.
+
+    State is two append-only parquet tables — signatures (one row per
+    doc) and distinct shingle rows — NOT Spark state-store state, so
+    it survives restarts, is queryable, and a batch backfill can seed
+    it with `minhash_signatures_fused` + `shingle_rows` outputs
+    directly (identical schemas and hashes). Per batch the corpus is
+    never rescanned: the banded join touches batch×bands signature
+    rows plus the candidates' shingles.
+
+    Returns the started StreamingQuery.
+    """
+    from vector_database_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signatures_fused,
+        shingle_rows,
+    )
+
+    sig_path = f"{state_path}/signatures"
+    sh_path = f"{state_path}/shingles"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        try:
+            corpus_sigs = spark.read.parquet(sig_path)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            corpus_sh = spark.read.parquet(sh_path)
+            pairs, new_sigs, new_sh = incremental_neardup(
+                batch_df, corpus_sigs, corpus_sh,
+                id_col=id_col, text_col=text_col, threshold=threshold,
+            )
+            if flagged_sink is not None:
+                pairs.write.mode("append").parquet(flagged_sink)
+            else:
+                pairs.count()  # force detection even without a sink
+        else:
+            new_sigs = minhash_signatures_fused(
+                batch_df, id_col=id_col, text_col=text_col
+            )
+            new_sh = shingle_rows(batch_df, id_col=id_col, text_col=text_col)
+            # batch-internal pairs of the very first batch
+            if flagged_sink is not None:
+                from vector_database_spark.operators.dedup import (
+                    minhash_dedup_pairs,
+                )
+
+                minhash_dedup_pairs(
+                    batch_df, id_col=id_col, text_col=text_col,
+                    threshold=threshold,
+                ).write.mode("append").parquet(flagged_sink)
+        # materialize BEFORE appending (new_sigs/new_sh read nothing
+        # from state_path, but keep the write last so a crash between
+        # the two appends can only lose the batch, never corrupt it)
+        new_sigs.write.mode("append").parquet(sig_path)
+        new_sh.write.mode("append").parquet(sh_path)
+
+    w = docs_stream.writeStream.foreachBatch(_process)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
