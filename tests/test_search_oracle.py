@@ -211,3 +211,27 @@ def test_shuffle_regime_index_side_no_exchange(spark):
         cached.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cosine_search_equals_brute(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.functions.vector import cosine_similarity
+    from vector_database_spark.operators.search import cosine_search
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    panel = [(int(r.id), list(r.vector))
+             for r in vecs.where(F.col("id").isin([3, 99])).collect()]
+    got = {(r.qid, r.id) for r in cosine_search(vecs, panel, 0.25).collect()}
+    qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+    brute = (
+        vecs.crossJoin(F.broadcast(qdf))
+        .where(cosine_similarity(F.col("vector"), F.col("qvec")) >= 0.25)
+        .select("qid", "id")
+    )
+    want = {(r.qid, r.id) for r in brute.collect()}
+    assert got == want and got
+    # the query point itself always matches at cos = 1
+    assert (3, 3) in got and (99, 99) in got

@@ -1027,3 +1027,75 @@ def knn(
         .where(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
+
+
+def cosine_search(
+    vecs: DataFrame,
+    queries: DataFrame | list,
+    min_cos: float,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    index_df: DataFrame | None = None,
+    local_threshold: int = 20_000,
+) -> DataFrame:
+    """Cosine vicinity search through the L2 BSP tree: all vectors
+    with ``cos(v, q) >= min_cos``, returned as ``(qid, id, cos_sim)``.
+
+    The reference's tree prunes Euclidean boxes only; cosine reduces
+    to it exactly: for unit vectors ‖â−b̂‖² = 2−2·cos(a,b), so a
+    cosine floor t is an L2 ball of radius sqrt(2−2t) over the
+    NORMALIZED corpus. The tree walk over the normalized index is
+    pure candidate generation (domain padded by 1e-6 relative so
+    float noise in the normalization can never exclude a true match);
+    the final filter recomputes cosine on the RAW vectors with the
+    same expression an external oracle uses — boundary behavior is
+    decided by one expression, not by the reduction.
+
+    Pass ``index_df`` (built over the normalized corpus by this same
+    function's ``build`` contract) to reuse an index across calls;
+    otherwise one is built ad hoc.
+    """
+    from vector_database_spark.functions.vector import (
+        cosine_similarity,
+        l2_norm,
+    )
+    from vector_database_spark.operators.index_build import build_index
+
+    t = float(min_cos)
+    if not -1.0 <= t <= 1.0:
+        raise ValueError("min_cos must be in [-1, 1]")
+    src = vecs.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
+    norm = l2_norm(F.col("vector"))
+    normed = (
+        src.where(norm > 0)
+        .select(
+            "id",
+            F.transform(
+                F.col("vector"), lambda x: x.cast("double") / norm
+            ).alias("vector"),
+        )
+    )
+    idx = index_df
+    if idx is None:
+        idx = build_index(normed, local_threshold=local_threshold)
+    qdf = _as_queries_df(src, queries)
+    qn = qdf.select(
+        "qid",
+        F.transform(
+            F.col("qvec"),
+            lambda x: x.cast("double") / l2_norm(F.col("qvec")),
+        ).alias("qvec"),
+    )
+    import math
+
+    domain = math.sqrt(max(0.0, 2.0 - 2.0 * t)) * (1.0 + 1e-6) + 1e-9
+    cands = search_candidates(idx, qn, domain).select("qid", "id")
+    raw_q = qdf.select("qid", F.col("qvec").alias("_raw_q"))
+    return (
+        src.join(cands, "id")
+        .join(F.broadcast(raw_q), "qid")
+        .withColumn("cos_sim", cosine_similarity(F.col("vector"), F.col("_raw_q")))
+        .where(F.col("cos_sim") >= F.lit(t))
+        .select("qid", "id", "cos_sim")
+    )

@@ -2835,6 +2835,36 @@ def v15_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_SEARCH_T = 0.30
+
+
+@query(
+    "v16_cosine_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT q.qid, e.vec_id AS id,
+       round({_cos_sql('e.embedding', 'q.qv')}, 4) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE {_cos_sql('e.embedding', 'q.qv')} >= {COSINE_SEARCH_T}
+""",
+)
+def v16_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine vicinity through the L2 BSP tree: for unit vectors
+    ‖â−b̂‖² = 2−2cos, so a cosine floor is an L2 ball over the
+    normalized corpus — the tree (L2-only in the reference) prunes
+    candidates and the final filter recomputes cosine on the RAW
+    vectors with the oracle's own expression (boundary decided by one
+    expression, not the reduction). The oracle is the brute scan."""
+    from vector_database_spark.operators.search import cosine_search
+
+    vecs = _embeddings(spark, sf_dir)
+    out = cosine_search(vecs, _panel(spark, sf_dir), COSINE_SEARCH_T)
+    return out.select(
+        "qid", "id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2884,6 +2914,7 @@ _DRIVER_TAIL = [
     "e07_ewma",              # events family: e01/e05 stay
     "t11_hashing_embed",     # text->vector bridge: t01-t05 + v* stay
     "v15_standardize",       # per-dim stats family: v05 stays
+    "v16_cosine_search",     # tree-search family: v01/v12/v14 stay
 ]
 
 
