@@ -409,3 +409,72 @@ def test_incremental_neardup_across_batches(spark):
     assert (0, 10) in found       # cross-batch near-dup
     assert (1, 20) in found       # batch-2 vs batch-0
     assert (10, 21) in found      # exact dup arriving later
+
+
+def _local_bpe_reference(word_counts, n_merges):
+    """Naive reference trainer (independent re-derivation for the
+    equality test)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        sym = tuple(list(w) + ["</w>"])
+        vocab[sym] = vocab.get(sym, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs or max(pairs.values()) < 2:
+            break
+        top = max(pairs.values())
+        pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(pair)
+        nv = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(pair[0] + pair[1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_local_reference_and_encodes(spark):
+    texts = [
+        "low lower lowest low low newer newest new",
+        "wider wide widest new newer low",
+        "the cat sat on the mat the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = tx.bpe_train(docs, n_merges=30)
+    # reference trainer over the same word counts
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.lower().split())
+    want = _local_bpe_reference(dict(wc), 30)
+    assert merges == want and merges
+    # encode: self-check passes, counts shrink vs chars, frequent
+    # words compress to fewer symbols than rare ones
+    enc = {r.id: r for r in tx.bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        r = enc[i]
+        assert r.reconstruction_ok
+        assert r.n_words == len(words)
+        n_chars = sum(len(w) + 1 for w in words)  # + </w> markers
+        assert r.n_words < r.n_bpe_tokens < n_chars
+    # "low" (very frequent) should be a single token after training
+    single = tx.bpe_encode(
+        spark.createDataFrame([(0, "low")], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    assert single.n_bpe_tokens == 1
+    # no merges -> pure characters
+    raw = tx.bpe_encode(docs, []).collect()
+    for r in raw:
+        words = texts[r.id].lower().split()
+        assert r.n_bpe_tokens == sum(len(w) + 1 for w in words)

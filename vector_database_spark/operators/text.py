@@ -428,3 +428,172 @@ def hashing_embed(
             ),
         ).alias("vector"),
     )
+
+
+BPE_END = "</w>"
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 262_144,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table from the corpus.
+
+    Distributed shape (the classic BPE factorization): ONE word-count
+    aggregate over the corpus (map-side combinable shuffle), then the
+    merge loop runs over the DISTINCT-WORD vocabulary with its
+    frequencies — at 100 TB the corpus is petabytes but the weighted
+    word vocabulary is millions of rows; ``max_words`` caps the
+    driver copy to the most frequent words (standard practice: rare
+    words contribute negligible pair mass). Fully deterministic:
+    ties break on the lexicographically smallest pair, words ordered
+    by (count desc, word asc).
+
+    Returns the ordered merge list [(left, right), ...] consumed by
+    `bpe_encode`.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    wc = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in wc:
+        sym = tuple(list(r.w) + [BPE_END])
+        vocab[sym] = vocab.get(sym, 0) + int(r.c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically SMALLEST
+        top_count = max(pairs.values())
+        pair = min(p for p, c in pairs.items() if c == top_count)
+        if top_count < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the merge rules in training order to one word."""
+    sym = list(word) + [BPE_END]
+    for a, b in merges:
+        if a not in sym:  # cheap skip; list scan is fine at word length
+            continue
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned BPE merge table:
+    ``(id, n_words, n_bpe_tokens, reconstruction_ok)``.
+
+    Arrow-batched kernel, merges closed over as a plain list (the
+    pickling rule every kernel here follows); per-batch distinct-word
+    memoization makes the cost proportional to distinct words per
+    batch, not tokens. ``reconstruction_ok`` asserts in-row that
+    joining the BPE tokens reproduces the normalized word — the
+    tokenizer is self-checking wherever it runs.
+    """
+    rules = [(str(a), str(b)) for a, b in merges]
+
+    def kern(batches):
+        import pandas as pd
+
+        memo: dict = {}
+
+        def enc(word):
+            got = memo.get(word)
+            if got is None:
+                sym = list(word) + ["</w>"]
+                for a, b in rules:
+                    if a not in sym:
+                        continue
+                    out = []
+                    i = 0
+                    while i < len(sym):
+                        if (
+                            i + 1 < len(sym)
+                            and sym[i] == a
+                            and sym[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    sym = out
+                got = sym
+                memo[word] = got
+            return got
+
+        for pdf in batches:
+            ids, nw, nt, ok = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in t.lower().split() if w]
+                total = 0
+                good = True
+                for w in words:
+                    sym = enc(w)
+                    total += len(sym)
+                    if "".join(sym) != w + "</w>":
+                        good = False
+                ids.append(i)
+                nw.append(len(words))
+                nt.append(total)
+                ok.append(good)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "n_words": pd.array(nw, dtype="int64"),
+                    "n_bpe_tokens": pd.array(nt, dtype="int64"),
+                    "reconstruction_ok": pd.array(ok, dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kern, "id long, n_words long, n_bpe_tokens long, reconstruction_ok boolean"
+    )

@@ -2865,6 +2865,29 @@ def v16_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t12_bpe_tokens")  # learned tokenizer: rows-only gate with an
+# in-row reconstruction self-check (no SQL engine can replay the
+# greedy merge loop; the trainer is property-tested against an
+# independent local reference implementation instead)
+def t12_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned BPE token counting (beyond the regex
+    pre-tokenizer, t03): train a merge table from the corpus word
+    counts (one aggregate; merge loop over the bounded distinct-word
+    vocabulary), then Arrow-encode every document. Deterministic:
+    same corpus -> same merges -> same counts on every engine/run;
+    `reconstruction_ok` asserts per row that the BPE symbols rebuild
+    the word exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, n_merges=100)
+    out = tx.bpe_encode(docs, merges)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_bpe_tokens",
+        "reconstruction_ok",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -2915,6 +2938,7 @@ _DRIVER_TAIL = [
     "t11_hashing_embed",     # text->vector bridge: t01-t05 + v* stay
     "v15_standardize",       # per-dim stats family: v05 stays
     "v16_cosine_search",     # tree-search family: v01/v12/v14 stay
+    "t12_bpe_tokens",        # token counting: t01/t03 stay
 ]
 
 
