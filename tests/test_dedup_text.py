@@ -478,3 +478,55 @@ def test_bpe_train_matches_local_reference_and_encodes(spark):
     for r in raw:
         words = texts[r.id].lower().split()
         assert r.n_bpe_tokens == sum(len(w) + 1 for w in words)
+
+
+def test_review_regressions_null_text_and_cc_contract(spark):
+    # NULL text must not crash Arrow kernels; expression parity: no rows
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    sh = dd.shingle_rows(docs).collect()
+    assert {r.id for r in sh} == {1}
+    sig = dd.minhash_signatures_fused(docs).collect()
+    assert {r.id for r in sig} == {1}
+    enc = {r.id: r for r in tx.bpe_encode(docs, []).collect()}
+    assert enc[2].n_words == 0 and enc[2].reconstruction_ok
+    # CC contract: edges touching ids absent from `nodes` neither
+    # relay connectivity nor donate labels
+    pairs = spark.createDataFrame(
+        [(5, 10), (5, 20)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(10,), (20,)], "id long")
+    out = {r.id: r.component
+           for r in dd.connected_components(pairs, nodes, id_col="id").collect()}
+    assert out == {10: 10, 20: 20}
+
+
+def test_incremental_neardup_reingest_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures_fused(docs)
+    sh = dd.shingle_rows(docs)
+    # the same id arrives again: it must be dropped, not re-shingled
+    pairs, new_sigs, new_sh = dd.incremental_neardup(docs, sigs, sh)
+    assert pairs.count() == 0
+    assert new_sigs.count() == 0 and new_sh.count() == 0
+
+
+def test_cosine_search_zero_norm_query(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.search import cosine_search
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 200)
+    dims = len(vecs.first().vector)
+    panel = [(7, [0.0] * dims),
+             (3, list(vecs.where(F.col("id") == 3).first().vector))]
+    out = cosine_search(vecs, panel, 0.3).collect()
+    qids = {r.qid for r in out}
+    assert 7 not in qids          # zero query matches nothing, no crash
+    assert (3 in qids)            # real query unaffected

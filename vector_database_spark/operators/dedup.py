@@ -83,6 +83,8 @@ def shingle_rows(
                 ids: list = []
                 outs: list = []
                 for i, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None:  # expression path: split(NULL) -> no rows
+                        continue
                     toks = t.lower().split()
                     grams = (
                         " ".join(toks[j : j + nsh])
@@ -92,7 +94,10 @@ def shingle_rows(
                     ids.extend([i] * len(ss))
                     outs.extend(ss)
                 yield pd.DataFrame(
-                    {"id": pd.array(ids, dtype="int64"), "shingle": outs}
+                    {
+                        "id": pd.array(ids, dtype="int64"),
+                        "shingle": pd.Series(outs, dtype="object"),
+                    }
                 )
 
         return df.select(id_col, text_col).mapInPandas(
@@ -184,24 +189,8 @@ def lsh_candidate_pairs(
     hazard at scale; AQE skew-join splitting handles moderate skew and
     a salt-and-recheck pass is the escape hatch beyond that.
     """
-    sig = signatures
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col("minhash")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = _band_signatures(
+        signatures, bands=bands, rows_per_band=rows_per_band
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -546,9 +535,18 @@ def connected_components(
     (MemoryVectorIndex.cs:462-486) re-expressed as a set-based
     fixpoint, the same inversion SURVEY §4 applies to the build.
     """
+    node_ids = nodes.select(F.col(id_col).alias("u")).distinct()
     sym = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    # contract: components are defined over `nodes` — edges touching
+    # ids absent from `nodes` neither relay connectivity nor donate
+    # labels (a filtered node subset must not merge through, or be
+    # labeled by, a non-existent node)
+    sym = (
+        sym.join(node_ids, "u", "left_semi")
+        .join(node_ids.withColumnRenamed("u", "v"), "v", "left_semi")
+    )
     sym = sym.localCheckpoint(eager=True)
     # Propagate over the PAIRED subgraph only: a node with no pair has
     # no neighbors and can never change its label, so shuffling the
@@ -959,6 +957,8 @@ def minhash_signatures_fused(
             ids: list = []
             sigs: list = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:  # expression path: NULL text -> no rows
+                    continue
                 toks = t.lower().split()
                 ss = {
                     " ".join(toks[j : j + nsh])
@@ -984,7 +984,13 @@ def minhash_signatures_fused(
                 ids.append(i)
                 sigs.append(mins.tolist())
             yield pd.DataFrame(
-                {"id": pd.array(ids, dtype="int64"), "minhash": sigs}
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    # explicit object dtype: an empty plain-list column
+                    # defaults to float64, which Arrow cannot convert
+                    # to list<int64> (empty batches crash otherwise)
+                    "minhash": pd.Series(sigs, dtype="object"),
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(
@@ -1042,11 +1048,25 @@ def incremental_neardup(
     new_shingles to the corpus state tables (parquet append at scale)
     so the next batch checks against the grown corpus. Shuffle per
     batch: batch×bands signature rows + the candidates' shingles —
-    the corpus is never rescanned.
+    the corpus shingle table is semi-joined to the candidate ids
+    before any aggregate, so refinement cost tracks the candidate
+    set, not the corpus.
+
+    Ids already present in ``corpus_signatures`` are DROPPED from the
+    batch (an id re-ingest would duplicate its shingle rows in the
+    union and silently corrupt every Jaccard touching it — sizes and
+    intersections would double); re-ingesting changed content under
+    the same id is an upsert, which this append-only flow does not
+    model.
 
     ``include_new_pairs``: also detect near-dups WITHIN the batch
     (exact same banding; one extra small self-join).
     """
+    new_docs = new_docs.join(
+        corpus_signatures.select(F.col("id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
     new_sigs = minhash_signatures_fused(
         new_docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
         shingle_n=shingle_n,
@@ -1075,7 +1095,18 @@ def incremental_neardup(
             new_sigs, bands=bands, rows_per_band=rows_per_band
         )
         cand = cross.unionByName(within).distinct()
-    all_sh = corpus_shingles.unionByName(new_sh)
+    # refinement reads only the CANDIDATES' shingles: semi-join the
+    # (growing) corpus shingle table down to candidate ids before the
+    # size/intersection aggregates — per-batch cost stays proportional
+    # to the candidate set, never the corpus
+    cand_ids = (
+        cand.select(F.col("a_id").alias("id"))
+        .unionByName(cand.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    all_sh = corpus_shingles.unionByName(new_sh).join(
+        cand_ids, "id", "left_semi"
+    )
     pairs = jaccard_pairs(
         new_docs, cand, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, threshold=threshold, shingles=all_sh,

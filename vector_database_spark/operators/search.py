@@ -1065,28 +1065,21 @@ def cosine_search(
     t = float(min_cos)
     if not -1.0 <= t <= 1.0:
         raise ValueError("min_cos must be in [-1, 1]")
+    from vector_database_spark.functions.vector import normalize
+
     src = vecs.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
     norm = l2_norm(F.col("vector"))
-    normed = (
-        src.where(norm > 0)
-        .select(
-            "id",
-            F.transform(
-                F.col("vector"), lambda x: x.cast("double") / norm
-            ).alias("vector"),
-        )
+    normed = src.where(norm > 0).select(
+        "id", normalize(F.col("vector")).alias("vector")
     )
     idx = index_df
     if idx is None:
         idx = build_index(normed, local_threshold=local_threshold)
-    qdf = _as_queries_df(src, queries)
-    qn = qdf.select(
-        "qid",
-        F.transform(
-            F.col("qvec"),
-            lambda x: x.cast("double") / l2_norm(F.col("qvec")),
-        ).alias("qvec"),
-    )
+    # cosine is undefined against a zero query vector; a zero-norm
+    # query matches nothing (mirrors the corpus-side norm > 0 guard,
+    # and avoids ANSI-mode DIVIDE_BY_ZERO inside the transform)
+    qdf = _as_queries_df(src, queries).where(l2_norm(F.col("qvec")) > 0)
+    qn = qdf.select("qid", normalize(F.col("qvec")).alias("qvec"))
     import math
 
     domain = math.sqrt(max(0.0, 2.0 - 2.0 * t)) * (1.0 + 1e-6) + 1e-9

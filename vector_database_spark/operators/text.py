@@ -502,25 +502,6 @@ def bpe_train(
     return merges
 
 
-def _bpe_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Apply the merge rules in training order to one word."""
-    sym = list(word) + [BPE_END]
-    for a, b in merges:
-        if a not in sym:  # cheap skip; list scan is fine at word length
-            continue
-        out = []
-        i = 0
-        while i < len(sym):
-            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(sym[i])
-                i += 1
-        sym = out
-    return sym
-
-
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -573,7 +554,10 @@ def bpe_encode(
         for pdf in batches:
             ids, nw, nt, ok = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in t.lower().split() if w]
+                # NULL text: zero words, vacuously reconstructed
+                # (the expression-based gates tolerate NULLs; the
+                # kernels must not crash the job on one bad row)
+                words = [] if t is None else [w for w in t.lower().split() if w]
                 total = 0
                 good = True
                 for w in words:

@@ -60,13 +60,17 @@ def streaming_neardup_ingest(
     then appended to that state. Near-dup pairs go to
     ``flagged_sink`` (parquet) when given.
 
-    State is two append-only parquet tables — signatures (one row per
-    doc) and distinct shingle rows — NOT Spark state-store state, so
-    it survives restarts, is queryable, and a batch backfill can seed
-    it with `minhash_signatures_fused` + `shingle_rows` outputs
-    directly (identical schemas and hashes). Per batch the corpus is
-    never rescanned: the banded join touches batch×bands signature
-    rows plus the candidates' shingles.
+    State is two parquet tables — signatures (one row per doc) and
+    distinct shingle rows — NOT Spark state-store state, so it
+    survives restarts, is queryable, and a batch backfill can seed it
+    with `minhash_signatures_fused` + `shingle_rows` outputs written
+    under a ``batch=<n>`` subdirectory. Writes are RETRY-IDEMPOTENT:
+    each micro-batch overwrites its own ``batch=<id>`` partition
+    directory, so foreachBatch's at-least-once redelivery replaces
+    the same rows instead of appending duplicates (duplicate shingle
+    rows would silently corrupt every future Jaccard involving those
+    docs). Per batch the corpus is never rescanned: the banded join
+    touches batch×bands signature rows plus the candidates' shingles.
 
     Returns the started StreamingQuery.
     """
@@ -79,24 +83,40 @@ def streaming_neardup_ingest(
     sig_path = f"{state_path}/signatures"
     sh_path = f"{state_path}/shingles"
 
+    def _read_state(spark, path: str) -> DataFrame | None:
+        """Read accumulated state; None ONLY when the path does not
+        exist yet. Any other failure (corrupt footer, permissions,
+        transient FS error) re-raises — silently treating it as
+        'no state' would skip the corpus check for the batch and
+        then append it as clean, losing duplicates forever."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path).drop("batch")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        try:
-            corpus_sigs = spark.read.parquet(sig_path)
-            have_state = True
-        except Exception:
-            have_state = False
+        corpus_sigs = _read_state(spark, sig_path)
+        have_state = corpus_sigs is not None
         if have_state:
-            corpus_sh = spark.read.parquet(sh_path)
+            corpus_sh = _read_state(spark, sh_path)
             pairs, new_sigs, new_sh = incremental_neardup(
                 batch_df, corpus_sigs, corpus_sh,
                 id_col=id_col, text_col=text_col, threshold=threshold,
             )
             if flagged_sink is not None:
-                pairs.write.mode("append").parquet(flagged_sink)
+                # idempotent under redelivery: the batch replaces its
+                # own partition, never appends beside a prior attempt
+                pairs.write.mode("overwrite").parquet(
+                    f"{flagged_sink}/batch={batch_id}"
+                )
             else:
                 pairs.count()  # force detection even without a sink
         else:
@@ -113,12 +133,14 @@ def streaming_neardup_ingest(
                 minhash_dedup_pairs(
                     batch_df, id_col=id_col, text_col=text_col,
                     threshold=threshold,
-                ).write.mode("append").parquet(flagged_sink)
-        # materialize BEFORE appending (new_sigs/new_sh read nothing
-        # from state_path, but keep the write last so a crash between
-        # the two appends can only lose the batch, never corrupt it)
-        new_sigs.write.mode("append").parquet(sig_path)
-        new_sh.write.mode("append").parquet(sh_path)
+                ).write.mode("overwrite").parquet(
+                    f"{flagged_sink}/batch={batch_id}"
+                )
+        # per-batch partition overwrite: a redelivered batch REPLACES
+        # its own rows, so a crash anywhere in _process cannot leave
+        # duplicated state behind
+        new_sigs.write.mode("overwrite").parquet(f"{sig_path}/batch={batch_id}")
+        new_sh.write.mode("overwrite").parquet(f"{sh_path}/batch={batch_id}")
 
     w = docs_stream.writeStream.foreachBatch(_process)
     if checkpoint is not None:
