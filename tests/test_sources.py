@@ -407,3 +407,114 @@ def test_jsonl_roundtrip_gzip(spark):
     # gzip shards on disk
     import glob
     assert glob.glob(f"{d}/*.json.gz")
+
+
+def test_review_regressions_multimodal_and_hdf5(spark):
+    import numpy as np
+
+    from vector_database_spark.sources.multimodal import (
+        decode_y4m,
+        encode_ppm,
+        encode_y4m,
+        sample_frames,
+        y4m_frame_count,
+    )
+
+    # odd-dimension C420 headers are rejected loudly, not by a numpy
+    # broadcast error
+    bad = b"YUV4MPEG2 W15 H9 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + b"\x00" * 203
+    try:
+        decode_y4m(bad)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "even dimensions" in str(e)
+    # a truncated stream yields no frames from sample_frames instead
+    # of aborting the job; frame_count refuses to count the torn frame
+    frames = np.zeros((2, 4, 4, 3), np.uint8)
+    good = encode_y4m(frames)
+    torn = good[: len(good) - 5]
+    try:
+        y4m_frame_count(torn)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-y4m", bytearray(good), 4, 4, 80),
+         (2, "video", "video/x-y4m", bytearray(torn), 4, 4, 80)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    out = sample_frames(media, every=1).collect()
+    assert {r.media_id for r in out} == {1}
+    assert len(out) == 2
+
+    # truncated P6 passes through resize untouched
+    from vector_database_spark.sources.multimodal import resize_images
+
+    img = encode_ppm(np.zeros((4, 4, 3), np.uint8))
+    imgs = spark.createDataFrame(
+        [(1, "image", "image/x-ppm", bytearray(img), 4, 4, None),
+         (2, "image", "image/x-ppm", bytearray(img[:10]), 4, 4, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    rs = {r.media_id: r for r in resize_images(imgs, width=2, height=2).collect()}
+    assert rs[1].width == 2 and rs[2].width == 4
+    assert bytes(rs[2].payload) == bytes(img[:10])
+
+
+def test_hdf5_user_block_rebase(tmp_path):
+    import numpy as np
+
+    from vector_database_spark.sources.hdf5_native import (
+        read_hdf5_dataset,
+        write_hdf5,
+    )
+
+    p = tmp_path / "plain.h5"
+    data = np.arange(24, dtype=np.float32).reshape(6, 4)
+    write_hdf5(str(p), {"train": data})
+    raw = p.read_bytes()
+    # simulate a 512-byte user block: per spec all addresses become
+    # relative to the superblock offset
+    ub = tmp_path / "userblock.h5"
+    ub.write_bytes(b"\x00" * 512 + raw)
+    got = read_hdf5_dataset(str(ub), "train")
+    assert np.array_equal(got, data)
+
+
+def test_interval_join_right_outer_keeps_key(spark):
+    from vector_database_spark.streaming.joins import interval_join
+
+    imps = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00"),   # matched
+         (2, "2024-01-01 00:05:00")],  # no impression -> outer row
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = interval_join(
+        imps, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        within="10 minutes", how="rightOuter",
+    ).collect()
+    keys = {r.user_id for r in out}
+    assert keys == {1, 2}  # the unmatched click keeps its real key
+
+
+def test_rp_lsh_zero_vector_no_crash(spark):
+    from vector_database_spark.operators.ann import rp_lsh_knn
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.5, float(i % 5) - 1.0]) for i in range(30)]
+        + [(99, [0.0, 0.0])],
+        "id long, vector array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(1, [1.5, 2.0])], "qid long, qvec array<double>"
+    )
+    res = rp_lsh_knn(vecs, qdf, k=5, dims=2, n_bits=2, n_tables=8, seed=3)
+    rows = res.collect()
+    assert len(rows) == 5
+    # the zero vector never outranks a real candidate (dist 2.0 floor)
+    assert all(r.id != 99 or r.cos_dist == 2.0 for r in rows)

@@ -119,11 +119,20 @@ def rp_lsh_knn(
     cand = (
         vc.join(qc, ["table", "code"])
         .select("qid", "qvec", "id", "_vec")
-        .distinct()
+        # dedup on the identifying pair only: vectors are functionally
+        # dependent on (qid, id), and a distinct over the full row
+        # would hash/compare two dims-length arrays per candidate
+        # through the exchange
+        .dropDuplicates(["qid", "id"])
     )
-    cos_dist = 1.0 - dot(F.col("_vec"), F.col("qvec")) / (
-        l2_norm(F.col("_vec")) * l2_norm(F.col("qvec"))
-    )
+    denom = l2_norm(F.col("_vec")) * l2_norm(F.col("qvec"))
+    # zero-norm vectors share every all-ones bucket (0 >= 0 sets each
+    # sign bit) but have no defined cosine: give them the worst
+    # distance instead of an ANSI DIVIDE_BY_ZERO job abort
+    cos_dist = F.when(
+        denom > 0,
+        1.0 - dot(F.col("_vec"), F.col("qvec")) / denom,
+    ).otherwise(F.lit(2.0))
     w = Window.partitionBy("qid").orderBy(F.col("cos_dist").asc(), F.col("id").asc())
     return (
         cand.withColumn("cos_dist", cos_dist)

@@ -52,6 +52,13 @@ class _Reader:
     def __init__(self, buf: bytes):
         self.b = buf
         off = self._find_superblock()
+        if off:
+            # user block: per spec every stored address (object
+            # headers, B-trees, heaps, chunks) is RELATIVE to the
+            # superblock offset — re-basing the buffer makes all
+            # absolute indexing below correct
+            self.b = buf[off:]
+            off = 0
         self._parse_superblock(off)
 
     def _find_superblock(self) -> int:
@@ -189,7 +196,10 @@ class _Reader:
             for _ in range(used):
                 (child,) = _u("Q", b, p)
                 p += 16  # child + next key
-                walk(child) if level > 0 else walk(child)
+                # internal and leaf children both route through walk;
+                # the SNOD/TREE signature dispatch inside walk handles
+                # the level distinction
+                walk(child)
 
         walk(btree_addr)
         return out
@@ -329,8 +339,10 @@ class _Reader:
         for _ in range(n):
             fid, nlen, _flags, ncv = _u("HHHH", body, p)
             p += 8
-            if ver == 1 or fid >= 256:
-                p += (nlen + 7) & ~7
+            if ver == 1:
+                p += (nlen + 7) & ~7  # v1 names are 8-byte padded
+            elif fid >= 256:
+                p += nlen  # v2 names are UNPADDED per spec
             cvals = tuple(_u("I", body, p + 4 * i)[0] for i in range(ncv))
             p += 4 * ncv
             if ver == 1 and (ncv % 2):
@@ -360,9 +372,14 @@ class _Reader:
         out = np.zeros(shape, dtype=dtype)
         for offsets, addr, nbytes, fmask in self._iter_chunks(layout["btree"], len(shape)):
             raw = bytes(self.b[addr : addr + nbytes])
-            for fid, cvals in reversed(info["filters"]):
-                if fmask:  # filter skipped for this chunk per mask bit
-                    pass
+            nf = len(info["filters"])
+            for ri, (fid, cvals) in enumerate(reversed(info["filters"])):
+                # filter mask: bit i set => pipeline entry i was
+                # SKIPPED when this chunk was written (optional filter
+                # declined) — applying it anyway would zlib-error on
+                # raw bytes or unshuffle-scramble valid data
+                if fmask & (1 << (nf - 1 - ri)):
+                    continue
                 if fid == 1:
                     raw = zlib.decompress(raw)
                 elif fid == 2:

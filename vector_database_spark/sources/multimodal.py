@@ -287,7 +287,16 @@ def resize_images(
                     and payload is not None
                     and bytes(payload[:2]) == b"P6"
                 ):
-                    arr = decode_ppm(bytes(payload))
+                    try:
+                        arr = decode_ppm(bytes(payload))
+                    except ValueError:
+                        # P6 magic but truncated/malformed body: the
+                        # documented contract is pass-through, not a
+                        # job-aborting kernel exception
+                        payloads.append(payload)
+                        widths.append(w0)
+                        heights.append(h0)
+                        continue
                     payloads.append(encode_ppm(resize_bilinear(arr, w_out, h_out)))
                     widths.append(w_out)
                     heights.append(h_out)
@@ -454,6 +463,11 @@ def decode_y4m(payload: bytes, *, frame_indices=None):
     if chroma.startswith("444"):
         ysz, csz, sub = w * h, w * h, 1
     elif chroma.startswith("420"):
+        if w % 2 or h % 2:
+            # 4:2:0 subsampling requires even dimensions; an odd W/H
+            # would misalign every frame boundary and crash the
+            # chroma upsample with an opaque broadcast error
+            raise ValueError(f"C420 requires even dimensions, got {w}x{h}")
         ysz, csz, sub = w * h, (w // 2) * (h // 2), 2
     else:
         raise ValueError(f"unsupported y4m chroma {chroma}")
@@ -516,6 +530,8 @@ def y4m_frame_count(payload: bytes) -> int:
     if chroma.startswith("444"):
         need = 3 * w * h
     elif chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 requires even dimensions, got {w}x{h}")
         need = w * h + 2 * (w // 2) * (h // 2)
     else:
         raise ValueError(f"unsupported y4m chroma {chroma}")
@@ -524,6 +540,11 @@ def y4m_frame_count(payload: bytes) -> int:
         fnl = payload.find(b"\n", pos)
         if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
             raise ValueError("bad FRAME marker")
+        if fnl + 1 + need > len(payload):
+            # a trailing truncated frame must not be counted — the
+            # decoder would hit 'truncated y4m frame' on an index
+            # this function claimed exists
+            raise ValueError("truncated y4m frame")
         pos = fnl + 1 + need
         n += 1
     return n
@@ -586,12 +607,18 @@ def sample_frames(media_df: DataFrame, *, every: int = 1,
                 raw = bytes(payload)
                 if not raw.startswith(b"YUV4MPEG2"):
                     continue  # compressed codecs: not decodable here
-                idxs = list(range(0, y4m_frame_count(raw), step))
-                if cap is not None:
-                    idxs = idxs[:cap]
-                # selective decode: skipped frames are SEEKED over
-                # (byte arithmetic), so cost ∝ sampled frames
-                frames, fps = decode_y4m(raw, frame_indices=idxs)
+                try:
+                    idxs = list(range(0, y4m_frame_count(raw), step))
+                    if cap is not None:
+                        idxs = idxs[:cap]
+                    # selective decode: skipped frames are SEEKED over
+                    # (byte arithmetic), so cost ∝ sampled frames
+                    frames, fps = decode_y4m(raw, frame_indices=idxs)
+                except ValueError:
+                    # truncated/garbled stream: the contract says
+                    # undecodable rows yield no frames — one corrupt
+                    # object must not abort a 100 TB decode job
+                    continue
                 for fi, f in zip(idxs, frames):
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(fi)

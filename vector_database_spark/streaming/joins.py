@@ -49,5 +49,10 @@ def interval_join(
         & (rt["r_ts"] <= lt["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
     joined = lt.join(rt, cond, how)
-    # drop the duplicated key column from the right side
-    return joined.drop(rt[on])
+    # collapse the two key columns into one. COALESCE, not a plain
+    # drop of the right side: under rightOuter the unmatched right
+    # rows carry the key ONLY on the right column — dropping it would
+    # NULL the key on exactly the rows the outer join exists to emit
+    return joined.withColumn("_k", F.coalesce(lt[on], rt[on])).drop(
+        lt[on]
+    ).drop(rt[on]).withColumnRenamed("_k", on)
