@@ -443,7 +443,12 @@ def _make_subtree_builder():
         if mat.ndim == 1:  # zero-width or single row edge cases
             mat = mat.reshape(len(ids), -1)
         n_total = len(ids)
-        big_ids = bool(n_total) and int(ids.max()) > (1 << 44)
+        # int64-overflow guard for the segment id-sums: a segment can
+        # hold up to n_total rows, so the exact bound is
+        # max_id * n_total < 2^63 (a fixed 2^44 cutoff silently
+        # wrapped for ~2^43-range ids in million-row pools — garbage
+        # negative mean_id, one-sided id-splits)
+        big_ids = bool(n_total) and int(ids.max()) > (2**63 - 1) // n_total
 
         # output accumulators: -1 / NaN encode null, masked at the end
         o_rid: list = []

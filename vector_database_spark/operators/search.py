@@ -886,10 +886,26 @@ def search_stats(
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
     )
-    if doc_id is not None and "doc_id" in vectors_df.columns:
-        vecs = vectors_df.where(F.col("doc_id") == doc_id).select(
-            F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
-        )
+    if doc_id is not None:
+        if "doc_id" in vectors_df.columns:
+            vecs = vectors_df.where(F.col("doc_id") == doc_id).select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vector_col).alias("_vec"),
+            )
+        else:
+            # doc-less vector table: scope n_total via the doc's leaf
+            # ids (same fallback as search()'s brute path) — otherwise
+            # candidate_frac divides by the WHOLE multi-doc corpus and
+            # under-reports the walk by the number of documents
+            members = (
+                index_df.where(
+                    (F.col("doc_id") == F.lit(doc_id))
+                    & F.col("id").isNotNull()
+                )
+                .select("id")
+                .distinct()
+            )
+            vecs = vecs.join(members, "id", "left_semi")
     if metric == "euclidean":
         dist = euclidean(F.col("_vec"), F.col("qvec"))
     elif metric == "chebyshev":

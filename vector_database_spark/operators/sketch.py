@@ -56,6 +56,11 @@ def kmv_distinct(
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     hashed = (
         df.select(*group_cols, h60(val.cast("string")).alias("hv"))
+        # NULL values hash to NULL: they are not a distinct VALUE and
+        # the two engines order NULLs differently (Spark nulls-first,
+        # DuckDB nulls-last) — a NULL in the reservoir would both
+        # steal a slot and desynchronize the k-th statistic
+        .where(F.col("hv").isNotNull())
         .distinct()  # (group, hash) dedup: map-side combined, k-bounded later
     )
     w = Window.partitionBy(*group_cols).orderBy("hv")
@@ -93,6 +98,7 @@ def kmv_distinct_sql(
     return f"""
 WITH hashed AS (
   SELECT DISTINCT {groups}, {hv} AS hv FROM {table}
+  WHERE {hv} IS NOT NULL
 ), ranked AS (
   SELECT {groups}, hv,
          row_number() OVER (PARTITION BY {groups} ORDER BY hv) AS rn
@@ -355,9 +361,16 @@ def fixed_histogram(
     One map-side-combined hash aggregate into ``n_bins`` rows
     regardless of input size; bins are trivially mergeable across
     partitions/days — the fixed-memory shape for 100 TB profiling.
-    Out-of-range values clamp to the edge bins; NULLs are dropped.
-    Only order-independent aggregates (count/min/max) so the result
-    is bit-stable under any partitioning."""
+    Out-of-range values clamp to the edge bins; NULLs and NaNs are
+    dropped (floor(NaN) cast to long is a job-aborting error under
+    Spark 4 ANSI mode). Only order-independent aggregates
+    (count/min/max) so the result is bit-stable under any
+    partitioning."""
+    if not (float(hi) > float(lo)) or int(n_bins) <= 0:
+        # width 0 would turn the bin division into Infinity and the
+        # ANSI cast into a runtime error deep inside the job — fail
+        # at the API with the actual mistake instead
+        raise ValueError("fixed_histogram requires hi > lo and n_bins > 0")
     val = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
@@ -365,7 +378,7 @@ def fixed_histogram(
     b = F.floor((val - F.lit(float(lo))) / F.lit(width)).cast("long")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
     return (
-        df.where(val.isNotNull())
+        df.where(val.isNotNull() & ~F.isnan(val))
         .select(b.alias("bin"), val.alias("_v"))
         .groupBy("bin")
         .agg(
@@ -396,7 +409,8 @@ def fixed_histogram_sql(
         f"SELECT {b} AS bin, count(*)::BIGINT AS n, "
         f"min(CAST({value_expr} AS DOUBLE)) AS lo_val, "
         f"max(CAST({value_expr} AS DOUBLE)) AS hi_val "
-        f"FROM {table} WHERE {value_expr} IS NOT NULL GROUP BY 1"
+        f"FROM {table} WHERE {value_expr} IS NOT NULL "
+        f"AND NOT isnan(CAST({value_expr} AS DOUBLE)) GROUP BY 1"
     )
 
 

@@ -67,8 +67,10 @@ def prepare_training_data(
         "left_semi",
     )
 
-    # shared shingle pass for stages 2 and 4
-    shingles = dd.shingle_rows(keep)
+    # shared shingle pass for stages 2 and 4 — persisted, or Spark
+    # re-executes the tokenize kernel once per consumer subtree
+    # (decontamination, signatures, refinement = 3+ corpus scans)
+    shingles = dd.shingle_rows(keep).persist()
 
     # 2. decontamination — broadcast eval shingles, train never shuffles
     if eval_docs is not None:

@@ -54,8 +54,13 @@ def read_arff(spark: SparkSession, path: str) -> DataFrame:
     parts = F.split(F.col("value"), ",")
     cols = []
     for i, (name, numeric) in enumerate(attrs):
-        c = F.trim(parts[i])
-        cols.append((c.cast("double") if numeric else c).alias(name))
+        # ANSI-safe ARFF: '?' is the spec's missing-value token (NULL,
+        # not a CAST_INVALID_INPUT job abort), and a short/ragged line
+        # yields NULL instead of INVALID_ARRAY_INDEX — the CLAUDE.md
+        # try_element_at rule
+        c = F.trim(F.try_element_at(parts, F.lit(i + 1)))
+        c = F.when(c == "?", F.lit(None)).otherwise(c)
+        cols.append((c.try_cast("double") if numeric else c).alias(name))
     return data.select(*cols)
 
 

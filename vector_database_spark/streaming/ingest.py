@@ -41,9 +41,13 @@ def stream_vectors_to_table(
     watermarked exactly-once-per-id dedup. Returns the StreamingQuery."""
     df = stream_df
     if watermark_col is not None:
-        df = df.withWatermark(watermark_col, watermark).dropDuplicates(
-            [dedup_id_col, watermark_col]
-        )
+        # per-ID dedup: keying on (id, ts) would pass a re-sent id
+        # with a re-stamped timestamp straight through, and duplicate
+        # ids poison the downstream build (an id-split can never
+        # separate equal ids)
+        df = df.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark([dedup_id_col])
     return (
         df.writeStream.format("parquet")
         .option("path", base_path)
@@ -82,8 +86,41 @@ def foreach_batch_reindex(
         spark = batch_df.sparkSession
         batch_df.persist()
         try:
-            batch_df.write.mode("append").partitionBy(doc_col).parquet(base_path)
-            touched = [r[0] for r in batch_df.select(doc_col).distinct().collect()]
+            # idempotence under foreachBatch's at-least-once replay:
+            # a redelivered batch would append its rows a second time
+            # (duplicate ids wedge the id-split build permanently), so
+            # drop rows whose (doc, id) already landed — the anti-join
+            # is scoped to the batch's own documents
+            to_write = batch_df
+            from pyspark.errors import AnalysisException
+
+            try:
+                existing = (
+                    spark.read.parquet(base_path)
+                    .join(
+                        batch_df.select(doc_col).distinct(),
+                        doc_col,
+                        "left_semi",
+                    )
+                    .select(doc_col, id_col)
+                )
+                # materialize BEFORE the append below (the anti-join
+                # plan reads base_path — writing to it with a live
+                # scan in the lineage is read-under-write)
+                to_write = batch_df.join(
+                    existing, [doc_col, id_col], "left_anti"
+                ).localCheckpoint(eager=True)
+                if to_write.isEmpty():
+                    return
+            except AnalysisException as e:
+                if (
+                    "PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)
+                ):
+                    raise
+                # first batch: no base table yet
+            to_write.write.mode("append").partitionBy(doc_col).parquet(base_path)
+            touched = [r[0] for r in to_write.select(doc_col).distinct().collect()]
             full = spark.read.parquet(base_path)
             if compaction_threshold is not None:
                 from vector_database_spark.operators.catalog import tail_rows
