@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from vector_database_spark.operators import dedup as dd
 from vector_database_spark.operators import sketch as sk
 from vector_database_spark.operators import text as tx
+from vector_database_spark.operators import timeseries as ts_ops
 from vector_database_spark.operators.joins import salted_join
 from vector_database_spark.operators.index_build import build_index
 from vector_database_spark.operators.search import knn, search, search_candidates
@@ -2758,6 +2759,48 @@ def e07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e08_hypertable_rollup",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+       event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_micros,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(first(value ORDER BY ts, event_id), 6) AS first_value,
+       round(last(value ORDER BY ts, event_id), 6) AS last_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def e08_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (continuous-aggregate cascade): the Spark
+    side aggregates raw events into MINUTE buckets, then rolls the
+    minute level up to HOURS — raw data is scanned once; the oracle
+    computes the hourly answer directly from raw. Hash-matching
+    proves the cascade is exact: integer micro-unit sums re-associate
+    freely, min/max are idempotent, and first/last ride orderable
+    (ts, id, value) structs so min-of-firsts is the global first.
+    Two map-side-combinable hash aggregates, no windows, no driver
+    state."""
+    ev = _events(spark, sf_dir)
+    levels = ts_ops.hypertable_rollup(
+        ev, (60, 3600), key_cols=("event_type",)
+    )
+    hour = ts_ops.finalize_rollup(levels[-1])
+    return hour.select(
+        "bucket_s",
+        "event_type",
+        "n",
+        "sum_micros",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("first_value", 6).alias("first_value"),
+        F.round("last_value", 6).alias("last_value"),
+    )
+
+
+@query(
     "t11_hashing_embed",
     oracle="""
 WITH u AS (SELECT doc_id,
@@ -2939,6 +2982,7 @@ _DRIVER_TAIL = [
     "v15_standardize",       # per-dim stats family: v05 stays
     "v16_cosine_search",     # tree-search family: v01/v12/v14 stay
     "t12_bpe_tokens",        # token counting: t01/t03 stay
+    "e08_hypertable_rollup",  # events family: e01 tumbling stays
 ]
 
 
