@@ -86,3 +86,85 @@ def test_non_nesting_widths_rejected(spark, events):
         ts.hypertable_rollup(events, (60, 90))
     with pytest.raises(ValueError):
         ts.hypertable_rollup(events, ())
+
+
+def _write_event_files(spark, src: str, start_id: int, n: int, mode="append"):
+    rows = [
+        (
+            start_id + i,
+            f"2024-01-01 {(i * 7) % 24:02d}:{(i * 13) % 60:02d}:{(i * 29) % 60:02d}",
+            ["click", "view", "buy"][i % 3],
+            round(0.5 + 3.7 * ((start_id + i) % 11), 3),
+        )
+        for i in range(n)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+    )
+    df.coalesce(1).write.mode(mode).parquet(src)
+    return df
+
+
+def test_streaming_rollup_matches_batch_across_restarts(spark):
+    """Continuous-aggregate contract: after any number of micro-
+    batches, compactions, and query restarts, read_rollup == the
+    batch rollup of every event ever ingested — at the stored finest
+    resolution AND cascaded coarser."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.rollup import (
+        read_rollup,
+        streaming_rollup_ingest,
+    )
+
+    tmp = _tf.mkdtemp()
+    src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+    _write_event_files(spark, src, 0, 40, mode="overwrite")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double,"
+                " ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_rollup_ingest(
+            stream, state, finest_s=60, checkpoint=ckpt, compact_every=2
+        )
+        q.awaitTermination(180)
+
+    # three more files -> four micro-batches total, compaction at 2
+    _write_event_files(spark, src, 40, 25)
+    _write_event_files(spark, src, 65, 25)
+    _write_event_files(spark, src, 90, 30)
+    run()
+
+    all_events = spark.read.parquet(src)
+    got = ts.finalize_rollup(read_rollup(spark, state))
+    want = ts.finalize_rollup(ts.rollup_events(all_events, 60))
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+    # restart with new data: state continues through the checkpoint
+    _write_event_files(spark, src, 120, 35)
+    run()
+    all_events = spark.read.parquet(src)
+    got2 = ts.finalize_rollup(read_rollup(spark, state, width_s=3600))
+    want2 = ts.finalize_rollup(
+        ts.cascade_rollup(ts.rollup_events(all_events, 60), 3600)
+    )
+    assert _sorted_rows(got2) == _sorted_rows(want2)
+
+    # compaction actually ran: at most compact_every deltas remain
+    import os as _os
+
+    deltas = [
+        d for d in _os.listdir(f"{state}/delta") if d.startswith("batch=")
+    ]
+    assert len(deltas) <= 4
+    assert _os.path.isdir(f"{state}/base")
