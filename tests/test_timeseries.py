@@ -270,3 +270,28 @@ def test_streaming_ewma_tws_gate(spark):
         # shared fold with streaming_ewma
         df = streaming_ewma_tws(stream)
         assert df.columns == ["user_id", "n_events", "ewma"]
+
+
+def test_metrics_rollup_is_pure_hash_aggregate(spark, events):
+    """first_last=False keeps every aggregation buffer fixed-width:
+    the whole cascade must plan as HashAggregate (no sort-based
+    fallback anywhere) — the 100 TB metrics shape."""
+    minute, hour = ts.hypertable_rollup(events, (60, 3600), first_last=False)
+    plan = hour._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan and "ObjectHashAggregate" not in plan
+    # and it still merges + finalizes (no first/last columns)
+    fin = ts.finalize_rollup(hour)
+    assert fin.columns == [
+        "bucket_s", "event_type", "n", "sum_micros", "min_value", "max_value",
+    ]
+    merged = ts.merge_rollup(minute, minute)
+    got = {
+        (r["bucket_s"], r["event_type"]): r["n"]
+        for r in ts.finalize_rollup(merged).collect()
+    }
+    want = {
+        (r["bucket_s"], r["event_type"]): 2 * r["n"]
+        for r in ts.finalize_rollup(minute).collect()
+    }
+    assert got == want

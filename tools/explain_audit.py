@@ -123,6 +123,18 @@ CHECKS = {
         "EWMA: ONE hash aggregate collects each key's ordered list "
         "(no global window/sort); the fold is a scalar expression",
     ),
+    "e08_hypertable_rollup": (
+        ["ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
+         "event_type:string,value:double>"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "Window", "SortMergeJoin"],
+        "hypertable rollup (OHLC shape): column-pruned scan into two "
+        "map-side-combined aggregates (minute then hour), raw data "
+        "scanned once, no windows, no joins; the struct first/last "
+        "state uses Spark's sort-based aggregation fallback — "
+        "first_last=False stays pure HashAggregate (asserted in "
+        "tests/test_timeseries.py)",
+    ),
     "a04_sq8": (
         [],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",

@@ -13,12 +13,18 @@ count, fixed-point sum, min, max, and first/last carried as orderable
 * incremental maintenance is a union + re-aggregate of ONLY the
   touched buckets (`merge_rollup`), the foreachBatch refresh shape.
 
-At 100 TB: the finest rollup is one map-side-combinable hash
-aggregate keyed on (bucket, keys) — partial aggregation collapses
-each input partition to ~|buckets x keys| rows before the single
-shuffle. Every coarser level reads the (much smaller) finer level, so
-a year of raw data is scanned exactly once regardless of how many
-resolutions are maintained. No windows, no driver state.
+At 100 TB: the finest rollup is ONE map-side-combinable aggregate
+keyed on (bucket, keys) — partial aggregation collapses each input
+partition to ~|buckets x keys| rows before the single shuffle. Every
+coarser level reads the (much smaller) finer level, so a year of raw
+data is scanned exactly once regardless of how many resolutions are
+maintained. No windows, no driver state. With ``first_last=False``
+every buffer field is a fixed-width primitive and the whole cascade
+is pure HashAggregate; the OHLC struct state trades that for exact
+deterministic first/last via Spark's sort-based aggregation fallback
+(struct/string/min_by buffers all fall back — measured; a
+decimal(38,0) pack of (ts, id) hash-aggregates but cannot carry the
+value losslessly).
 
 Value sums are carried as BIGINT micro-units (floor(value * 1e6)):
 double summation is not associative, so a cascade could never
@@ -69,17 +75,27 @@ def time_bucket_s(df: DataFrame, ts_col: str, width_s: int) -> F.Column:
     )
 
 
-def _state_agg(value_struct_col: str = "_ord"):
-    """The mergeable aggregate set over a prepared frame that carries
-    n/sum_micros/min_value/max_value plus the orderable struct."""
-    return [
+def _state_agg(first_col: str | None, last_col: str | None):
+    """The mergeable aggregate set over a prepared frame carrying
+    n/sum_micros/min_value/max_value (+ the orderable first/last
+    structs when requested). Without first/last every buffer field is
+    a fixed-width primitive, so the whole cascade runs as pure
+    HashAggregate; the struct min/max forces Spark's sort-based
+    aggregation fallback (measured: struct, string, and min_by
+    orderings ALL fall back — only fixed-width primitives and
+    decimals hash-aggregate, and a decimal(38,0) cannot carry
+    (ts, id) AND the value losslessly)."""
+    aggs = [
         F.sum("n").cast("long").alias("n"),
         F.sum("sum_micros").cast("long").alias("sum_micros"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-        F.min(value_struct_col).alias("first_s"),
-        F.max(value_struct_col).alias("last_s"),
     ]
+    if first_col is not None:
+        aggs.append(F.min(first_col).alias("first_s"))
+    if last_col is not None:
+        aggs.append(F.max(last_col).alias("last_s"))
+    return aggs
 
 
 def rollup_events(
@@ -90,16 +106,19 @@ def rollup_events(
     id_col: str = "event_id",
     key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    first_last: bool = True,
 ) -> DataFrame:
     """Aggregate RAW events into `width_s`-second buckets with the
-    mergeable rollup state. One hash aggregate; map-side partials
-    collapse each scan partition to |buckets x keys| rows."""
-    ord_s = F.struct(
-        F.col(ts_col).alias("ts"),
-        F.col(id_col).cast("long").alias("id"),
-        F.col(value_col).cast("double").alias("v"),
-    )
-    prepared = df.select(
+    mergeable rollup state. One aggregate pass; map-side partials
+    collapse each scan partition to |buckets x keys| rows.
+
+    ``first_last=True`` (the OHLC shape) carries deterministic
+    first/last as orderable (ts, id, value) structs — exact, but the
+    struct buffers force Spark's sort-based aggregation fallback.
+    ``first_last=False`` keeps only fixed-width state (count / sum /
+    min / max) and the whole cascade stays pure HashAggregate — the
+    shape to pick for metrics rollups at the 100 TB end."""
+    cols = [
         time_bucket_s(df, ts_col, width_s).alias("bucket_s"),
         *[F.col(k) for k in key_cols],
         F.lit(1).cast("long").alias("n"),
@@ -108,9 +127,17 @@ def rollup_events(
         ),
         F.col(value_col).cast("double").alias("min_value"),
         F.col(value_col).cast("double").alias("max_value"),
-        ord_s.alias("_ord"),
-    )
-    return prepared.groupBy("bucket_s", *key_cols).agg(*_state_agg())
+    ]
+    if first_last:
+        ord_s = F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        cols.append(ord_s.alias("_ord"))
+    prepared = df.select(*cols)
+    fl = "_ord" if first_last else None
+    return prepared.groupBy("bucket_s", *key_cols).agg(*_state_agg(fl, fl))
 
 
 def cascade_rollup(
@@ -123,27 +150,27 @@ def cascade_rollup(
     WITHOUT touching raw data. Exact: integer sums re-associate
     freely, min(first_s) over finer buckets is the global first.
     `width_s` must be a multiple of the finer level's width (bucket
-    starts then nest exactly)."""
+    starts then nest exactly). first/last presence is inferred from
+    the finer level's columns."""
+    has_fl = "first_s" in finer.columns
     coarse = F.expr(
         f"CAST((bucket_s div {int(width_s)}) * {int(width_s)} AS BIGINT)"
     )
-    prepared = finer.select(
+    cols = [
         coarse.alias("bucket_s"),
         *[F.col(k) for k in key_cols],
         "n",
         "sum_micros",
         "min_value",
         "max_value",
-        F.col("first_s").alias("_first"),
-        F.col("last_s").alias("_last"),
-    )
+    ]
+    if has_fl:
+        cols += [F.col("first_s").alias("_first"),
+                 F.col("last_s").alias("_last")]
+    prepared = finer.select(*cols)
     return prepared.groupBy("bucket_s", *key_cols).agg(
-        F.sum("n").cast("long").alias("n"),
-        F.sum("sum_micros").cast("long").alias("sum_micros"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-        F.min("_first").alias("first_s"),
-        F.max("_last").alias("last_s"),
+        *_state_agg("_first" if has_fl else None,
+                    "_last" if has_fl else None)
     )
 
 
@@ -155,11 +182,13 @@ def hypertable_rollup(
     id_col: str = "event_id",
     key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    first_last: bool = True,
 ) -> list[DataFrame]:
     """The full cascade: raw -> widths_s[0] -> widths_s[1] -> ...
     Each width must divide the next. Returns one DataFrame per
     resolution (mergeable state schema); `finalize_rollup` turns a
-    level into the user-facing frame."""
+    level into the user-facing frame. See `rollup_events` for the
+    ``first_last`` trade-off (exact OHLC vs pure-HashAggregate)."""
     widths = [int(w) for w in widths_s]
     if not widths:
         raise ValueError("widths_s must be non-empty")
@@ -176,6 +205,7 @@ def hypertable_rollup(
             id_col=id_col,
             key_cols=key_cols,
             value_col=value_col,
+            first_last=first_last,
         )
     ]
     for w in widths[1:]:
@@ -195,20 +225,24 @@ def merge_rollup(
     exact — merge(rollup(A), rollup(B)) == rollup(A union B) — and
     the shuffle is bounded by touched (bucket, key) rows, not raw
     events. foreachBatch shape: rollup_events(batch) -> merge into
-    the stored level -> dynamic-partition-overwrite touched buckets."""
+    the stored level -> dynamic-partition-overwrite touched buckets.
+    first/last presence is inferred from the level's columns (both
+    sides must agree — unionByName raises otherwise)."""
+    has_fl = "first_s" in level.columns
     return level.unionByName(delta).groupBy("bucket_s", *key_cols).agg(
-        F.sum("n").cast("long").alias("n"),
-        F.sum("sum_micros").cast("long").alias("sum_micros"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-        F.min("first_s").alias("first_s"),
-        F.max("last_s").alias("last_s"),
+        *_state_agg("first_s" if has_fl else None,
+                    "last_s" if has_fl else None)
     )
 
 
 def finalize_rollup(level: DataFrame) -> DataFrame:
     """User-facing projection of a rollup level: extract first/last
-    values from the orderable structs. Pure projection (no shuffle)."""
+    values from the orderable structs when present. Pure projection
+    (no shuffle)."""
+    tail = []
+    if "first_s" in level.columns:
+        tail = [F.col("first_s.v").alias("first_value"),
+                F.col("last_s.v").alias("last_value")]
     return level.select(
         "bucket_s",
         *[c for c in level.columns if c not in (
@@ -219,6 +253,5 @@ def finalize_rollup(level: DataFrame) -> DataFrame:
         "sum_micros",
         "min_value",
         "max_value",
-        F.col("first_s.v").alias("first_value"),
-        F.col("last_s.v").alias("last_value"),
+        *tail,
     )
