@@ -518,3 +518,42 @@ def test_rp_lsh_zero_vector_no_crash(spark):
     assert len(rows) == 5
     # the zero vector never outranks a real candidate (dist 2.0 floor)
     assert all(r.id != 99 or r.cos_dist == 2.0 for r in rows)
+
+
+def test_orc_roundtrip_partitioned(spark):
+    import glob
+    import tempfile
+
+    from vector_database_spark.sources.export import export_orc, read_orc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [0.5, 1.0], "web"),
+            (2, "b", [2.0], "wiki"),
+            (3, None, None, "web"),
+        ],
+        "doc_id long, text string, vec array<double>, source string",
+    )
+    d = tempfile.mkdtemp() + "/orc"
+    export_orc(df, d, partition_by=["source"])
+    back = read_orc(spark, d)
+    got = {
+        (r.doc_id, r.text, tuple(r.vec or []), r.source)
+        for r in back.collect()
+    }
+    want = {
+        (1, "a", (0.5, 1.0), "web"),
+        (2, "b", (2.0,), "wiki"),
+        (3, None, (), "web"),
+    }
+    assert got == want
+    assert glob.glob(f"{d}/source=web/*.orc")
+    # partition pruning: only the matching directory is scanned
+    plan = (
+        read_orc(spark, d)
+        .where("source = 'wiki'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "source=wiki" in plan or "PartitionFilters: [isnotnull(source" in plan

@@ -3,6 +3,8 @@ sets, VectorIndex.MainTest/Program.cs:76-80,93-131,145-149)."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +74,25 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema:
         r = r.schema(schema)
     return r.json(path)
+
+
+def export_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Columnar ORC sink (Spark-native second columnar format beside
+    parquet — what Hive/Trino warehouses often mandate). zstd by
+    default; pass ``partition_by`` for partition-pruned reads."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """Read an ORC dataset (schema travels with the files; predicate
+    pushdown and column pruning work as with parquet)."""
+    return spark.read.orc(path)
