@@ -295,3 +295,100 @@ def test_metrics_rollup_is_pure_hash_aggregate(spark, events):
         for r in ts.finalize_rollup(minute).collect()
     }
     assert got == want
+
+
+def test_gapfill_contracts(spark):
+    """Dense grid, locf carry, exact linear interp on a crafted
+    series with a 3-bucket gap; leading buckets stay NULL (no
+    observation to carry), trailing gaps locf but never interp."""
+    rows = [
+        (1, 120, "k", 10.0),
+        (2, 240, "k", 40.0),   # gap at 180: interp midpoint 25
+        (3, 480, "k", 100.0),  # gap 300/360/420: interp 55/70/85
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    level = ts.rollup_events(df, 60, first_last=False)
+    out = {
+        r["bucket_s"]: r
+        for r in ts.gapfill(level, 60, value_col="sum_micros").collect()
+    }
+    assert sorted(out) == list(range(120, 481, 60))
+    m = 1_000_000
+    assert out[180]["value"] is None
+    assert out[180]["value_locf"] == 10.0 * m
+    assert out[180]["value_interp"] == 25.0 * m
+    assert out[300]["value_interp"] == 55.0 * m
+    assert out[420]["value_interp"] == 85.0 * m
+    assert out[240]["value"] == out[240]["value_interp"] == 40.0 * m
+
+
+def test_gapfill_explicit_span_and_edges(spark):
+    """An explicit [start, end) span pads beyond the data; buckets
+    before the first observation have NULL locf AND NULL interp,
+    buckets after the last have locf but NULL interp."""
+    rows = [(1, 120, "k", 7.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    level = ts.rollup_events(df, 60, first_last=False)
+    out = {
+        r["bucket_s"]: r
+        for r in ts.gapfill(
+            level, 60, value_col="sum_micros", start_s=0, end_s=240
+        ).collect()
+    }
+    assert sorted(out) == [0, 60, 120, 180]
+    assert out[0]["value_locf"] is None and out[0]["value_interp"] is None
+    assert out[180]["value_locf"] == 7.0 * 1_000_000
+    assert out[180]["value_interp"] is None
+
+
+def test_funnel_greedy_chain_and_window(spark):
+    """The chain is greedy-earliest in (ts, event_id) order; a step
+    landing past the within_s deadline breaks the chain for every
+    later step even if a later event would fit."""
+    rows = [
+        # u1: full chain inside the window
+        (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 300, 1, "purchase"),
+        # u2: click precedes the first view -> depth 1
+        (4, 100, 2, "click"), (5, 200, 2, "view"),
+        # u3: greedy click at 150 (not 500); purchase before it ignored
+        (6, 100, 3, "view"), (7, 150, 3, "click"), (8, 500, 3, "click"),
+        (9, 120, 3, "purchase"),
+        # u4: click past the 1000s window -> depth 1, purchase unreachable
+        (10, 100, 4, "view"), (11, 2000, 4, "click"),
+        (12, 2100, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    out = {
+        r["user_id"]: r
+        for r in ts.funnel_steps(
+            df, ["view", "click", "purchase"], within_s=1000
+        ).collect()
+    }
+    assert out[1]["funnel_depth"] == 3
+    assert out[2]["funnel_depth"] == 1 and out[2]["ts_step2"] is None
+    assert out[3]["funnel_depth"] == 2
+    assert out[3]["ts_step2"].timestamp() == 150
+    assert out[3]["ts_step3"] is None  # purchase@120 precedes the click
+    assert out[4]["funnel_depth"] == 1 and out[4]["ts_step2"] is None
+
+
+def test_funnel_ts_tie_breaks_on_event_id(spark):
+    """Same-timestamp events order by event_id: a click sharing the
+    view's timestamp but with a HIGHER id counts as after it."""
+    rows = [(5, 100, 1, "view"), (6, 100, 1, "click"),
+            (4, 100, 2, "view"), (3, 100, 2, "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    out = {
+        r["user_id"]: r
+        for r in ts.funnel_steps(df, ["view", "click"]).collect()
+    }
+    assert out[1]["funnel_depth"] == 2   # id 6 > id 5 at equal ts
+    assert out[2]["funnel_depth"] == 1   # id 3 < id 4: click not after

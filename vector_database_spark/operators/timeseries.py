@@ -44,6 +44,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MICROS = 1_000_000
 
@@ -233,6 +234,178 @@ def merge_rollup(
         *_state_agg("first_s" if has_fl else None,
                     "last_s" if has_fl else None)
     )
+
+
+def gapfill(
+    level: DataFrame,
+    width_s: int,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "sum_micros",
+    start_s: int | None = None,
+    end_s: int | None = None,
+) -> DataFrame:
+    """Fill the empty buckets of a rollup level (the TimescaleDB
+    `time_bucket_gapfill` + `locf` + `interpolate` shape): emit one
+    row per (key, bucket) over the dense bucket grid, carrying
+
+    * ``value``        — the observed value, NULL in gaps,
+    * ``value_locf``   — last observation carried forward,
+    * ``value_interp`` — linear interpolation between the nearest
+      observed buckets (NULL outside the observed span).
+
+    The grid spans [start_s, end_s) — defaults to the data's own
+    min/max bucket (one tiny global aggregate) — and is generated
+    per key with ``sequence`` + ``explode``: |keys| × |buckets| rows,
+    no driver loop. The fills are two RANGE-unbounded windows per
+    direction, all partitioned by key: ONE shuffle on the keys.
+
+    Determinism: interpolation is exact-integer bucket arithmetic on
+    the grid positions and one double expression
+    ``prev + (next - prev) * ((b - pb) / (nb - pb))`` — the same
+    left-to-right form an ANSI-SQL oracle evaluates, so results are
+    bit-comparable across engines.
+
+    At 100 TB: the rollup level is already |buckets × keys| (tiny vs
+    raw); the dense grid grows that by the gap fraction only. No raw
+    data is touched. Capability-surface op beyond the reference
+    (which stores flat facts only — DDL.sql has no time-series
+    storage)."""
+    w = int(width_s)
+    keys = [F.col(k) for k in key_cols]
+    if start_s is None or end_s is None:
+        lo, hi = level.agg(
+            F.min("bucket_s"), F.max("bucket_s")
+        ).first()
+        if lo is None:
+            lo, hi = 0, 0  # empty level -> empty grid (keys distinct = 0 rows)
+        start_s = int(lo) if start_s is None else int(start_s)
+        end_s = int(hi) + w if end_s is None else int(end_s)
+    grid = (
+        level.select(*key_cols).distinct()
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.lit(int(start_s)).cast("long"),
+                    F.lit(int(end_s) - 1).cast("long"),
+                    F.lit(w).cast("long"),
+                )
+            ).alias("bucket_s"),
+        )
+    )
+    obs = level.select(
+        "bucket_s", *key_cols,
+        F.col(value_col).cast("double").alias("value"),
+    )
+    dense = grid.join(obs, ["bucket_s", *key_cols], "left")
+    kp = [str(k) for k in key_cols]
+    fwd = (
+        Window.partitionBy(*kp).orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*kp).orderBy("bucket_s")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("value", ignorenulls=True).over(fwd)
+    next_v = F.first("value", ignorenulls=True).over(bwd)
+    obs_bucket = F.when(F.col("value").isNotNull(), F.col("bucket_s"))
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(fwd)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(bwd)
+    interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (
+            (F.col("bucket_s") - prev_b).cast("double")
+            / (next_b - prev_b).cast("double")
+        )
+    )
+    return dense.select(
+        "bucket_s",
+        *key_cols,
+        "value",
+        prev_v.alias("value_locf"),
+        interp.alias("value_interp"),
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` shape):
+    for each user, the EARLIEST chain step1 -> step2 -> ... where each
+    step strictly follows the previous completed step, optionally with
+    the whole chain inside ``within_s`` seconds of step 1. Returns one
+    row per user that completed step 1, with ``ts_step{i}`` (NULL once
+    the chain breaks) and ``funnel_depth``.
+
+    "Earliest chain" is the greedy minimal chain: step 1 is the user's
+    first step-1 event; step i+1 is the first step-(i+1) event after
+    step i. Ordering is (ts, event_id) — total, so ties are
+    deterministic. Greedy-earliest maximizes completion under a time
+    cap: any chain inside the window implies the greedy one is.
+
+    Set-based: ONE aggregate computes, per user, the ordered event
+    list per step type (conditional collect), then a fixed-length
+    fold walks the steps — no joins, no windows, one shuffle on the
+    user key. Per-user state is bounded by that user's events of the
+    step types (the sessionization bound). A 3-step funnel over raw
+    events is therefore the same cost as e07's EWMA."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ord_s = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).cast("long").alias("id")
+    )
+    per_step = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, ord_s))
+        ).alias(f"_ev{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(*per_step)
+    )
+    # walk the chain: step0 = first step-0 event; step i = first event
+    # in _ev{i} strictly after step i-1 (struct comparison = (ts, id))
+    cur = F.try_element_at("_ev0", F.lit(1))
+    out_cols = [F.col(user_col), cur["ts"].alias("ts_step1")]
+    deadline = None
+    if within_s is not None:
+        deadline = cur["ts"] + F.expr(
+            f"INTERVAL {int(within_s)} SECONDS"
+        )
+    def _first_after(arr: F.Column, c: F.Column) -> F.Column:
+        # NOTE: the lambda must take exactly ONE positional arg — a
+        # default-arg closure makes PySpark emit the 2-arg
+        # (element, index) lambda form and the comparison miscompiles
+        return F.try_element_at(
+            F.filter(arr, lambda e: e > c), F.lit(1)
+        )  # NULL on empty (ANSI-safe)
+
+    for i in range(1, len(steps)):
+        cur = _first_after(F.col(f"_ev{i}"), cur)
+        if deadline is not None:
+            cur = F.when(cur["ts"] <= deadline, cur)
+        out_cols.append(cur["ts"].alias(f"ts_step{i + 1}"))
+    g = g.filter(F.size("_ev0") > 0).select(*out_cols)
+    depth = sum(
+        (
+            F.when(F.col(f"ts_step{i + 1}").isNotNull(), 1).otherwise(0)
+            for i in range(1, len(steps))
+        ),
+        F.lit(1),
+    )
+    return g.select("*", depth.cast("long").alias("funnel_depth"))
 
 
 def finalize_rollup(level: DataFrame) -> DataFrame:

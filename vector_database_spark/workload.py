@@ -2801,6 +2801,122 @@ def e08_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e09_gapfill",
+    oracle="""
+WITH b AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+         sum(CAST(floor(value * 1000000) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT k.event_type, unnest(range(s.lo, s.hi + 3600, 3600)) AS bucket_s
+  FROM (SELECT DISTINCT event_type FROM b) k,
+       (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b) s),
+d AS (
+  SELECT grid.bucket_s, grid.event_type, b.v::DOUBLE AS value
+  FROM grid LEFT JOIN b USING (bucket_s, event_type)),
+w AS (
+  SELECT bucket_s, event_type, value,
+    last_value(value IGNORE NULLS) OVER fwd AS prev_v,
+    first_value(value IGNORE NULLS) OVER bwd AS next_v,
+    last_value(CASE WHEN value IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER fwd AS prev_b,
+    first_value(CASE WHEN value IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER bwd AS next_b
+  FROM d
+  WINDOW fwd AS (PARTITION BY event_type ORDER BY bucket_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         bwd AS (PARTITION BY event_type ORDER BY bucket_s
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT bucket_s, event_type, round(value, 6) AS value,
+       round(prev_v, 6) AS value_locf,
+       round(CASE WHEN value IS NOT NULL THEN value
+             ELSE prev_v + (next_v - prev_v) *
+                  ((bucket_s - prev_b)::DOUBLE / (next_b - prev_b)::DOUBLE)
+             END, 6) AS value_interp
+FROM w
+""",
+)
+def e09_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling (the TimescaleDB
+    `time_bucket_gapfill` + `locf` + `interpolate` shape) over the
+    hourly rollup: the dense (event_type, hour) grid with the
+    observed fixed-point sum, last-observation-carried-forward, and
+    linear interpolation between the nearest observed buckets. The
+    grid is sequence+explode per key (no driver loop); the fills are
+    key-partitioned windows — one shuffle. Values are integer
+    micro-unit sums so observation values are exact; the interp
+    expression is form-identical on both engines."""
+    ev = _events(spark, sf_dir)
+    level = ts_ops.rollup_events(
+        ev, 3600, key_cols=("event_type",), first_last=False
+    )
+    gf = ts_ops.gapfill(level, 3600, key_cols=("event_type",))
+    return gf.select(
+        "bucket_s",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_locf", 6).alias("value_locf"),
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+FUNNEL_WINDOW_S = 86_400  # the whole chain must finish within a day
+
+
+@query(
+    "e10_funnel",
+    oracle=f"""
+WITH s1 AS (SELECT user_id,
+                   first(ts ORDER BY ts, event_id) AS ts1,
+                   first(event_id ORDER BY ts, event_id) AS id1
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT s1.user_id,
+              first(e.ts ORDER BY e.ts, e.event_id) AS ts2,
+              first(e.event_id ORDER BY e.ts, e.event_id) AS id2
+       FROM s1 JOIN events e ON e.user_id = s1.user_id
+        AND e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts1, s1.id1)
+       GROUP BY s1.user_id),
+s3 AS (SELECT s2.user_id,
+              first(e.ts ORDER BY e.ts, e.event_id) AS ts3
+       FROM s2 JOIN events e ON e.user_id = s2.user_id
+        AND e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts2, s2.id2)
+       GROUP BY s2.user_id)
+SELECT s1.user_id,
+       epoch_us(s1.ts1) AS us_step1,
+       CASE WHEN s2.ts2 <= s1.ts1 + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+            THEN epoch_us(s2.ts2) END AS us_step2,
+       CASE WHEN s3.ts3 <= s1.ts1 + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+            THEN epoch_us(s3.ts3) END AS us_step3,
+       (1 + CASE WHEN s2.ts2 <= s1.ts1 + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+                 THEN 1 ELSE 0 END
+          + CASE WHEN s3.ts3 <= s1.ts1 + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+                 THEN 1 ELSE 0 END)::BIGINT AS funnel_depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+)
+def e10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ClickHouse `windowFunnel` shape):
+    earliest view -> click -> purchase chain per user, whole chain
+    within one day of the first view. ONE conditional-collect
+    aggregate + a fixed-length in-row chain walk — no joins, no
+    windows, one shuffle on the user key; the oracle replays the
+    greedy chain with correlated min-joins. Step ordering is the
+    total (ts, event_id) order, so ties are deterministic; timestamps
+    are output as exact epoch micros."""
+    ev = _events(spark, sf_dir)
+    fn = ts_ops.funnel_steps(
+        ev, ["view", "click", "purchase"], within_s=FUNNEL_WINDOW_S
+    )
+    us = [
+        F.expr(ts_ops._epoch_us(fn, f"ts_step{i}")).cast("long").alias(
+            f"us_step{i}"
+        )
+        for i in (1, 2, 3)
+    ]
+    return fn.select("user_id", *us, "funnel_depth")
+
+
+@query(
     "t11_hashing_embed",
     oracle="""
 WITH u AS (SELECT doc_id,
@@ -2983,6 +3099,8 @@ _DRIVER_TAIL = [
     "v16_cosine_search",     # tree-search family: v01/v12/v14 stay
     "t12_bpe_tokens",        # token counting: t01/t03 stay
     "e08_hypertable_rollup",  # events family: e01 tumbling stays
+    "e09_gapfill",            # events family: e01/e08 stay
+    "e10_funnel",             # events family: e01/e07 stay
 ]
 
 
