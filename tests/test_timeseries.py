@@ -392,3 +392,76 @@ def test_funnel_ts_tie_breaks_on_event_id(spark):
     }
     assert out[1]["funnel_depth"] == 2   # id 6 > id 5 at equal ts
     assert out[2]["funnel_depth"] == 1   # id 3 < id 4: click not after
+
+
+def test_pre_epoch_bucketing_floors(spark):
+    """`div` truncates toward zero; bucketing must FLOOR so pre-1970
+    timestamps land in their own bucket (matching DuckDB // and
+    TimescaleDB time_bucket), never a double-width 'bucket 0'."""
+    rows = [(1, -30, "k", 1.0), (2, 30, "k", 1.0), (3, -90, "k", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    lev = ts.rollup_events(df, 60, first_last=False)
+    got = {r["bucket_s"]: r["n"] for r in lev.collect()}
+    assert got == {-120: 1, -60: 1, 0: 1}
+    # cascade floors too: -120/-60 nest into -3600, not 0
+    hour = ts.cascade_rollup(lev, 3600, finer_width_s=60)
+    got2 = {r["bucket_s"]: r["n"] for r in hour.collect()}
+    assert got2 == {-3600: 2, 0: 1}
+
+
+def test_cascade_validates_nesting_width(spark, events):
+    lev = ts.rollup_events(events, 60, first_last=False)
+    with pytest.raises(ValueError, match="multiple"):
+        ts.cascade_rollup(lev, 90, finer_width_s=60)
+
+
+def test_merge_many_equals_full(spark, events):
+    """One union + one aggregate over k parts == the full rollup."""
+    parts = [
+        ts.rollup_events(events.where(F.col("event_id") % 3 == i), 60)
+        for i in range(3)
+    ]
+    got = ts.finalize_rollup(ts.merge_rollup_many(parts))
+    want = ts.finalize_rollup(ts.rollup_events(events, 60))
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_read_rollup_ignores_uncommitted_dirs(spark):
+    """A base/delta dir without _SUCCESS (crash mid-write) must be
+    invisible: readers use the newest COMMITTED base plus newer
+    committed deltas, so the pre-crash state still reads exactly."""
+    import os as _os
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.rollup import (
+        read_rollup,
+        streaming_rollup_ingest,
+    )
+
+    tmp = _tf.mkdtemp()
+    src, ckpt, state = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/state"
+    _write_event_files(spark, src, 0, 40, mode="overwrite")
+    _write_event_files(spark, src, 40, 25)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double,"
+            " ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_rollup_ingest(
+        stream, state, finest_s=60, checkpoint=ckpt, compact_every=99
+    )
+    q.awaitTermination(180)
+    want = _sorted_rows(ts.finalize_rollup(read_rollup(spark, state)))
+
+    # simulate a compaction crash: a partial base dir, no _SUCCESS
+    broken = f"{state}/base/upto=999"
+    _os.makedirs(broken)
+    with open(f"{broken}/part-00000.parquet", "wb") as f:
+        f.write(b"not parquet")
+    got = _sorted_rows(ts.finalize_rollup(read_rollup(spark, state)))
+    assert got == want

@@ -64,14 +64,24 @@ def _epoch_us(df: DataFrame, ts_col: str) -> str:
     return f"unix_micros({ts_col})"
 
 
+def _floor_div(x: str, w: int) -> str:
+    """SQL fragment for FLOOR division of bigint `x` by positive `w`.
+    Spark's `div` truncates toward zero, which shifts every pre-1970
+    bucket one late and makes 'bucket 0' double-width; subtracting
+    pmod first makes the numerator exactly divisible, so `div` equals
+    floor — matching DuckDB's `//` and TimescaleDB's time_bucket.
+    Integer end-to-end: epoch micros ~1.7e18 exceed double's exact
+    range."""
+    return f"(({x}) - pmod({x}, {int(w)})) div {int(w)}"
+
+
 def time_bucket_s(df: DataFrame, ts_col: str, width_s: int) -> F.Column:
     """Epoch-second start of `ts_col`'s `width_s`-wide bucket, as
-    BIGINT (integer arithmetic end-to-end: exact, engine-portable)."""
+    BIGINT (integer arithmetic end-to-end: exact, engine-portable,
+    FLOOR semantics so pre-epoch timestamps bucket correctly)."""
     w_us = int(width_s) * MICROS
-    # integer `div` end-to-end: epoch micros ~1.7e18 exceed double's
-    # exact range, so a float division could misplace boundary rows
     return F.expr(
-        f"CAST(({_epoch_us(df, ts_col)} div {w_us}) * {int(width_s)}"
+        f"CAST({_floor_div(_epoch_us(df, ts_col), w_us)} * {int(width_s)}"
         " AS BIGINT)"
     )
 
@@ -146,16 +156,26 @@ def cascade_rollup(
     width_s: int,
     *,
     key_cols: Sequence[str] = ("event_type",),
+    finer_width_s: int | None = None,
 ) -> DataFrame:
     """Roll a finer rollup level up to `width_s`-second buckets
     WITHOUT touching raw data. Exact: integer sums re-associate
     freely, min(first_s) over finer buckets is the global first.
     `width_s` must be a multiple of the finer level's width (bucket
-    starts then nest exactly). first/last presence is inferred from
-    the finer level's columns."""
+    starts then nest exactly) — pass ``finer_width_s`` to have that
+    validated here (a non-nesting cascade silently misassigns
+    straddling buckets otherwise). first/last presence is inferred
+    from the finer level's columns."""
+    if finer_width_s is not None and int(width_s) % int(finer_width_s):
+        raise ValueError(
+            f"cascade width {width_s} must be a multiple of the finer "
+            f"level's width {finer_width_s}: a finer bucket straddling "
+            "the coarse boundary would be silently misassigned"
+        )
     has_fl = "first_s" in finer.columns
     coarse = F.expr(
-        f"CAST((bucket_s div {int(width_s)}) * {int(width_s)} AS BIGINT)"
+        f"CAST({_floor_div('bucket_s', int(width_s))} * {int(width_s)}"
+        " AS BIGINT)"
     )
     cols = [
         coarse.alias("bucket_s"),
@@ -209,8 +229,12 @@ def hypertable_rollup(
             first_last=first_last,
         )
     ]
-    for w in widths[1:]:
-        levels.append(cascade_rollup(levels[-1], w, key_cols=key_cols))
+    for fw, w in zip(widths, widths[1:]):
+        levels.append(
+            cascade_rollup(
+                levels[-1], w, key_cols=key_cols, finer_width_s=fw
+            )
+        )
     return levels
 
 
@@ -229,8 +253,27 @@ def merge_rollup(
     the stored level -> dynamic-partition-overwrite touched buckets.
     first/last presence is inferred from the level's columns (both
     sides must agree — unionByName raises otherwise)."""
-    has_fl = "first_s" in level.columns
-    return level.unionByName(delta).groupBy("bucket_s", *key_cols).agg(
+    return merge_rollup_many([level, delta], key_cols=key_cols)
+
+
+def merge_rollup_many(
+    parts: Sequence[DataFrame],
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Merge ANY number of same-resolution rollup parts in ONE
+    union + ONE aggregate (a pairwise merge chain would run k-1
+    sequential shuffle aggregations — Catalyst does not collapse
+    nested aggregates). first/last presence is inferred from the
+    first part's columns; all parts must agree (unionByName raises
+    otherwise)."""
+    if not parts:
+        raise ValueError("merge_rollup_many needs at least one part")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    has_fl = "first_s" in merged.columns
+    return merged.groupBy("bucket_s", *key_cols).agg(
         *_state_agg("first_s" if has_fl else None,
                     "last_s" if has_fl else None)
     )
@@ -273,6 +316,11 @@ def gapfill(
     storage)."""
     w = int(width_s)
     keys = [F.col(k) for k in key_cols]
+    # the level plan is consumed 2-3x below (span agg, key distinct,
+    # observation join); when it is a lazy rollup over raw events that
+    # would re-scan raw per branch — materialize it once (a rollup
+    # level is |buckets x keys| rows: tiny at any corpus scale)
+    level = level.localCheckpoint(eager=False)
     if start_s is None or end_s is None:
         lo, hi = level.agg(
             F.min("bucket_s"), F.max("bucket_s")
@@ -347,11 +395,15 @@ def funnel_steps(
     row per user that completed step 1, with ``ts_step{i}`` (NULL once
     the chain breaks) and ``funnel_depth``.
 
-    "Earliest chain" is the greedy minimal chain: step 1 is the user's
-    first step-1 event; step i+1 is the first step-(i+1) event after
-    step i. Ordering is (ts, event_id) — total, so ties are
-    deterministic. Greedy-earliest maximizes completion under a time
-    cap: any chain inside the window implies the greedy one is.
+    "Earliest chain" is the greedy minimal chain ANCHORED at the
+    user's FIRST step-1 event; step i+1 is the first step-(i+1) event
+    after step i. Ordering is (ts, event_id) — total, so ties are
+    deterministic. Note the anchor semantics: with ``within_s`` set,
+    a later step-1 event could start a chain that fits the window
+    when the first-anchored one does not — this operator reports the
+    first-anchored chain (first-touch attribution), not the
+    max-completion chain over all anchors (ClickHouse windowFunnel's
+    sliding scan).
 
     Set-based: ONE aggregate computes, per user, the ordered event
     list per step type (conditional collect), then a fixed-length

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vector_database_spark.operators.timeseries import (
     cascade_rollup,
-    merge_rollup,
+    merge_rollup_many,
     rollup_events,
 )
 
@@ -51,9 +51,16 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _list_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
-    """Batch/upto ids present under `path` (`<prefix>=<id>` dirs),
-    via a driver-side FS listing — no data read."""
+    """COMMITTED batch/upto ids under `path` (`<prefix>=<id>` dirs),
+    via a driver-side FS listing — no data read. Only dirs whose
+    parquet job committed (`_SUCCESS` marker present) count: a crash
+    mid-write leaves a partial dir, and trusting it would corrupt the
+    state permanently (readers would skip the still-present deltas
+    'by construction' while reading a broken base). Partial dirs are
+    simply ignored — the writer's overwrite (delta replay) or the
+    next compaction (base) replaces them."""
     fs, hpath = _fs(spark, path)
+    jvm = spark._jvm
     if not fs.exists(hpath):
         return []
     out = []
@@ -61,9 +68,12 @@ def _list_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
         name = st.getPath().getName()
         if name.startswith(f"{prefix}="):
             try:
-                out.append(int(name.split("=", 1)[1]))
+                bid = int(name.split("=", 1)[1])
             except ValueError:
-                pass
+                continue
+            ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(ok):
+                out.append(bid)
     return sorted(out)
 
 
@@ -93,11 +103,14 @@ def read_rollup(
             parts.append(spark.read.parquet(f"{state_path}/delta/batch={b}"))
     if not parts:
         return None
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merge_rollup(merged, p, key_cols=key_cols)
+    # ONE union + ONE aggregate — a pairwise merge chain would run
+    # len(parts)-1 sequential shuffle aggregations
+    merged = merge_rollup_many(parts, key_cols=key_cols)
     if width_s is not None and int(width_s) != int(finest_s):
-        merged = cascade_rollup(merged, int(width_s), key_cols=key_cols)
+        merged = cascade_rollup(
+            merged, int(width_s), key_cols=key_cols,
+            finer_width_s=int(finest_s),
+        )
     return merged
 
 
@@ -110,12 +123,15 @@ def streaming_rollup_ingest(
     id_col: str = "event_id",
     key_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    first_last: bool = True,
     checkpoint: str | None = None,
     compact_every: int = 8,
 ):
     """Maintain the finest-level rollup of an events stream under
     ``state_path``. Returns the started StreamingQuery; query the
-    state at any resolution with `read_rollup`."""
+    state at any resolution with `read_rollup`. ``first_last=False``
+    keeps the state fixed-width (pure HashAggregate per batch — the
+    metrics-pipeline shape); readers infer the schema either way."""
     keys = tuple(key_cols)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -129,6 +145,7 @@ def streaming_rollup_ingest(
             id_col=id_col,
             key_cols=keys,
             value_col=value_col,
+            first_last=first_last,
         )
         # redelivery-idempotent: the batch replaces its own partition
         delta.write.mode("overwrite").parquet(
@@ -143,16 +160,16 @@ def streaming_rollup_ingest(
         ]
         if len(pending) < int(compact_every):
             return
-        merged = (
-            spark.read.parquet(f"{state_path}/base/upto={upto}")
+        parts = (
+            [spark.read.parquet(f"{state_path}/base/upto={upto}")]
             if bases
-            else None
+            else []
         )
-        for b in pending:
-            d = spark.read.parquet(f"{state_path}/delta/batch={b}")
-            merged = d if merged is None else merge_rollup(
-                merged, d, key_cols=keys
-            )
+        parts += [
+            spark.read.parquet(f"{state_path}/delta/batch={b}")
+            for b in pending
+        ]
+        merged = merge_rollup_many(parts, key_cols=keys)
         new_upto = pending[-1]
         # materialize before any delete: the plan reads the old base
         merged = merged.localCheckpoint(eager=True)

@@ -145,7 +145,7 @@ def streaming_ewma_tws(events: DataFrame, *, alpha: float = 0.25) -> DataFrame:
     factory raises at call time with a clear message; on a standard
     cluster (protobuf is a stock Spark dependency) it runs as-is.
     Requires the RocksDB state store provider. Semantics are shared
-    with `streaming_ewma` via `_fold_ewma_batch` — identical fold,
+    with `streaming_ewma` — identical fold,
     identical output schema (both close over `_make_ewma_fold()`'s
     nested fold).
 
