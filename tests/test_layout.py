@@ -1,0 +1,83 @@
+"""Z-order layout contracts: exact interleave values, and the actual
+multi-dimensional locality benefit vs a linear sort (tight
+per-partition bounding boxes in BOTH dimensions = file skipping on
+either filter column)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators import layout
+
+
+def test_zorder_known_values(spark):
+    """bits=2, two cols with [0,3] bounds: scaling is identity and
+    the interleave puts col-0 bits at even positions."""
+    rows = [(0, 0), (3, 0), (0, 3), (3, 3), (2, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = {
+        (r["a"], r["b"]): r["zcode"]
+        for r in layout.zorder_code(
+            df, ["a", "b"], bits=2, bounds={"a": (0, 3), "b": (0, 3)}
+        ).collect()
+    }
+    # a=0b10, b=0b01 -> bit0(a)@0, bit0(b)@1, bit1(a)@2, bit1(b)@3
+    assert out[(0, 0)] == 0
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
+    assert out[(2, 1)] == 0b0110
+
+
+def test_zorder_scaling_and_validation(spark):
+    df = spark.createDataFrame([(10, 0), (20, 0)], "a long, b long")
+    out = {
+        r["a"]: r["zcode"]
+        for r in layout.zorder_code(df, ["a", "b"], bits=4).collect()
+    }
+    # bounds inferred: a in [10,20] -> scaled 0 / 15; b degenerate -> 0
+    assert out[10] == 0
+    assert out[20] == 0b01010101  # 15 interleaved at even positions
+    import pytest
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        layout.zorder_code(df, ["a", "b"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        layout.zorder_code(df, [])
+
+
+def test_cluster_by_zorder_bounds_boxes_both_dims(spark):
+    """The point of the layout: after z-order clustering, every
+    partition's (min,max) box is tight in BOTH dimensions, so file
+    stats prune on either column. A linear sort on `a` leaves the
+    `b` extent of every partition at ~full range."""
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+
+    def spans(df):
+        pid = df.withColumn("pid", F.spark_partition_id())
+        rows = (
+            pid.groupBy("pid")
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .collect()
+        )
+        return (
+            sum(r["sa"] for r in rows) / len(rows),
+            sum(r["sb"] for r in rows) / len(rows),
+        )
+
+    z = layout.cluster_by_zorder(grid, ["a", "b"], bits=6, num_partitions=16)
+    assert "zcode" not in z.columns
+    assert z.count() == n * n  # clustering is a permutation
+    za, zb = spans(z)
+    lin = grid.repartitionByRange(16, "a").sortWithinPartitions("a")
+    la, lb = spans(lin)
+    # linear sort: perfect on a, useless on b (full extent)
+    assert la < n / 4 and lb > n * 0.9
+    # z-order: BOTH dims bounded well below the full extent
+    assert za < n / 2 and zb < n / 2

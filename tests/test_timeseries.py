@@ -465,3 +465,23 @@ def test_read_rollup_ignores_uncommitted_dirs(spark):
         f.write(b"not parquet")
     got = _sorted_rows(ts.finalize_rollup(read_rollup(spark, state)))
     assert got == want
+
+
+def test_retention_cohorts_multi_cohort(spark):
+    """Crafted two-cohort data: offsets count only each cohort's own
+    users; a user active twice in one period counts once."""
+    W = 7 * 86_400
+    rows = [
+        # cohort 0: users 1,2 start week 0; user 1 returns week 1 twice
+        (1, 1, 0), (2, 2, 10), (3, 1, W), (4, 1, W + 5),
+        # cohort 1: user 3 starts week 1, returns week 3
+        (5, 3, W + 20), (6, 3, 3 * W),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    got = {
+        (r["cohort_s"], r["period_offset"]): r["n_users"]
+        for r in ts.retention_cohorts(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (W, 0): 1, (W, 2): 1}

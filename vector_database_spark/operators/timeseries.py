@@ -460,6 +460,47 @@ def funnel_steps(
     return g.select("*", depth.cast("long").alias("funnel_depth"))
 
 
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86_400,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST activity; each (cohort, offset) cell counts the
+    cohort's users active `offset` periods later. Output:
+    (cohort_s, period_offset, n_users) — offset 0 is the cohort size.
+
+    Shape: one distinct on (user, period) — the only pass over raw
+    events — then a per-user min and a self-join on the user key
+    (co-partitioned: same shuffle key back to back, no extra
+    exchange), then one count-distinct aggregate over
+    |users x active periods| rows. At 100 TB the distinct is the
+    map-side-combinable heavy step; everything after is user-bounded.
+    Period bucketing floors (exact integer arithmetic), so any epoch
+    range works."""
+    w = int(period_s)
+    uw = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            time_bucket_s(events, ts_col, w).alias("week_s"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week_s").alias("cohort_s"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_s",
+            F.expr(f"(week_s - cohort_s) div {w}")
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def finalize_rollup(level: DataFrame) -> DataFrame:
     """User-facing projection of a rollup level: extract first/last
     values from the orderable structs when present. Pure projection

@@ -2917,6 +2917,80 @@ def e10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e11_retention",
+    oracle="""
+WITH uw AS (SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 604800000000) * 604800 AS week_s
+            FROM events),
+c AS (SELECT user_id, min(week_s) AS cohort_s FROM uw GROUP BY user_id)
+SELECT c.cohort_s,
+       ((uw.week_s - c.cohort_s) // 604800)::BIGINT AS period_offset,
+       count(DISTINCT uw.user_id)::BIGINT AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def e11_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by first-active
+    week; each cell counts the cohort's users active N weeks later.
+    One distinct over (user, week) — the only raw pass — then a
+    user-keyed min + co-partitioned self-join + one count-distinct
+    aggregate. Exact integer week bucketing (floor), so both engines
+    agree bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.retention_cohorts(ev)
+
+
+def _z_oracle_terms(scaled: list[str], bits: int) -> str:
+    """DuckDB twin of layout._interleave: bit b of input i lands at
+    b*len(scaled) + i. Fully parenthesized shift/mask terms."""
+    k = len(scaled)
+    terms = [
+        f"((({s} >> {b}) & 1) << {b * k + i})"
+        for b in range(bits)
+        for i, s in enumerate(scaled)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "p06_zorder",
+    oracle=f"""
+WITH o AS (SELECT o_orderkey, o_custkey AS ck,
+                  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS dy
+           FROM orders),
+b AS (SELECT min(ck) AS lo1, max(ck) AS hi1,
+             min(dy) AS lo2, max(dy) AS hi2 FROM o)
+SELECT o.o_orderkey,
+       {_z_oracle_terms(
+           ["(((o.ck - b.lo1) * 1023) // (b.hi1 - b.lo1))",
+            "(((o.dy - b.lo2) * 1023) // (b.hi2 - b.lo2))"],
+           10,
+       )}::BIGINT AS zcode
+FROM o, b
+""",
+)
+def p06_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over (customer, order-day): the
+    data-layout key behind multi-dimensional file skipping
+    (`layout.cluster_by_zorder` range-partitions + sorts on this
+    code so every output file is a tight bounding box in BOTH
+    dimensions). Exact integer scale-then-interleave, so the codes
+    hash-match the oracle's identical bit arithmetic."""
+    from vector_database_spark.operators import layout
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
+        .alias("dy"),
+    )
+    return layout.zorder_code(o, ["ck", "dy"], bits=10).select(
+        "o_orderkey", "zcode"
+    )
+
+
+@query(
     "t11_hashing_embed",
     oracle="""
 WITH u AS (SELECT doc_id,
@@ -3101,6 +3175,8 @@ _DRIVER_TAIL = [
     "e08_hypertable_rollup",  # events family: e01 tumbling stays
     "e09_gapfill",            # events family: e01/e08 stay
     "e10_funnel",             # events family: e01/e07 stay
+    "e11_retention",          # events family: e01/e07 stay
+    "p06_zorder",             # layout/pipeline family: p01-p05 stay
 ]
 
 
