@@ -143,6 +143,37 @@ CHECKS = {
         "(bounded by dims); encode+error is a zero-shuffle projection "
         "with the stats closed over as literals, never a join",
     ),
+    "e09_gapfill": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "gapfill: dense grid via sequence+explode equi-joined to the "
+        "rollup (never a cross join), locf/interp as key-partitioned "
+        "windows, JVM-only",
+    ),
+    "e10_funnel": (
+        [],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+        "funnel: ONE conditional-collect aggregate + in-row chain "
+        "walk — no joins, no windows, one shuffle on the user key",
+    ),
+    "e11_retention": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "retention: distinct + per-user min + user-keyed join + one "
+        "count-distinct — all equi-keyed, no quadratic step",
+    ),
+    "p06_zorder": (
+        ["ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+         "o_orderdate:timestamp_ntz>"],
+        ["Exchange", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "z-order codes: column-pruned scan into a zero-shuffle flat "
+        "integer shift/mask projection (bounds pre-collected, closed "
+        "over as literals)",
+    ),
 }
 
 
