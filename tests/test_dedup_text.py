@@ -530,3 +530,49 @@ def test_cosine_search_zero_norm_query(spark, embeddings):
     qids = {r.qid for r in out}
     assert 7 not in qids          # zero query matches nothing, no crash
     assert (3 in qids)            # real query unaffected
+
+
+def test_exact_substring_stats_crafted(spark):
+    """Planted duplication: doc b repeats doc a's prefix, doc c is
+    unique, doc d repeats a span within itself; NULL/short texts are
+    dropped, not crashed."""
+    from vector_database_spark.operators.text import exact_substring_stats
+
+    prefix = "0123456789" * 2  # 20 chars
+    rows = [
+        (1, prefix + "AAAAAAAAAA"),          # 30 chars: 1 span
+        (2, prefix + "AAAAAAAAAA"),          # identical: dup with doc 1
+        (3, "Z" + "q8k2m" * 6),              # 31 chars, unique spans
+        (4, "tooshort"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in exact_substring_stats(df, span_len=30).collect()
+    }
+    assert out[1] == (1, 1) and out[2] == (1, 1)
+    assert out[3][0] == 2 and out[3][1] == 0
+    assert 4 not in out and 5 not in out
+    # self-repeat: one doc containing the same 30-char span twice
+    rep = "ab" * 15  # 30 chars
+    df2 = spark.createDataFrame(
+        [(9, rep + "XX" + rep)], "doc_id long, text string"
+    )
+    r9 = exact_substring_stats(df2, span_len=30).collect()[0]
+    # spans at pos 1 and pos 33 are identical ("ab"*15)
+    assert r9["n_dup_spans"] >= 2
+
+
+def test_inverted_index_counts(spark):
+    from vector_database_spark.operators.text import inverted_index
+
+    rows = [(1, "a b a"), (2, "b c"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in inverted_index(df).collect()
+    }
+    assert out["a"] == (1, 2, "1")
+    assert out["b"] == (2, 2, "1,2")
+    assert out["c"] == (1, 1, "2")

@@ -485,3 +485,87 @@ def test_retention_cohorts_multi_cohort(spark):
         for r in ts.retention_cohorts(df).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (W, 0): 1, (W, 2): 1}
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """Keyed-state streaming funnel: chains assemble across
+    micro-batches and equal the batch operator on the full history
+    (event-time-ordered arrival), including a chain that dies at the
+    deadline in a later batch."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import streaming_funnel
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "event_id long, user_id long, ts_s long, event_type string"
+    b1 = [
+        (1, 1, 100, "view"), (2, 1, 200, "click"),
+        (3, 2, 100, "view"),
+        (4, 3, 50, "click"),  # click before any view: never anchors
+    ]
+    b2 = [
+        (5, 1, 300, "purchase"),          # completes u1 across batches
+        (6, 2, 2000, "click"),            # past the 1000s window: dead
+        (7, 2, 2100, "purchase"),
+        (8, 3, 60, "view"),               # anchors after the stray click
+        (9, 3, 70, "click"),
+    ]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run(out):
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp_ntz"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            streaming_funnel(
+                stream, ["view", "click", "purchase"], within_s=1000
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write(b1)
+    run(f"{tmp}/out1")
+    write(b2)
+    run(f"{tmp}/out2")
+
+    got = {
+        r["user_id"]: (
+            r["us_step1"], r["us_step2"], r["us_step3"], r["funnel_depth"]
+        )
+        for r in spark.read.parquet(f"{tmp}/out2").collect()
+    }
+    batch = ts.funnel_steps(
+        spark.read.parquet(src), ["view", "click", "purchase"],
+        within_s=1000,
+    )
+    want = {
+        r["user_id"]: (
+            int(r["ts_step1"].timestamp() * 1e6),
+            int(r["ts_step2"].timestamp() * 1e6) if r["ts_step2"] else None,
+            int(r["ts_step3"].timestamp() * 1e6) if r["ts_step3"] else None,
+            r["funnel_depth"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got[1][3] == 3 and got[2][3] == 1 and got[3][3] == 2

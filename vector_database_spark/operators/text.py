@@ -581,3 +581,86 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(
         kern, "id long, n_words long, n_bpe_tokens long, reconstruction_ok boolean"
     )
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    *,
+    span_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Char-level exact-substring duplication profile (the
+    "deduplicating training data makes LMs better" exact-substring
+    method, Lee et al. 2022, at fixed span length): for every doc,
+    how many of its length-`span_len` character spans occur MORE THAN
+    ONCE in the whole corpus (any doc, any position — including
+    self-repeats). Returns (id, n_spans, n_dup_spans, dup_fraction).
+
+    Shape: explode every start position (the method is inherently
+    O(total chars) rows — the suffix-array formulation shares that
+    bound), hash the span with md5 (engine-portable), count
+    occurrences with ONE window over the hash (single shuffle), then
+    one per-doc aggregate. substring/md5 are flat codegen
+    expressions — per-position work stays JVM, never an interpreted
+    array lambda. At 100 TB this is the pipeline's heavy pass by
+    nature; span hashes are uniform so the shuffle has no skew, and
+    a stride>1 scan (trading exactness for cost) composes by
+    filtering `pos % stride = 1` before the window."""
+    from pyspark.sql.window import Window
+
+    L = int(span_len)
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.length(text_col) >= L,
+                F.sequence(F.lit(1), F.length(text_col) - (L - 1)),
+            ).otherwise(F.array())
+        ).alias("pos"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "id", F.md5(F.expr(f"substring(_t, pos, {L})")).alias("h")
+    )
+    n = F.count("*").over(Window.partitionBy("h"))
+    dup = (n > 1).cast("long")
+    return (
+        spans.select("id", dup.alias("is_dup"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("is_dup").cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count("*"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-level inverted index (the IR primitive behind the
+    reference's text-search data model, DDL.sql Document/TextChunk):
+    one row per term with document frequency, collection frequency,
+    and the sorted distinct-doc postings list (comma-joined string —
+    engine-portable and oracle-hashable). ONE explode + ONE hash
+    aggregate keyed on the term: map-side partials collapse each
+    partition's postings before the single shuffle; no joins."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.count_distinct("id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

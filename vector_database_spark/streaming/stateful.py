@@ -196,3 +196,104 @@ def streaming_ewma_tws(events: DataFrame, *, alpha: float = 0.25) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    within_s: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.funnel_steps`: per-user
+    greedy conversion chain (anchored at the key's FIRST step-1
+    event, each step the first matching event after the previous,
+    whole chain within ``within_s`` of the anchor) maintained as
+    keyed state across micro-batches. Emits the key's chain so far
+    each batch it appears in; output mode must be 'update'.
+
+    Equals the batch operator exactly when each key's events arrive
+    in event-time order ACROSS micro-batches (within a batch, rows
+    are sorted by (ts, event_id) before the walk — the batch
+    operator's total order). The chain-break rule is replayed
+    faithfully: the FIRST candidate for the next step decides — if it
+    lands past the deadline the chain is dead for good, even if the
+    key keeps streaming.
+
+    State per key is O(len(steps)) longs — bounded forever, no event
+    retention. The kernel is a nested closure (repo pickle rule)."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    step_list = [str(s) for s in steps]
+    within_us = int(within_s) * 1_000_000 if within_s is not None else None
+    ucol, tcol, icol, ecol = user_col, ts_col, id_col, type_col
+
+    def update_funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0, 0, 0, 0] + [-1] * k  # depth, dead, cur_us, cur_id
+        depth, dead, cur_us, cur_id = st[0], st[1], st[2], st[3]
+        us = st[4:]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf[tcol].to_numpy("datetime64[us]").astype("int64")
+            order = pdf.assign(_us=ts_us).sort_values(
+                ["_us", icol], kind="mergesort"
+            )
+            for t, eid, et in zip(
+                order["_us"].to_numpy("int64"),
+                order[icol].to_numpy("int64"),
+                order[ecol],
+            ):
+                if dead or depth >= k:
+                    break
+                if depth == 0:
+                    if et == step_list[0]:
+                        depth, us[0] = 1, int(t)
+                        cur_us, cur_id = int(t), int(eid)
+                elif et == step_list[depth] and (
+                    (t, eid) > (cur_us, cur_id)
+                ):
+                    # the first candidate decides: advance or die
+                    if within_us is None or t <= us[0] + within_us:
+                        us[depth] = int(t)
+                        depth += 1
+                        cur_us, cur_id = int(t), int(eid)
+                    else:
+                        dead = 1
+        state.update(tuple([depth, dead, cur_us, cur_id] + us))
+        if depth == 0:
+            return  # batch semantics: no row until step 1 happens
+        cols = {"user_id": pd.array([user_id], dtype="int64")}
+        for i in range(k):
+            cols[f"us_step{i + 1}"] = pd.array(
+                [us[i] if us[i] >= 0 else None], dtype="Int64"
+            )
+        cols["funnel_depth"] = pd.array([depth], dtype="int64")
+        yield pd.DataFrame(cols)
+
+    us_cols = ", ".join(f"us_step{i + 1} long" for i in range(k))
+    filtered = events.where(
+        events[ecol].isin(step_list)
+    )
+    return filtered.groupBy(ucol).applyInPandasWithState(
+        update_funnel,
+        outputStructType=f"user_id long, {us_cols}, funnel_depth long",
+        stateStructType=(
+            "depth long, dead long, cur_us long, cur_id long, "
+            + ", ".join(f"us{i + 1} long" for i in range(k))
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2941,6 +2941,38 @@ def e11_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.retention_cohorts(ev)
 
 
+@query(
+    "d09_exact_substring",
+    oracle="""
+WITH p AS (SELECT doc_id,
+                  unnest(range(1, greatest(len(text) - 29, 0) + 1)) AS pos,
+                  text
+           FROM documents),
+s AS (SELECT doc_id, md5(substr(text, pos::INT, 30)) AS h FROM p),
+c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS n FROM s)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_fraction
+FROM c GROUP BY doc_id
+""",
+)
+def d09_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level exact-substring duplication profile (Lee et al.'s
+    exact-substring dedup signal at fixed span length 30): per doc,
+    the count and fraction of its character spans that occur more
+    than once anywhere in the corpus. One hash-partitioned window +
+    one per-doc aggregate; md5 span hashes are engine-portable so
+    the oracle is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.exact_substring_stats(docs, span_len=30).select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_fraction",
+    )
+
+
 def _z_oracle_terms(scaled: list[str], bits: int) -> str:
     """DuckDB twin of layout._interleave: bit b of input i lands at
     b*len(scaled) + i. Fully parenthesized shift/mask terms."""
@@ -3025,6 +3057,28 @@ def t11_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.round("weight", 6).alias("weight"),
     )
+
+
+@query(
+    "t13_inverted_index",
+    oracle=r"""
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS term
+           FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf,
+       array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',')
+         AS postings
+FROM u GROUP BY term
+""",
+)
+def t13_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: per term, document frequency,
+    collection frequency, and the sorted distinct-doc postings list
+    (comma-joined for exact cross-engine hashing). One explode + one
+    map-side-combined aggregate on the term key."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.inverted_index(docs)
 
 
 @query(
@@ -3177,6 +3231,8 @@ _DRIVER_TAIL = [
     "e10_funnel",             # events family: e01/e07 stay
     "e11_retention",          # events family: e01/e07 stay
     "p06_zorder",             # layout/pipeline family: p01-p05 stay
+    "d09_exact_substring",    # dedup family: d01-d08 stay
+    "t13_inverted_index",     # text family: t01-t07 stay
 ]
 
 
