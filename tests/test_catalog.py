@@ -201,3 +201,51 @@ def test_bucketed_join_is_shuffle_free(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS vds_bkt_left")
             spark.sql("DROP TABLE IF EXISTS vds_bkt_right")
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: matches further than the bound are
+    nulled; numeric ts columns use the column's own units, and the
+    nearest direction gates on the CHOSEN side's distance."""
+    from vector_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 50, "e2"), (1, 23, "e3")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 22, 200.0)], "k long, ts long, val double"
+    )
+    back = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_values=["val"], tolerance=10,
+    )
+    assert {r.ev: r.val_asof for r in back.collect()} == {
+        "e1": 100.0,  # dist 5 <= 10
+        "e2": None,   # latest at 22, dist 28 > 10
+        "e3": 200.0,  # dist 1
+    }
+    near = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_values=["val"], direction="nearest", tolerance=3,
+    )
+    assert {r.ev: r.val_asof for r in near.collect()} == {
+        "e1": None,   # nearest is 5 (dist 5) > 3
+        "e2": None,
+        "e3": 200.0,  # dist 1
+    }
+    # temporal columns: tolerance is seconds
+    lt = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 400, "e2")], "k long, s long, ev string"
+    ).selectExpr("k", "timestamp_micros(s * 1000000) AS ts", "ev")
+    rt = spark.createDataFrame(
+        [(1, 90, 1.0)], "k long, s long, val double"
+    ).selectExpr("k", "timestamp_micros(s * 1000000) AS ts", "val")
+    out = asof_join(
+        lt, rt, on="k", left_ts="ts", right_ts="ts",
+        right_values=["val"], tolerance=60,
+    )
+    assert {r.ev: r.val_asof for r in out.collect()} == {
+        "e1": 1.0,   # 10 s back
+        "e2": None,  # 310 s back > 60
+    }

@@ -569,3 +569,21 @@ def test_streaming_funnel_matches_batch(spark):
     }
     assert got == want
     assert got[1][3] == 3 and got[2][3] == 1 and got[3][3] == 2
+
+
+def test_time_weighted_avg_known_values(spark):
+    """LOCF weighting: v held until next event; single-event keys
+    have zero span and NULL twa."""
+    rows = [
+        (1, 1, 0, 10.0), (2, 1, 10, 20.0), (3, 1, 30, 0.0),
+        (4, 2, 5, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+    out = {r["user_id"]: r for r in ts.time_weighted_avg(df).collect()}
+    # (10*10 + 20*20) / 30 = 16.666667
+    assert out[1]["n_events"] == 3
+    assert out[1]["span_us"] == 30 * 1_000_000
+    assert out[1]["twa"] == 16.666667
+    assert out[2]["twa"] is None and out[2]["span_us"] is None

@@ -29,6 +29,7 @@ def asof_join(
     right_on: str | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right row in the same
     ``on`` group under ``direction``:
@@ -41,6 +42,12 @@ def asof_join(
 
     Ties on the timestamp WITHIN the right side must be
     pre-deduplicated by the caller for determinism.
+
+    ``tolerance`` (pandas merge_asof semantics): a match further than
+    this from the left timestamp is nulled out. Units: SECONDS for
+    temporal columns, the column's own units for numeric event
+    times. Applied as a post-predicate on the carried match — the
+    plan shape (one shuffle + one window pass) is unchanged.
 
     Returns all left columns + ``<right_value><suffix>`` columns
     (null when no right row qualifies).
@@ -104,35 +111,62 @@ def asof_join(
     carried = u.select("_lrow", "_side", "_ts", *carried_cols).where(
         F.col("_side") == 1
     )
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    u_schema = {f.name: f.dataType for f in carried.schema.fields}
+    temporal = isinstance(
+        u_schema["_ts"], (DateType, TimestampType, TimestampNTZType)
+    )
+
+    def numeric(name: str) -> F.Column:
+        # exact integer microseconds for temporal types (float
+        # seconds could flip exact midpoint ties); plain double
+        # for numeric event times.
+        if isinstance(
+            u_schema[name], (DateType, TimestampType, TimestampNTZType)
+        ):
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        return F.col(name).cast("double")
+
+    # tolerance in the numeric() scale: micros for temporal columns
+    tol_q = None
+    if tolerance is not None:
+        tol_q = F.lit(
+            float(tolerance) * 1_000_000 if temporal else float(tolerance)
+        )
+
+    def gated(val: F.Column, dist: F.Column) -> F.Column:
+        return val if tol_q is None else F.when(dist <= tol_q, val)
+
+    ts_d = numeric("_ts")
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     if direction == "backward":
-        out_cols += [F.col(f"_b_{c}").alias(f"{c}{suffix}") for c in right_values]
+        dist = ts_d - numeric("_bts")
+        out_cols += [
+            gated(F.col(f"_b_{c}"), dist).alias(f"{c}{suffix}")
+            for c in right_values
+        ]
     elif direction == "forward":
-        out_cols += [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_values]
+        dist = numeric("_fts") - ts_d
+        out_cols += [
+            gated(F.col(f"_f_{c}"), dist).alias(f"{c}{suffix}")
+            for c in right_values
+        ]
     else:
-        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
-
-        def numeric(name: str, dtype) -> F.Column:
-            # exact integer microseconds for temporal types (float
-            # seconds could flip exact midpoint ties); plain double
-            # for numeric event times.
-            if isinstance(dtype, (DateType, TimestampType, TimestampNTZType)):
-                return F.unix_micros(F.col(name).cast("timestamp"))
-            return F.col(name).cast("double")
-
-        u_schema = {f.name: f.dataType for f in carried.schema.fields}
-        ts_d = numeric("_ts", u_schema["_ts"])
         go_back = F.col("_fts").isNull() | (
             F.col("_bts").isNotNull()
-            & (
-                (ts_d - numeric("_bts", u_schema["_bts"]))
-                <= (numeric("_fts", u_schema["_fts"]) - ts_d)
-            )
+            & ((ts_d - numeric("_bts")) <= (numeric("_fts") - ts_d))
         )
+        chosen_dist = F.when(
+            go_back, ts_d - numeric("_bts")
+        ).otherwise(numeric("_fts") - ts_d)
         out_cols += [
-            F.when(go_back, F.col(f"_b_{c}"))
-            .otherwise(F.col(f"_f_{c}"))
-            .alias(f"{c}{suffix}")
+            gated(
+                F.when(go_back, F.col(f"_b_{c}")).otherwise(
+                    F.col(f"_f_{c}")
+                ),
+                chosen_dist,
+            ).alias(f"{c}{suffix}")
             for c in right_values
         ]
     return carried.select(*out_cols)

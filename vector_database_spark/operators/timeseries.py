@@ -460,6 +460,69 @@ def funnel_steps(
     return g.select("*", depth.cast("long").alias("funnel_depth"))
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key (the TimescaleDB `time_weight`
+    LOCF shape): each observation's value is held until the next
+    observation, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). Keys
+    with a single event (zero span) yield NULL. Output:
+    (keys..., n_events, span_s, twa).
+
+    Exactness across engines: doubles don't sum associatively, so the
+    weighted sum is carried as DECIMAL(38,0) of
+    floor(value·1e6)·Δt_micros — exact integer products (cast to
+    decimal BEFORE the multiply: the i64 product would overflow) that
+    re-associate freely; only the FINAL ratio is one double division
+    (identical on both engines). One lead window + one aggregate —
+    a single shuffle on the keys."""
+    kp = [str(k) for k in key_cols]
+    us = _epoch_us(events, ts_col)
+    prepared = events.select(
+        *kp,
+        F.col(id_col).alias("_id"),
+        F.expr(us).alias("_us"),
+        F.floor(F.col(value_col) * F.lit(MICROS)).cast("long").alias("_vm"),
+    )
+    nxt = F.lead("_us").over(
+        Window.partitionBy(*kp).orderBy("_us", "_id")
+    )
+    seg = prepared.select(
+        *kp,
+        "_vm",
+        (nxt - F.col("_us")).alias("_dt_us"),
+    )
+    wsum = F.sum(
+        F.col("_vm").cast("decimal(38,0)") * F.col("_dt_us")
+    )
+    return (
+        seg.groupBy(*kp)
+        .agg(
+            (F.count("*")).cast("long").alias("n_events"),
+            F.sum("_dt_us").cast("long").alias("span_us"),
+            wsum.alias("_ws"),
+        )
+        .select(
+            *kp,
+            "n_events",
+            "span_us",
+            F.when(
+                F.col("span_us") > 0,
+                F.round(
+                    F.col("_ws").cast("double")
+                    / (F.col("span_us").cast("double") * MICROS),
+                    6,
+                ),
+            ).alias("twa"),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     *,

@@ -3060,6 +3060,91 @@ def t11_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r25_asof_tolerance",
+    oracle="""
+WITH r AS (SELECT user_id, ts, max(event_id) AS pid
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts),
+a AS (SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(r2.ts) FROM r r2
+              WHERE r2.user_id = e.user_id AND r2.ts <= e.ts
+                AND r2.ts >= e.ts - INTERVAL 3600 SECONDS) AS bd
+      FROM events e WHERE e.event_type = 'view')
+SELECT a.event_id, a.user_id,
+       (SELECT max(r3.pid) FROM r r3
+        WHERE r3.user_id = a.user_id AND r3.ts = a.bd) AS asof_purchase_id,
+       epoch_us(a.bd) AS asof_us
+FROM a
+""",
+)
+def r25_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS OF join with a tolerance bound (pandas merge_asof
+    semantics): each view event attaches the user's latest purchase
+    within the preceding hour, or NULL. Same single union+window
+    shuffle as r16/r23/r24 — tolerance is a post-predicate on the
+    carried match, not a join."""
+    from vector_database_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["pid", "ts"],
+        direction="backward",
+        tolerance=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("pid_asof").alias("asof_purchase_id"),
+        F.expr(ts_ops._epoch_us(out, "ts_asof")).cast("long").alias(
+            "asof_us"
+        ),
+    )
+
+
+@query(
+    "e12_time_weighted_avg",
+    oracle="""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vm
+           FROM events),
+s AS (SELECT user_id, vm,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               - us AS dt_us
+      FROM p)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(dt_us)::BIGINT AS span_us,
+       CASE WHEN sum(dt_us) > 0 THEN
+         round((sum(vm::HUGEINT * dt_us))::DOUBLE /
+               (sum(dt_us)::DOUBLE * 1000000), 6) END AS twa
+FROM s GROUP BY user_id
+""",
+)
+def e12_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (TimescaleDB `time_weight`
+    LOCF shape): each value is held until the key's next event. The
+    weighted sum rides exact integer micro-unit x micro-second
+    products in DECIMAL(38,0)/HUGEINT (doubles don't sum
+    associatively; integers do), so both engines agree bit-for-bit
+    through the single final division. One lead window + one
+    aggregate."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.time_weighted_avg(ev)
+
+
+@query(
     "t13_inverted_index",
     oracle=r"""
 WITH u AS (SELECT doc_id,
@@ -3233,6 +3318,8 @@ _DRIVER_TAIL = [
     "p06_zorder",             # layout/pipeline family: p01-p05 stay
     "d09_exact_substring",    # dedup family: d01-d08 stay
     "t13_inverted_index",     # text family: t01-t07 stay
+    "e12_time_weighted_avg",  # events family: e01/e07 stay
+    "r25_asof_tolerance",     # as-of family: r16/r23/r24 stay
 ]
 
 
