@@ -166,3 +166,27 @@ def test_stratified_sample_quota_and_determinism(spark):
     for g, ks in by_g3.items():
         assert len(ks) == qmap[g]
     assert len(drawn3) == sum(qmap.values())
+
+
+def test_mad_outliers_crafted(spark):
+    """Known median/MAD: group 'a' has med=10, MAD=1; only the
+    planted 20.0 exceeds 3 MADs. A constant group (MAD=0) flags
+    nothing, whatever its stragglers."""
+    from vector_database_spark.operators.sketch import mad_outliers
+
+    rows = [
+        (1, "a", 9.0), (2, "a", 10.0), (3, "a", 11.0),
+        (4, "a", 9.5), (5, "a", 10.5), (6, "a", 20.0),
+        (7, "b", 5.0), (8, "b", 5.0), (9, "b", 5.0), (10, "b", 500.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in mad_outliers(df, k=3.0).collect()}
+    # group a: med 10.25?? -> compute: sorted [9,9.5,10,10.5,11,20]
+    # median = (10+10.5)/2 = 10.25; deviations sorted
+    # [0.25,0.75,1.25,0.75,0.25,9.75] -> [0.25,0.25,0.75,0.75,1.25,9.75]
+    # MAD = 0.75; 3*MAD = 2.25 -> only id 6 (dev 9.75)
+    assert set(out) <= {6, 10}
+    assert 6 in out
+    assert round(out[6]["robust_z"], 4) == round(9.75 / 0.75, 4)
+    # group b: med 5, MAD = median([0,0,0,495]) = 0 -> nothing flagged
+    assert 10 not in out

@@ -3115,6 +3115,37 @@ def r25_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e13_mad_outliers",
+    oracle="""
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+       round(abs(d.value - d.med) / md.mad, 4) AS robust_z
+FROM d JOIN md USING (event_type)
+WHERE md.mad > 0 AND abs(d.value - d.med) > 3 * md.mad
+""",
+)
+def e13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: events whose value deviates from
+    their type's median by more than 3 MADs. Median/MAD are exact
+    interpolated percentiles (identical on both engines — the r19
+    contract); stats frames broadcast, the events table shuffles
+    only for the two grouped aggregates."""
+    ev = _events(spark, sf_dir)
+    out = sk.mad_outliers(ev, k=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("robust_z", 4).alias("robust_z"),
+    )
+
+
+@query(
     "e12_time_weighted_avg",
     oracle="""
 WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -3320,6 +3351,7 @@ _DRIVER_TAIL = [
     "t13_inverted_index",     # text family: t01-t07 stay
     "e12_time_weighted_avg",  # events family: e01/e07 stay
     "r25_asof_tolerance",     # as-of family: r16/r23/r24 stay
+    "e13_mad_outliers",       # events/profiling family: e01 + s05 stay
 ]
 
 
