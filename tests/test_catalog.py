@@ -249,3 +249,30 @@ def test_asof_join_tolerance(spark):
         "e1": 1.0,   # 10 s back
         "e2": None,  # 310 s back > 60
     }
+
+
+def test_asof_tolerance_ntz_is_timezone_independent(spark):
+    """Regression: NTZ distances must use the tz-independent
+    timestampdiff form. Across a spring-forward transition in a
+    DST session timezone, the cast-to-timestamp epoch difference
+    understates the wall-clock gap and wrongly keeps the match."""
+    from vector_database_spark.operators.joins import asof_join
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        lt = spark.createDataFrame(
+            [(1, "2024-03-10 03:30:00", "e1")], "k long, s string, ev string"
+        ).selectExpr("k", "CAST(s AS TIMESTAMP_NTZ) AS ts", "ev")
+        rt = spark.createDataFrame(
+            [(1, "2024-03-10 01:45:00", 1.0)], "k long, s string, val double"
+        ).selectExpr("k", "CAST(s AS TIMESTAMP_NTZ) AS ts", "val")
+        out = asof_join(
+            lt, rt, on="k", left_ts="ts", right_ts="ts",
+            right_values=["val"], tolerance=5400,
+        )
+        # wall-clock gap is 6300 s > 5400: must be NULLed regardless
+        # of the session timezone's DST fold
+        assert [r.val_asof for r in out.collect()] == [None]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

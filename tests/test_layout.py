@@ -81,3 +81,36 @@ def test_cluster_by_zorder_bounds_boxes_both_dims(spark):
     assert la < n / 4 and lb > n * 0.9
     # z-order: BOTH dims bounded well below the full extent
     assert za < n / 2 and zb < n / 2
+
+
+def test_zorder_wide_int_range_and_clamping(spark):
+    """Regression: an INT column whose range x (2^bits-1) exceeds
+    int32 must not ANSI-overflow (cast to BIGINT before multiply);
+    values outside caller-supplied bounds clamp into the edge cells
+    instead of wrapping into arbitrary z-ranges."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    wide = spark.range(3).select(
+        (F.col("id") * 1_500_000).cast("int").alias("a"),
+        F.lit(0).cast("int").alias("b"),
+    )
+    codes = {r["a"]: r["zcode"]
+             for r in layout.zorder_code(wide, ["a", "b"], bits=10).collect()}
+    assert codes[0] == 0 and len(codes) == 3  # no ARITHMETIC_OVERFLOW
+    # stale bounds: out-of-range values land in edge cells, monotone
+    df = spark.createDataFrame([(-5, 0), (0, 0), (3, 0), (99, 0)],
+                               "a long, b long")
+    out = {r["a"]: r["zcode"] for r in layout.zorder_code(
+        df, ["a", "b"], bits=2, bounds={"a": (0, 3), "b": (0, 3)}
+    ).collect()}
+    assert out[-5] == out[0] == 0
+    assert out[99] == out[3]
+    # empty frame with inferred bounds: clear error, not TypeError
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="empty"):
+        layout.zorder_code(empty, ["a", "b"])
+    # bounds span x grid overflowing BIGINT: clear error
+    huge = spark.createDataFrame([(0, 0), (2**62, 0)], "a long, b long")
+    with pytest.raises(ValueError, match="overflows"):
+        layout.zorder_code(huge, ["a", "b"], bits=10)

@@ -587,3 +587,45 @@ def test_time_weighted_avg_known_values(spark):
     assert out[1]["span_us"] == 30 * 1_000_000
     assert out[1]["twa"] == 16.666667
     assert out[2]["twa"] is None and out[2]["span_us"] is None
+
+
+def test_streaming_funnel_pre_epoch_timestamps(spark):
+    """Regression: the state's -1 slot init must not be read as
+    'unset' for legitimate pre-1970 timestamps — slots are valid iff
+    the chain reached them (depth), never by value."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import streaming_funnel
+
+    tmp = _tf.mkdtemp()
+    rows = [(1, 1, -120, "view"), (2, 1, -60, "click")]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s long, event_type string"
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+        .drop("ts_s")
+        .coalesce(1)
+        .write.parquet(f"{tmp}/src")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    ).parquet(f"{tmp}/src")
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(bdf.collect())
+
+    q = (
+        streaming_funnel(stream, ["view", "click"])
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1
+    r = got[0]
+    assert r["funnel_depth"] == 2
+    assert r["us_step1"] == -120_000_000 and r["us_step2"] == -60_000_000

@@ -45,7 +45,7 @@ def main() -> int:
         F.timestamp_micros(
             F.lit(1_700_000_000_000_000)
             + (
-                F.abs(F.hash(F.col("id"), F.lit(7))).cast("long")
+                F.abs(F.hash(F.col("id"), F.lit(7)).cast("long"))
                 % (30 * 86_400)
             )
             * 1_000_000
@@ -53,9 +53,8 @@ def main() -> int:
         F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
             "event_type"
         ),
-        (F.abs(F.hash(F.col("id"), F.lit(9))) % 100_000 / 100.0).alias(
-            "value"
-        ),
+        (F.abs(F.hash(F.col("id"), F.lit(9)).cast("long")) % 100_000
+         / 100.0).alias("value"),
         (F.col("id") % 1000).alias("user_id"),
     )
 

@@ -67,10 +67,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
+    # cast BEFORE abs: ANSI aborts on abs(Int.MinValue)
     df = spark.range(n).select(
         F.col("id"),
-        (F.abs(F.hash(F.col("id"), F.lit(1))) % (top + 1)).alias("a"),
-        (F.abs(F.hash(F.col("id"), F.lit(2))) % (top + 1)).alias("b"),
+        (F.abs(F.hash(F.col("id"), F.lit(1)).cast("long")) % (top + 1))
+        .alias("a"),
+        (F.abs(F.hash(F.col("id"), F.lit(2)).cast("long")) % (top + 1))
+        .alias("b"),
     )
     tmp = tempfile.mkdtemp()
     lin_p, z_p = f"{tmp}/linear", f"{tmp}/zorder"

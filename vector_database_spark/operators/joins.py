@@ -121,10 +121,18 @@ def asof_join(
     def numeric(name: str) -> F.Column:
         # exact integer microseconds for temporal types (float
         # seconds could flip exact midpoint ties); plain double
-        # for numeric event times.
-        if isinstance(
-            u_schema[name], (DateType, TimestampType, TimestampNTZType)
-        ):
+        # for numeric event times. TIMESTAMP_NTZ must use the
+        # tz-independent timestampdiff form — casting NTZ->TIMESTAMP
+        # shifts by the session timezone, and across a DST transition
+        # the two sides shift by DIFFERENT offsets, corrupting the
+        # distance (the repo's established _epoch_us rule).
+        dt = u_schema[name]
+        if isinstance(dt, TimestampNTZType):
+            return F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+            )
+        if isinstance(dt, (DateType, TimestampType)):
             return F.unix_micros(F.col(name).cast("timestamp"))
         return F.col(name).cast("double")
 

@@ -30,13 +30,19 @@ from pyspark.sql import functions as F
 
 def _scaled(name: str, lo: int, hi: int, bits: int) -> str:
     """SQL fragment: exact integer min-max scaling of `name` (known
-    [lo, hi] bounds) onto [0, 2^bits)."""
+    [lo, hi] bounds) onto [0, 2^bits). The operand is cast to BIGINT
+    BEFORE the multiply (an INT column's range x top overflows int32
+    under ANSI mode), and the result is CLAMPED to the grid so values
+    outside caller-supplied bounds (stale bounds on drifted data)
+    land in the edge cells instead of wrapping into arbitrary
+    z-ranges."""
     top = (1 << int(bits)) - 1
     if hi <= lo:
         return "CAST(0 AS BIGINT)"
-    return (
-        f"CAST((({name} - {lo}) * {top}) div {hi - lo} AS BIGINT)"
+    scaled = (
+        f"(CAST({name} - {lo} AS BIGINT) * {top}) div {hi - lo}"
     )
+    return f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), {scaled}))"
 
 
 def _interleave(scaled: Sequence[str], bits: int) -> str:
@@ -76,6 +82,20 @@ def zorder_code(
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
         row = df.agg(*aggs).first()
         bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+        if any(bounds[c][0] is None for c in cols):
+            raise ValueError(
+                "zorder_code: cannot infer bounds from an empty or "
+                "all-null frame — pass bounds= explicitly"
+            )
+    top = (1 << int(bits)) - 1
+    for c in cols:
+        lo, hi = int(bounds[c][0]), int(bounds[c][1])
+        if hi > lo and (hi - lo) > (2**63 - 1) // top:
+            raise ValueError(
+                f"zorder_code: bounds span of {c} ({hi - lo}) x grid "
+                f"{top} overflows BIGINT — reduce bits or pre-bucket "
+                "the column"
+            )
     scaled = [
         _scaled(c, int(bounds[c][0]), int(bounds[c][1]), bits)
         for c in cols

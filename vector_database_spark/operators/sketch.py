@@ -459,7 +459,10 @@ def mad_outliers(
     med = df.groupBy(*kp).agg(
         F.percentile(v, F.lit(0.5)).alias("_med")
     )
-    with_med = df.join(F.broadcast(med), kp)
+    # materialize the med-joined frame once: the mad aggregate AND the
+    # output join both consume it — without this the input table is
+    # re-scanned for every branch (~4 scans per call)
+    with_med = df.join(F.broadcast(med), kp).localCheckpoint(eager=False)
     mad = with_med.groupBy(*kp).agg(
         F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
     )

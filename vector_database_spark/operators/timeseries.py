@@ -536,9 +536,10 @@ def retention_cohorts(
     (cohort_s, period_offset, n_users) — offset 0 is the cohort size.
 
     Shape: one distinct on (user, period) — the only pass over raw
-    events — then a per-user min and a self-join on the user key
-    (co-partitioned: same shuffle key back to back, no extra
-    exchange), then one count-distinct aggregate over
+    events, hash-partitioned on (user, period) — then the cohort
+    period via ONE user-partitioned window min (no self-join: a
+    groupBy+join would re-exchange the distinct output a second
+    time), then one count-distinct aggregate over
     |users x active periods| rows. At 100 TB the distinct is the
     map-side-combinable heavy step; everything after is user-bounded.
     Period bucketing floors (exact integer arithmetic), so any epoch
@@ -551,9 +552,9 @@ def retention_cohorts(
         )
         .distinct()
     )
-    cohort = uw.groupBy("user_id").agg(F.min("week_s").alias("cohort_s"))
+    cohort_s = F.min("week_s").over(Window.partitionBy("user_id"))
     return (
-        uw.join(cohort, "user_id")
+        uw.withColumn("cohort_s", cohort_s)
         .groupBy(
             "cohort_s",
             F.expr(f"(week_s - cohort_s) div {w}")

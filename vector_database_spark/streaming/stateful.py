@@ -277,8 +277,11 @@ def streaming_funnel(
             return  # batch semantics: no row until step 1 happens
         cols = {"user_id": pd.array([user_id], dtype="int64")}
         for i in range(k):
+            # a slot is set iff the chain reached step i+1 — never
+            # test the value itself (-1 init would misread legitimate
+            # pre-1970 timestamps as unset)
             cols[f"us_step{i + 1}"] = pd.array(
-                [us[i] if us[i] >= 0 else None], dtype="Int64"
+                [us[i] if i < depth else None], dtype="Int64"
             )
         cols["funnel_depth"] = pd.array([depth], dtype="int64")
         yield pd.DataFrame(cols)
