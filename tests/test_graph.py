@@ -1,0 +1,64 @@
+"""PageRank contracts: equality with a local numpy power iteration
+(same fixed-iteration algorithm; tolerance because distributed double
+summation order differs), mass conservation, dangling handling, and
+degree stats."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vector_database_spark.operators.graph import degree_stats, pagerank
+
+EDGES = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (2, 4)]  # 4 dangles
+N, D, ITERS = 5, 0.85, 20
+
+
+def _numpy_pagerank():
+    out: dict = {}
+    for s, t in EDGES:
+        out.setdefault(s, []).append(t)
+    r = np.full(N, 1.0 / N)
+    for _ in range(ITERS):
+        nr = np.zeros(N)
+        dangling = sum(r[i] for i in range(N) if i not in out)
+        for s, ts in out.items():
+            for t in ts:
+                nr[t] += r[s] / len(ts)
+        r = (1 - D) / N + D * dangling / N + D * nr
+    return r
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=ITERS).collect()
+    }
+    want = _numpy_pagerank()
+    assert set(got) == set(range(N))
+    for i in range(N):
+        assert abs(got[i] - want[i]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_parallel_edges_and_empty(spark):
+    # parallel edges count once
+    df = spark.createDataFrame(
+        EDGES + [(0, 1), (0, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=ITERS).collect()
+    }
+    want = _numpy_pagerank()
+    for i in range(N):
+        assert abs(got[i] - want[i]) < 1e-12
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=3).count() == 0
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    ds = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(df).collect()
+    }
+    assert ds == {0: (2, 2), 1: (1, 1), 2: (2, 2), 3: (1, 0), 4: (0, 1)}

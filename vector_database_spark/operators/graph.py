@@ -1,0 +1,118 @@
+"""Iterative graph analytics: PageRank over an edge DataFrame.
+
+Second member of the engine's bounded-iteration family (connected
+components lives in `operators.dedup`): fixed-iteration power method
+with dangling-mass redistribution, expressed as per-iteration
+DataFrame joins/aggregates. Per iteration: ONE join of ranks to
+edges on the source key and ONE aggregate on the destination key —
+both equi-keyed shuffles, nothing quadratic, no driver-side graph.
+Lineage is truncated with a localCheckpoint every few iterations
+(the repo's CC pattern) so 20 iterations do not build a 20-deep plan.
+
+Determinism: the iteration count is FIXED (not convergence-tested),
+so the result is the same algorithm on every run; double summation
+order across partitions can differ, so tests compare against a local
+numpy power iteration with a tolerance rather than bit equality (the
+gate is rows-only, like t12's BPE).
+
+Reference analog: none (no graph surface in the reference); part of
+the brief's iterative-algorithm capability surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Ranks over the directed graph `edges` (parallel edges count
+    once — deduplicated up front). Returns (node, rank) with ranks
+    summing to 1. Nodes are every distinct endpoint; dangling nodes
+    (no out-edges) redistribute their mass uniformly, the standard
+    formulation."""
+    d = float(damping)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # dangling nodes are a property of the GRAPH, not the iteration:
+    # detect once, and only pay the per-iteration eager mass aggregate
+    # when they exist (a bipartite or strongly-connected graph skips
+    # it and the loop stays fully lazy between checkpoints)
+    has_dangling = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left_anti").count()
+        > 0
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(int(iters)):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select("node", "rank", "out_deg")
+        # mass of dangling nodes, redistributed uniformly (one tiny
+        # driver scalar per iteration — O(1) traffic)
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                with_deg.where(F.col("out_deg").isNull())
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+        contrib = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(e, F.col("node") == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        base = (1.0 - d) / n + d * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % int(checkpoint_every) == 0 or i == int(iters) - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree in one pass (explode both endpoints,
+    conditional counts): the basic graph profile."""
+    both = edges.select(
+        F.col(src_col).alias("node"), F.lit(1).alias("is_out")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("node"), F.lit(0).alias("is_out"))
+    )
+    return both.groupBy("node").agg(
+        F.sum("is_out").cast("long").alias("out_deg"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("in_deg"),
+    )

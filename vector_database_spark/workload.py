@@ -3197,6 +3197,63 @@ def t13_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.inverted_index(docs)
 
 
+def _term_doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bipartite term-doc graph: d:<id> <-> t:<term>, one
+    edge per distinct (doc, term) pair, both directions."""
+    docs = _t(spark, sf_dir, "documents")
+    from vector_database_spark.functions.hashing import tokens
+
+    dt = docs.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("d"),
+        F.explode(tokens("text")).alias("term"),
+    ).select("d", F.concat(F.lit("t:"), F.col("term")).alias("t")).distinct()
+    return dt.select(F.col("d").alias("src"), F.col("t").alias("dst")).unionByName(
+        dt.select(F.col("t").alias("src"), F.col("d").alias("dst"))
+    )
+
+
+@query("g01_pagerank")  # rows-only: fixed-iteration power method —
+# double summation order differs across engines, and no SQL oracle
+# can replay 20 iterations; the algorithm is verified against a local
+# numpy power iteration in tests/test_graph.py (tolerance 1e-12)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the term-doc bipartite graph (the TextRank
+    shape): 20 fixed power iterations, dangling mass redistributed.
+    Per iteration one equi-join + one aggregate; lineage truncated by
+    periodic localCheckpoint."""
+    from vector_database_spark.operators.graph import pagerank
+
+    edges = _term_doc_edges(spark, sf_dir)
+    out = pagerank(edges, iters=20)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "g02_degree_stats",
+    oracle=r"""
+WITH u AS (SELECT DISTINCT 'd:' || doc_id::VARCHAR AS d, 't:' || term AS t
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')) AS term
+                 FROM documents)),
+e AS (SELECT d AS src, t AS dst FROM u
+      UNION ALL SELECT t AS src, d AS dst FROM u),
+b AS (SELECT src AS node, 1 AS is_out FROM e
+      UNION ALL SELECT dst AS node, 0 AS is_out FROM e)
+SELECT node, sum(is_out)::BIGINT AS out_deg,
+       sum(1 - is_out)::BIGINT AS in_deg
+FROM b GROUP BY node
+""",
+)
+def g02_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degrees of the term-doc graph in ONE pass
+    (endpoint union + conditional-sum aggregate) — the basic graph
+    profile, exact-oracle-matched."""
+    from vector_database_spark.operators.graph import degree_stats
+
+    return degree_stats(_term_doc_edges(spark, sf_dir))
+
+
 @query(
     "v15_standardize",
     oracle="""
@@ -3352,6 +3409,8 @@ _DRIVER_TAIL = [
     "e12_time_weighted_avg",  # events family: e01/e07 stay
     "r25_asof_tolerance",     # as-of family: r16/r23/r24 stay
     "e13_mad_outliers",       # events/profiling family: e01 + s05 stay
+    "g02_degree_stats",       # graph family: one-pass profile
+    "g01_pagerank",           # graph family: iterative (rows-only)
 ]
 
 
