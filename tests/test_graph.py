@@ -62,3 +62,24 @@ def test_degree_stats(spark):
         for r in degree_stats(df).collect()
     }
     assert ds == {0: (2, 2), 1: (1, 1), 2: (2, 2), 3: (1, 0), 4: (0, 1)}
+
+
+def test_degree_stats_multigraph_consistency(spark):
+    """degree_stats defaults to the pagerank convention (parallel
+    edges count once); dedup=False gives multigraph degrees."""
+    df = spark.createDataFrame(
+        EDGES + [(0, 1), (0, 1)], "src long, dst long"
+    )
+    ds = {r["node"]: r["out_deg"] for r in degree_stats(df).collect()}
+    assert ds[0] == 2
+    multi = {
+        r["node"]: r["out_deg"]
+        for r in degree_stats(df, dedup=False).collect()
+    }
+    assert multi[0] == 4
+    import pytest
+
+    from vector_database_spark.operators.graph import pagerank
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)

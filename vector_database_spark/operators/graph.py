@@ -39,6 +39,8 @@ def pagerank(
     summing to 1. Nodes are every distinct endpoint; dangling nodes
     (no out-edges) redistribute their mass uniformly, the standard
     formulation."""
+    if int(checkpoint_every) < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     d = float(damping)
     e = (
         edges.select(
@@ -56,15 +58,16 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # dangling nodes are a property of the GRAPH, not the iteration:
-    # detect once, and only pay the per-iteration eager mass aggregate
-    # when they exist (a bipartite or strongly-connected graph skips
-    # it and the loop stays fully lazy between checkpoints)
-    has_dangling = (
-        nodes.join(deg, nodes["node"] == deg["src"], "left_anti").count()
-        > 0
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=False
     )
+    # dangling nodes are a property of the GRAPH, not the iteration:
+    # deg has one row per node WITH out-edges, so dangling exist iff
+    # deg.count() < n (no extra anti-join job; the count also warms
+    # the deg checkpoint for the loop). Only dangling graphs pay the
+    # per-iteration eager mass aggregate — a bipartite or strongly-
+    # connected graph stays fully lazy between checkpoints.
+    has_dangling = deg.count() < n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(int(iters)):
         with_deg = ranks.join(
@@ -74,6 +77,11 @@ def pagerank(
         # driver scalar per iteration — O(1) traffic)
         dangling = 0.0
         if has_dangling:
+            # the eager aggregate pays for a full materialization
+            # anyway — checkpoint so contrib and the next iteration
+            # reuse it instead of replaying the whole window's
+            # lineage (O(checkpoint_every^2) joins otherwise)
+            with_deg = with_deg.localCheckpoint(eager=True)
             dangling = (
                 with_deg.where(F.col("out_deg").isNull())
                 .agg(F.sum("rank"))
@@ -103,14 +111,26 @@ def pagerank(
 
 
 def degree_stats(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    dedup: bool = True,
 ) -> DataFrame:
-    """Per-node in/out degree in one pass (explode both endpoints,
-    conditional counts): the basic graph profile."""
-    both = edges.select(
-        F.col(src_col).alias("node"), F.lit(1).alias("is_out")
+    """Per-node in/out degree in one pass (endpoint union +
+    conditional counts): the basic graph profile. Parallel edges
+    count once by default — the SAME convention as `pagerank`, so the
+    two profiles agree on any multigraph; pass ``dedup=False`` for
+    multigraph degrees."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if dedup:
+        e = e.dropDuplicates(["src", "dst"])
+    both = e.select(
+        F.col("src").alias("node"), F.lit(1).alias("is_out")
     ).unionByName(
-        edges.select(F.col(dst_col).alias("node"), F.lit(0).alias("is_out"))
+        e.select(F.col("dst").alias("node"), F.lit(0).alias("is_out"))
     )
     return both.groupBy("node").agg(
         F.sum("is_out").cast("long").alias("out_deg"),
