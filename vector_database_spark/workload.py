@@ -3409,8 +3409,8 @@ _DRIVER_TAIL = [
     "e12_time_weighted_avg",  # events family: e01/e07 stay
     "r25_asof_tolerance",     # as-of family: r16/r23/r24 stay
     "e13_mad_outliers",       # events/profiling family: e01 + s05 stay
-    "g02_degree_stats",       # graph family: one-pass profile
-    "g01_pagerank",           # graph family: iterative (rows-only)
+    "r23_asof_forward",       # as-of family: r16 backward + r24 nearest stay
+    "g01_pagerank",           # graph family: g02 (exact oracle) is in the head
 ]
 
 
