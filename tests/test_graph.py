@@ -83,3 +83,26 @@ def test_degree_stats_multigraph_consistency(spark):
 
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(df, checkpoint_every=0)
+
+
+def test_pagerank_fixedpoint_tracks_double(spark):
+    """The integer fixed-point variant (17/20 damping, floor steps)
+    must track the double power iteration within the accumulated
+    floor error — including the dangling-mass path."""
+    from vector_database_spark.operators.graph import pagerank_fixedpoint
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    S = 10**12
+    fx = {
+        r["node"]: r["rank_units"] / S
+        for r in pagerank_fixedpoint(df, iters=ITERS, scale=S).collect()
+    }
+    want = _numpy_pagerank()
+    for i in range(N):
+        assert abs(fx[i] - want[i]) < 1e-9  # floor drift << 1e-9 at 1e12
+    # determinism: a second run is bit-identical
+    fx2 = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixedpoint(df, iters=ITERS, scale=S).collect()
+    }
+    assert fx2 == {k: round(v * S) for k, v in fx.items()}

@@ -136,3 +136,92 @@ def degree_stats(
         F.sum("is_out").cast("long").alias("out_deg"),
         F.sum(1 - F.col("is_out")).cast("long").alias("in_deg"),
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 20,
+    scale: int = 10**12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Deterministic integer PageRank: ranks are BIGINT fixed-point
+    units (``scale`` = mass 1.0), damping is the rational 17/20, and
+    every step floors — so each iteration is pure integer arithmetic
+    whose sums re-associate freely. Unlike the double `pagerank`,
+    the result is BIT-IDENTICAL on any engine, partitioning, or
+    execution order: an ANSI-SQL oracle can replay all ``iters``
+    iterations as unrolled CTEs and hash-match (no SQL engine allows
+    aggregation inside a recursive CTE, so the replay unrolls).
+
+    Per iteration: floor(R/out_deg) contributions summed per dst
+    (one equi-join + one aggregate), dangling mass redistributed as
+    floor(dangling/n), update R' = (3*scale) div (20*n) +
+    (17 * (contrib + dangling div n)) div 20. Floor losses mean the
+    total mass drifts a few units below ``scale`` — deterministic,
+    and bounded by iters * n units. Plans are truncated with the
+    same periodic localCheckpoint as `pagerank`."""
+    if int(checkpoint_every) < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    S = int(scale)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=False
+    )
+    has_dangling = deg.count() < n
+    base = (3 * S) // (20 * n)
+    ranks = nodes.withColumn("r", F.lit(S // n).cast("long"))
+    for i in range(int(iters)):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select("node", "r", "out_deg")
+        dangling_share = 0
+        if has_dangling:
+            with_deg = with_deg.localCheckpoint(eager=True)
+            dm = (
+                with_deg.where(F.col("out_deg").isNull())
+                .agg(F.sum("r"))
+                .first()[0]
+                or 0
+            )
+            dangling_share = int(dm) // n
+        contrib = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(e, F.col("node") == e["src"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr("r div out_deg")
+                ).alias("c")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + (17 * (COALESCE(c, 0) + "
+                    f"{dangling_share})) div 20 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % int(checkpoint_every) == 0 or i == int(iters) - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -3228,6 +3228,66 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+PR_ITERS = 10
+PR_SCALE = 10**12
+
+
+def _pagerank_exact_oracle() -> str:
+    """Unrolled-CTE replay of `graph.pagerank_fixedpoint` over the
+    term-doc graph: every iteration is integer floor arithmetic, so
+    the 10-step replay is bit-identical to the Spark loop (no SQL
+    engine allows aggregation inside a recursive CTE — hence the
+    unroll). The bipartite both-direction edge set has no dangling
+    nodes, so the dangling term is structurally zero here."""
+    S = PR_SCALE
+    parts = [
+        r"""u AS (SELECT DISTINCT 'd:' || doc_id::VARCHAR AS d,
+                        't:' || term AS t
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')) AS term
+                 FROM documents)),
+e AS (SELECT d AS src, t AS dst FROM u
+      UNION ALL SELECT t AS src, d AS dst FROM u),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+cnt AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS dd FROM e GROUP BY src),
+r0 AS (SELECT nodes.node, """
+        + f"({S} // cnt.n)::BIGINT AS r FROM nodes, cnt)"
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum(p.r // d.dd) AS cb
+       FROM r{i - 1} p JOIN deg d ON d.src = p.node
+                       JOIN e ON e.src = p.node
+       GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+              ((3 * {S}) // (20 * cnt.n)
+               + (17 * COALESCE(c{i}.cb, 0)) // 20)::BIGINT AS r
+       FROM nodes CROSS JOIN cnt
+       LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_units FROM r{PR_ITERS}"
+    )
+
+
+@query("g03_pagerank_exact", oracle=_pagerank_exact_oracle())
+def g03_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (10 iterations, 17/20 damping,
+    1e12 mass units) over the term-doc graph — the iterative
+    algorithm with a HASH-MATCHING oracle: integer floor arithmetic
+    re-associates freely, so the DuckDB unrolled-CTE replay is
+    bit-identical to the distributed loop regardless of partitioning
+    or summation order."""
+    from vector_database_spark.operators.graph import pagerank_fixedpoint
+
+    edges = _term_doc_edges(spark, sf_dir)
+    return pagerank_fixedpoint(edges, iters=PR_ITERS, scale=PR_SCALE)
+
+
 @query(
     "g02_degree_stats",
     oracle=r"""
@@ -3411,6 +3471,7 @@ _DRIVER_TAIL = [
     "e13_mad_outliers",       # events/profiling family: e01 + s05 stay
     "r23_asof_forward",       # as-of family: r16 backward + r24 nearest stay
     "g01_pagerank",           # graph family: g02 (exact oracle) is in the head
+    "g03_pagerank_exact",     # graph family: g02 stays in the head
 ]
 
 
