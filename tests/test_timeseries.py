@@ -629,3 +629,74 @@ def test_streaming_funnel_pre_epoch_timestamps(spark):
     r = got[0]
     assert r["funnel_depth"] == 2
     assert r["us_step1"] == -120_000_000 and r["us_step2"] == -60_000_000
+
+
+def _py_chunked_ewma(vals, alpha, ch):
+    """Pure-Python replay of timeseries.ewma's fixed FP grouping:
+    per-chunk sequential (A, B) folds + sequential chunk composition."""
+    chunks = [vals[i : i + ch] for i in range(0, len(vals), ch)]
+    acc = None
+    for ci, c in enumerate(chunks):
+        if ci == 0:
+            acc = c[0]
+            for x in c[1:]:
+                acc = acc * (1.0 - alpha) + x * alpha
+        else:
+            a, b = 1.0, 0.0
+            for x in c:
+                a = a * (1.0 - alpha)
+                b = b * (1.0 - alpha) + x * alpha
+            acc = acc * a + b
+    return acc
+
+
+def test_ewma_chunked_bit_exact_and_bounded(spark):
+    """The bounded two-stage EWMA: (1) multi-chunk (chunk_rows=3)
+    result is bit-identical to the pure-Python replay of the same
+    chunking; (2) single-chunk equals the plain sequential fold
+    bit-for-bit; (3) chunked vs plain agree to float tolerance."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, u, i * 10, rng.uniform(-5, 5))
+        for u in (1, 2)
+        for i in range(1, 24)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s long, value double"
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+        .drop("ts_s")
+    )
+    per_user = {}
+    for _, u, _ts, v in sorted(rows):
+        per_user.setdefault(u, []).append(v)
+    for ch in (3, 1000):
+        out = {
+            r["user_id"]: r
+            for r in ts.ewma(df, alpha=0.25, chunk_rows=ch).collect()
+        }
+        for u, vals in per_user.items():
+            expect = _py_chunked_ewma(vals, 0.25, ch)
+            assert out[u]["n_events"] == len(vals)
+            assert out[u]["ewma"] == expect, (u, ch)
+    # plain fold == single-chunk path
+    plain = {}
+    for u, vals in per_user.items():
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc * 0.75 + x * 0.25
+        plain[u] = acc
+    big = {
+        r["user_id"]: r["ewma"]
+        for r in ts.ewma(df, alpha=0.25, chunk_rows=1000).collect()
+    }
+    small = {
+        r["user_id"]: r["ewma"]
+        for r in ts.ewma(df, alpha=0.25, chunk_rows=3).collect()
+    }
+    for u in per_user:
+        assert big[u] == plain[u]
+        assert abs(small[u] - plain[u]) < 1e-9

@@ -132,8 +132,16 @@ def asof_join(
                 f"timestampdiff(MICROSECOND, "
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
             )
-        if isinstance(dt, (DateType, TimestampType)):
-            return F.unix_micros(F.col(name).cast("timestamp"))
+        if isinstance(dt, DateType):
+            # tz-independent: cast-to-timestamp shifts by the session
+            # tz, and two DATEs straddling a DST transition shift by
+            # DIFFERENT offsets (a 1-day gap measures 25h across
+            # fall-back), wrongly nulling whole-day tolerances.
+            return F.unix_date(F.col(name)).cast("long") * F.lit(
+                86_400_000_000
+            )
+        if isinstance(dt, TimestampType):
+            return F.unix_micros(F.col(name))
         return F.col(name).cast("double")
 
     # tolerance in the numeric() scale: micros for temporal columns

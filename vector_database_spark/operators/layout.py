@@ -40,7 +40,7 @@ def _scaled(name: str, lo: int, hi: int, bits: int) -> str:
     if hi <= lo:
         return "CAST(0 AS BIGINT)"
     scaled = (
-        f"(CAST({name} - {lo} AS BIGINT) * {top}) div {hi - lo}"
+        f"((CAST({name} AS BIGINT) - {lo}) * {top}) div {hi - lo}"
     )
     return f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), {scaled}))"
 

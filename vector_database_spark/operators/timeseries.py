@@ -405,55 +405,67 @@ def funnel_steps(
     max-completion chain over all anchors (ClickHouse windowFunnel's
     sliding scan).
 
-    Set-based: ONE aggregate computes, per user, the ordered event
-    list per step type (conditional collect), then a fixed-length
-    fold walks the steps — no joins, no windows, one shuffle on the
-    user key. Per-user state is bounded by that user's events of the
-    step types (the sessionization bound). A 3-step funnel over raw
-    events is therefore the same cost as e07's EWMA."""
+    Set-based as a BOUNDED CONDITIONAL-MIN CHAIN: step 1 is one hash
+    aggregate (min (ts, id) struct over step-1 events — O(1) state
+    per key, never a per-key event list); each later step is a
+    co-partitioned join of that step's events against the chain so
+    far plus another conditional min. k-1 colocated join+agg rounds,
+    every aggregation buffer a single struct, so one hot key (a bot
+    with 10^8 events) costs scan time, never memory — the
+    ClickHouse-windowFunnel O(steps) state bound. The previous form
+    (conditional collect_list + in-row fold) materialized each key's
+    full event list in one aggregation-buffer row and OOMed on hot
+    keys at event scale (round-3 verdict item 1)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    k = len(steps)
     ord_s = F.struct(
         F.col(ts_col).alias("ts"), F.col(id_col).cast("long").alias("id")
     )
-    per_step = [
-        F.sort_array(
-            F.collect_list(F.when(F.col(type_col) == s, ord_s))
-        ).alias(f"_ev{i}")
-        for i, s in enumerate(steps)
-    ]
-    g = (
-        events.filter(F.col(type_col).isin(list(steps)))
-        .groupBy(user_col)
-        .agg(*per_step)
+    base = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.col(type_col).alias("_t"),
+        ord_s.alias("_e"),
     )
-    # walk the chain: step0 = first step-0 event; step i = first event
-    # in _ev{i} strictly after step i-1 (struct comparison = (ts, id))
-    cur = F.try_element_at("_ev0", F.lit(1))
-    out_cols = [F.col(user_col), cur["ts"].alias("ts_step1")]
+    # step 1: earliest step-1 event per user — the anchor
+    cur = (
+        base.where(F.col("_t") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_e").alias("_c1"))
+    )
     deadline = None
     if within_s is not None:
-        deadline = cur["ts"] + F.expr(
+        deadline = F.col("_c1")["ts"] + F.expr(
             f"INTERVAL {int(within_s)} SECONDS"
         )
-    def _first_after(arr: F.Column, c: F.Column) -> F.Column:
-        # NOTE: the lambda must take exactly ONE positional arg — a
-        # default-arg closure makes PySpark emit the 2-arg
-        # (element, index) lambda form and the comparison miscompiles
-        return F.try_element_at(
-            F.filter(arr, lambda e: e > c), F.lit(1)
-        )  # NULL on empty (ANSI-safe)
-
-    for i in range(1, len(steps)):
-        cur = _first_after(F.col(f"_ev{i}"), cur)
+    # step i+1: first step-(i+1) event strictly after step i (struct
+    # comparison = (ts, id) — total order, deterministic ties). A
+    # NULL _c{i} (dead chain) nulls the comparison, so the candidate
+    # aggregate drops the user and every later step stays NULL.
+    for i in range(1, k):
+        cand = (
+            base.where(F.col("_t") == steps[i])
+            .join(cur.select(user_col, f"_c{i}"), user_col)
+            .where(F.col("_e") > F.col(f"_c{i}"))
+            .groupBy(user_col)
+            .agg(F.min("_e").alias("_cand"))
+        )
+        cur = cur.join(cand, user_col, "left")
+        nxt = F.col("_cand")
         if deadline is not None:
-            cur = F.when(cur["ts"] <= deadline, cur)
-        out_cols.append(cur["ts"].alias(f"ts_step{i + 1}"))
-    g = g.filter(F.size("_ev0") > 0).select(*out_cols)
+            # first-candidate-decides: the first event after the
+            # previous step is taken; past the deadline the chain is
+            # dead (NOT "first event within the deadline")
+            nxt = F.when(F.col("_cand")["ts"] <= deadline, F.col("_cand"))
+        cur = cur.withColumn(f"_c{i + 1}", nxt).drop("_cand")
+    out_cols = [F.col(user_col)] + [
+        F.col(f"_c{i + 1}")["ts"].alias(f"ts_step{i + 1}") for i in range(k)
+    ]
+    g = cur.select(*out_cols)
     depth = sum(
         (
             F.when(F.col(f"ts_step{i + 1}").isNotNull(), 1).otherwise(0)
-            for i in range(1, len(steps))
+            for i in range(1, k)
         ),
         F.lit(1),
     )
@@ -472,7 +484,7 @@ def time_weighted_avg(
     LOCF shape): each observation's value is held until the next
     observation, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). Keys
     with a single event (zero span) yield NULL. Output:
-    (keys..., n_events, span_s, twa).
+    (keys..., n_events, span_us, twa) — span is in MICROSECONDS.
 
     Exactness across engines: doubles don't sum associatively, so the
     weighted sum is carried as DECIMAL(38,0) of
@@ -521,6 +533,93 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def ewma(
+    events: DataFrame,
+    *,
+    alpha: float = 0.25,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    chunk_rows: int = 65_536,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over event time
+    (acc = (1-alpha)*acc + alpha*x, seeded with the first value),
+    computed as a BOUNDED two-stage chunked fold. Output:
+    (keys..., n_events, ewma).
+
+    The EWMA step is an affine map acc -> (1-a)*acc + a*x; affine
+    maps compose associatively, so each contiguous chunk of
+    ``chunk_rows`` events reduces to a summary (A, B) with
+    A = (1-a)^m (m sequential multiplies) and B = the chunk's fold
+    seeded with 0 — then the chunks compose in order:
+    acc -> acc*A_c + B_c, seeded with chunk 0's directly-seeded fold.
+    Every intermediate is bounded: row numbers come from a window
+    (Spark's external sort spills), each (key, chunk) aggregation
+    buffer holds at most ``chunk_rows`` values, and the per-key
+    summary list holds n/chunk_rows structs (153 for a 10M-event hot
+    key) — no per-key full event list anywhere (the round-3 verdict's
+    hot-key OOM shape). With a single chunk the computation is
+    bit-identical to the plain left-to-right fold.
+
+    Determinism: floating-point grouping is FIXED by the scheme
+    (per-chunk sequential folds + sequential composition), so an
+    engine replaying the same chunking (see e07's recursive-CTE
+    DuckDB oracle) matches bit-for-bit."""
+    kp = [str(k) for k in key_cols]
+    a = float(alpha)
+    keep = F.lit(1.0 - a)
+    ac = F.lit(a)
+    ch_n = int(chunk_rows)
+    w = Window.partitionBy(*kp).orderBy(ts_col, id_col)
+    rows = events.select(
+        *kp,
+        F.col(value_col).cast("double").alias("_v"),
+        (F.row_number().over(w) - F.lit(1)).alias("_rn"),
+    ).withColumn("_chunk", F.expr(f"_rn div {ch_n}"))
+    g1 = rows.groupBy(*kp, "_chunk").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rn").alias("rn"), F.col("_v").alias("v")))
+        ).alias("_s")
+    )
+    vals = F.transform(F.col("_s"), lambda r: r["v"])
+    m = F.size("_s")
+    step = lambda acc, x: acc * keep + x * ac  # noqa: E731
+    b0 = F.aggregate(
+        F.slice(vals, 2, F.greatest(m - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        step,
+    )
+    bn = F.aggregate(vals, F.lit(0.0), step)
+    an = F.aggregate(vals, F.lit(1.0), lambda acc, x: acc * keep)
+    g1 = g1.select(
+        *kp,
+        "_chunk",
+        m.cast("long").alias("_m"),
+        F.when(F.col("_chunk") == 0, b0).otherwise(bn).alias("_b"),
+        an.alias("_a"),
+    )
+    g2 = g1.groupBy(*kp).agg(
+        F.sum("_m").cast("long").alias("n_events"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_chunk").alias("c"),
+                    F.col("_a").alias("a"),
+                    F.col("_b").alias("b"),
+                )
+            )
+        ).alias("_cs"),
+    )
+    ncs = F.size("_cs")
+    fold = F.aggregate(
+        F.slice(F.col("_cs"), 2, F.greatest(ncs - 1, F.lit(0))),
+        F.element_at(F.col("_cs"), 1)["b"],
+        lambda acc, s: acc * s["a"] + s["b"],
+    )
+    return g2.select(*kp, "n_events", fold.alias("ewma"))
 
 
 def retention_cohorts(

@@ -231,6 +231,15 @@ def streaming_funnel(
     step_list = [str(s) for s in steps]
     within_us = int(within_s) * 1_000_000 if within_s is not None else None
     ucol, tcol, icol, ecol = user_col, ts_col, id_col, type_col
+    # the kernel and state/output schemas are long-typed; fail fast on
+    # any other key/id dtype instead of crashing inside the executor
+    types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    for c in (ucol, icol):
+        if types.get(c) not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"streaming_funnel requires an integer-typed '{c}' "
+                f"(got {types.get(c)}); cast upstream or remap the key"
+            )
 
     def update_funnel(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -2716,45 +2716,61 @@ def p05_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_CHUNK_ROWS = 65_536  # e07's bounded-fold chunk (oracle replays it)
+
+
 @query(
     "e07_ewma",
-    oracle="""
-WITH s AS (SELECT user_id,
-                  list(value::DOUBLE ORDER BY ts, event_id) AS vals
-           FROM events GROUP BY user_id)
-SELECT user_id,
-       len(vals)::BIGINT AS n_events,
-       round(list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25), 6)
-         AS ewma
-FROM s
+    oracle=f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events),
+ch AS (SELECT user_id, rn // {EWMA_CHUNK_ROWS} AS chunk,
+              list(v ORDER BY rn) AS vals
+       FROM o GROUP BY user_id, rn // {EWMA_CHUNK_ROWS}),
+s AS (SELECT user_id, chunk, len(vals)::BIGINT AS m,
+             CASE WHEN chunk = 0
+                  THEN list_reduce(vals,
+                         (acc, x) -> acc * 0.75 + x * 0.25)
+                  ELSE list_reduce(list_prepend(0.0::DOUBLE, vals),
+                         (acc, x) -> acc * 0.75 + x * 0.25)
+             END AS b,
+             list_reduce(list_prepend(1.0::DOUBLE, vals),
+                         (acc, x) -> acc * 0.75) AS a
+      FROM ch),
+r AS (
+  SELECT user_id, chunk, b AS acc FROM s WHERE chunk = 0
+  UNION ALL
+  SELECT s.user_id, s.chunk, r.acc * s.a + s.b
+  FROM r JOIN s ON s.user_id = r.user_id AND s.chunk = r.chunk + 1),
+fin AS (SELECT user_id, acc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY chunk DESC) AS rnk
+        FROM r)
+SELECT f.user_id, n.n_events, round(f.acc, 6) AS ewma
+FROM fin f
+JOIN (SELECT user_id, count(*)::BIGINT AS n_events
+      FROM events GROUP BY user_id) n USING (user_id)
+WHERE f.rnk = 1
 """,
 )
 def e07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key exponentially weighted moving average (alpha = 0.25)
     over event time — the inherently SEQUENTIAL per-key analytic
-    (acc = 0.75*acc + 0.25*x), expressed as one hash aggregate that
-    collects each key's ordered value list plus a left-to-right fold.
-    Both engines fold left-to-right seeded with the first value, so
-    the doubles are bit-identical. At scale the state per key is the
-    key's own event list (same bound as sessionization); the
-    streaming twin is `stateful.running_stats`' shape with the EWMA
-    update."""
+    (acc = 0.75*acc + 0.25*x), computed by the BOUNDED two-stage
+    chunked affine fold (`timeseries.ewma`): per-chunk (A, B)
+    summaries composed in chunk order, never a per-key full event
+    list (round-3 verdict item 1). The floating-point grouping is
+    fixed by the chunking scheme, so the oracle replays the SAME
+    chunks — per-chunk list_reduce folds plus a recursive-CTE
+    composition over chunk index — and matches bit-for-bit at ANY
+    key cardinality, not just when keys fit one chunk."""
     ev = _events(spark, sf_dir)
-    g = ev.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ).alias("s")
-    )
-    vals = F.transform(F.col("s"), lambda r: r["value"])
-    fold = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
-    )
-    return g.select(
-        "user_id",
-        F.size("s").cast("long").alias("n_events"),
-        F.round(fold, 6).alias("ewma"),
+    out = ts_ops.ewma(ev, alpha=0.25, chunk_rows=EWMA_CHUNK_ROWS)
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 6).alias("ewma")
     )
 
 
