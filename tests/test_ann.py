@@ -324,3 +324,38 @@ def test_standardize_moments_and_roundtrip(spark, embeddings):
     cout, _, cstds = standardize(cvecs)
     assert cstds[1] == 0.0
     assert all(r.vector[1] == 0.0 for r in cout.collect())
+
+
+def test_ivf_assign_expr_matches_blas_kernel(spark, embeddings):
+    """a01's oracle-gated expression-path assignment must agree
+    cell-for-cell with the dgemm kernel (`_assign_cells`) on the same
+    centroids — the scale path and the hash-gated path are twins."""
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_assign_expr,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    seeds = (
+        vecs.withColumn(
+            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a01")))
+        )
+        .orderBy("_h", "id")
+        .limit(8)
+        .collect()
+    )
+    cents = [[float(x) for x in r.vector] for r in seeds]
+    expr_cells = {
+        r["id"]: r["cell"] for r in ivf_assign_expr(vecs, cents).collect()
+    }
+    blas_cells = {
+        r["id"]: r["cell"]
+        for r in _assign_cells(
+            vecs.select("id", F.col("vector").cast("array<double>").alias("vector")),
+            cents,
+        ).collect()
+    }
+    assert expr_cells == blas_cells
+    assert len(expr_cells) == vecs.count()

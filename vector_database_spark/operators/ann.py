@@ -278,6 +278,44 @@ def _assign_cells(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return vecs.mapInPandas(assign, out_schema)
 
 
+def ivf_assign_expr(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Expression-path twin of `_assign_cells`: nearest-centroid cell
+    as ONE Catalyst projection — an array of per-centroid euclidean
+    fold expressions plus ``array_position(array_min)`` argmin
+    (first-min = lowest-cell tie-break, the kernel's rule). Every
+    float op is the left-to-right zip_with/aggregate fold, so a DuckDB
+    ``list_transform``/``list_sum`` replay matches BIT-FOR-BIT — this
+    is a01's oracle-gated path. Use `_assign_cells` (one dgemm per
+    Arrow batch) when cells x dims is large: the interpreted-HOF cost
+    here is cells x dims folds per row."""
+    dists = F.array(
+        *[
+            euclidean(
+                F.col(vector_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+            )
+            for c in centroids
+        ]
+    )
+    return (
+        vecs.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+        )
+        .withColumn("_ds", dists)
+        .withColumn(
+            "cell",
+            (F.expr("array_position(_ds, array_min(_ds))") - 1).cast("int"),
+        )
+        .drop("_ds")
+    )
+
+
 def ivf_knn(
     assigned_df: DataFrame,
     centroids: list[list[float]],

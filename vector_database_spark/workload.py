@@ -1278,47 +1278,151 @@ def v13_delete_vicinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("a01_ivf_knn")  # approximate: rows-only gate; the query ASSERTS its
-# own contract (recall vs exact kNN >= 0.9 as the recall_ok column)
+_IVF_GATE_CELLS = 8
+_IVF_GATE_NPROBE = 7
+
+
+@query(
+    "a01_ivf_knn",
+    oracle=f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':a01'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_IVF_GATE_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c),
+a AS (SELECT id, cell FROM
+        (SELECT id, cell,
+                row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+         FROM ad)
+      WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY {_l2_sql('q.qv', 'c.cvec')}, c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cand AS (SELECT p.qid, a.id FROM pc p JOIN a ON a.cell = p.cell
+         WHERE p.pr <= {_IVF_GATE_NPROBE}),
+d AS (SELECT c.qid, c.id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+      JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= 10
+""",
+)
 def a01_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_database_spark.operators.ann import ivf_build, ivf_knn
-    from vector_database_spark.operators.search import knn
+    """IVF probe-and-rank with an EXACT hash-matching oracle (the g03
+    pattern: a deterministic twin replayable in SQL). The coarse
+    centroids are the {_IVF_GATE_CELLS} vectors in seeded-md5 order —
+    data-derived, engine-portable — and assignment runs the
+    expression-path argmin (`ivf_assign_expr`: the same left-to-right
+    folds as the oracle, bit-exact), so probe selection, candidate
+    fan-in, and the exact re-rank (`ivf_knn`, the real operator) all
+    hash-match DuckDB. The Lloyd-trained + BLAS-assigned scale path is
+    covered by tests/test_ann.py (recall vs brute) and
+    tools/ivf_probe.py at 1M rows; a pytest asserts the dgemm kernel
+    agrees with the expression path cell-for-cell."""
+    from vector_database_spark.operators.ann import ivf_assign_expr, ivf_knn
 
     vecs = _embeddings(spark, sf_dir)
-    assigned, cents = ivf_build(vecs, n_cells=8, iters=2)
+    seeds = (
+        vecs.withColumn(
+            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a01")))
+        )
+        .orderBy("_h", "id")
+        .limit(_IVF_GATE_CELLS)
+        .collect()
+    )
+    cents = [[float(x) for x in r.vector] for r in seeds]
+    assigned = ivf_assign_expr(vecs, cents)
     qdf = spark.createDataFrame(
         _panel(spark, sf_dir), "qid long, qvec array<double>"
     )
-    # nprobe 7/8: the synthetic embeddings are near-uniform in 64-d —
-    # no cluster structure, so neighbors spread across cells and a
-    # high probe fraction is genuinely required for recall >= 0.9
-    # (measured: nprobe=6 -> 0.8 on one panel query). On clustered
-    # real data the economic operating point is far lower (see
-    # tests/test_ann.py, which gets 0.9+ probing 3/32 on clusters).
-    res = ivf_knn(assigned, cents, qdf, k=10, nprobe=7)
-    exact = knn(vecs, qdf, k=10, metric="euclidean")
-    return _ann_recall_contract(
-        res.select("qid", "id"), exact.select("qid", "id"), k=10
+    res = ivf_knn(assigned, cents, qdf, k=10, nprobe=_IVF_GATE_NPROBE)
+    return res.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
     )
 
 
-@query("a02_lsh_knn")  # approximate: rows-only gate; self-asserted recall
+def _lsh_planes_sql() -> str:
+    """VALUES rows (tbl, bit, plane) for a02's hyperplanes. The planes
+    are DATA-INDEPENDENT constants (random.Random(11).gauss), so they
+    inline as exact double literals (repr round-trips bit-for-bit)."""
+    from vector_database_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 3, 16, 11)
+    rows = []
+    for t, table in enumerate(planes):
+        for b, plane in enumerate(table):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {b}, {lit}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+@query(
+    "a02_lsh_knn",
+    oracle=f"""
+WITH pl AS (SELECT * FROM (VALUES {_lsh_planes_sql()}) AS t(tbl, bit, p)),
+v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+vc AS (SELECT v.id, pl.tbl,
+              sum(CASE WHEN {_dot_sql('v.vec', 'pl.p')} >= 0
+                       THEN 1 << pl.bit ELSE 0 END)::BIGINT AS code
+       FROM v CROSS JOIN pl GROUP BY v.id, pl.tbl),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+qc AS (SELECT q.qid, pl.tbl,
+              sum(CASE WHEN {_dot_sql('q.qv', 'pl.p')} >= 0
+                       THEN 1 << pl.bit ELSE 0 END)::BIGINT AS code
+       FROM q CROSS JOIN pl GROUP BY q.qid, pl.tbl),
+cand AS (SELECT DISTINCT qc.qid, vc.id
+         FROM vc JOIN qc ON vc.tbl = qc.tbl AND vc.code = qc.code),
+d AS (SELECT c.qid, c.id,
+             CASE WHEN (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                        * sqrt({_dot_sql('q.qv', 'q.qv')})) > 0
+                  THEN 1.0 - ({_dot_sql('e.embedding', 'q.qv')}
+                       / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                          * sqrt({_dot_sql('q.qv', 'q.qv')})))
+                  ELSE 2.0 END AS d
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+      JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, round(d, 6) AS cos_dist
+FROM r WHERE rank <= 10
+""",
+)
 def a02_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH kNN with an EXACT hash-matching oracle:
+    the hyperplanes are data-independent seeded constants inlined into
+    the SQL as exact double literals, sign-bit codes and the cosine
+    re-rank are the same left-to-right folds on both engines, so
+    bucket membership, candidate set, and ranking replay bit-for-bit.
+    3-bit codes x 16 tables: measured recall >= 0.9 on every panel
+    query at sf0.001/0.01/0.1 (asserted in tests; the gate now checks
+    the stronger property — the EXACT candidate set and ranking)."""
     from vector_database_spark.operators.ann import rp_lsh_knn
-    from vector_database_spark.operators.search import knn
 
     vecs = _embeddings(spark, sf_dir)
     qdf = spark.createDataFrame(
         _panel(spark, sf_dir), "qid long, qvec array<double>"
     )
-    # 3-bit codes x 16 tables: measured recall >= 0.9 on every panel
-    # query at sf0.001/0.01/0.1 (4-bit codes under-recalled the tiny
-    # sf0.001 table: 2^4 buckets over ~500 rows leaves near-empty
-    # probe sets)
     res = rp_lsh_knn(vecs, qdf, k=10, dims=64, n_bits=3, n_tables=16, seed=11)
-    exact = knn(vecs, qdf, k=10, metric="cosine")
-    return _ann_recall_contract(
-        res.select("qid", "id"), exact.select("qid", "id"), k=10
+    return res.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos_dist", 6).alias("cos_dist"),
     )
 
 
