@@ -73,27 +73,28 @@ def pagerank(
         with_deg = ranks.join(
             deg, ranks["node"] == deg["src"], "left"
         ).select("node", "rank", "out_deg")
-        # mass of dangling nodes, redistributed uniformly (one tiny
-        # driver scalar per iteration — O(1) traffic)
-        dangling = 0.0
-        if has_dangling:
-            # the eager aggregate pays for a full materialization
-            # anyway — checkpoint so contrib and the next iteration
-            # reuse it instead of replaying the whole window's
-            # lineage (O(checkpoint_every^2) joins otherwise)
-            with_deg = with_deg.localCheckpoint(eager=True)
-            dangling = (
-                with_deg.where(F.col("out_deg").isNull())
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
-            )
         contrib = (
             with_deg.where(F.col("out_deg").isNotNull())
             .join(e, F.col("node") == e["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
         )
+        # dangling mass WITHOUT a second pass over with_deg: total
+        # mass is 1 every iteration and each non-dangling src's rank
+        # is fully distributed across its out-edges, so
+        # dangling = 1 - sum(contrib). One tiny aggregate over the
+        # contrib output (O(nodes) rows, already shuffled) replaces
+        # the round-3 shape's eager with_deg checkpoint + separate
+        # dangling scan — ONE job per iteration instead of three on
+        # dangling graphs, and with_deg is consumed exactly once.
+        dangling = 0.0
+        if has_dangling:
+            # the aggregate's full pass warms the checkpoint so the
+            # ranks join below reuses stored blocks, not lineage
+            contrib = contrib.localCheckpoint(eager=False)
+            dangling = 1.0 - (
+                contrib.agg(F.sum("c")).first()[0] or 0.0
+            )
         base = (1.0 - d) / n + d * dangling / n
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")

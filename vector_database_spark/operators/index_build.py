@@ -96,6 +96,7 @@ _AUTO_STATS_CELLS = 16_000_000
 # Split tables larger than this route via a shuffle join instead of an
 # explicit broadcast (beyond driver/broadcast memory comfort).
 _BROADCAST_SPLIT_MAX = 1_000_000
+_LAZY_LEVEL_CHECKPOINT = True  # A/B toggle for the per-level checkpoint
 
 
 def build_index(
@@ -326,7 +327,8 @@ def _build_levels(
         # folding route materialization into that job (one fewer job
         # per level than eager; unlike a no-checkpoint chain, later
         # readers — pools, the level after next — hit stored blocks).
-        pts = routed.localCheckpoint(eager=False)
+        # _LAZY_LEVEL_CHECKPOINT exists for A/B timing (bench bisect).
+        pts = routed.localCheckpoint(eager=not _LAZY_LEVEL_CHECKPOINT)
 
 
 def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
