@@ -114,3 +114,46 @@ def test_zorder_wide_int_range_and_clamping(spark):
     huge = spark.createDataFrame([(0, 0), (2**62, 0)], "a long, b long")
     with pytest.raises(ValueError, match="overflows"):
         layout.zorder_code(huge, ["a", "b"], bits=10)
+
+
+def test_write_zordered_file_skipping_both_dims(spark, tmp_path):
+    """The turnkey write path: a 2-col clustered write must let
+    parquet footer stats skip >= 50% of files for a selective range
+    predicate on EITHER column (the round-3 verdict's done-when)."""
+    from vector_database_spark.operators.catalog import write_zordered
+
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+    path = str(tmp_path / "zo")
+    report = write_zordered(grid, path, ["a", "b"], bits=7, num_files=64)
+    assert report["n_files"] >= 8
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        span = {}
+        for c in ("a", "b"):
+            st = [
+                md.row_group(rg).column(idx[c]).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            span[c] = (min(s.min for s in st), max(s.max for s in st))
+        stats.append(span)
+
+    # a selective predicate inside one z-cell (not straddling the
+    # power-of-2 cell boundary at 64): col in [40, 47]
+    q_lo, q_hi = 40, 47
+    for c in ("a", "b"):
+        skipped = sum(
+            1 for s in stats if s[c][1] < q_lo or s[c][0] > q_hi
+        )
+        assert skipped / len(stats) >= 0.5, (c, skipped, len(stats))

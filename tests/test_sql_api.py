@@ -1,0 +1,81 @@
+"""SQL entry-point parity: the reference's interface is T-SQL procs
+(DDL.sql:234-295, 352-419), so the engine must be drivable from a SQL
+string — the recursive-CTE search must equal the DataFrame walker
+(which itself equals brute force, v01's gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vector_database_spark import sql_api
+from vector_database_spark.operators.index_build import build_index
+from vector_database_spark.operators.search import knn, search
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        .localCheckpoint()
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, vecs):
+    return build_index(vecs, local_threshold=128).localCheckpoint()
+
+
+def _panel(spark, vecs):
+    return spark.createDataFrame(
+        [
+            (int(r.id), [float(x) for x in r.vector])
+            for r in vecs.where(F.col("id").isin([3, 99])).collect()
+        ],
+        "qid long, qvec array<double>",
+    )
+
+
+def test_sql_search_matches_dataframe_path(spark, vecs, idx):
+    sql_api.register_engine_views(spark, vecs, idx)
+    qdf = _panel(spark, vecs)
+    got = {
+        (r.qid, r.id, round(r.dist, 6))
+        for r in sql_api.sql_search(spark, qdf, 1.4).collect()
+    }
+    panel = [(int(r.qid), list(r.qvec)) for r in qdf.collect()]
+    want = {
+        (r.qid, r.id, round(r.dist, 6))
+        for r in search(idx, vecs, panel, 1.4).collect()
+    }
+    assert got == want and got
+
+
+def test_sql_knn_matches_operator(spark, vecs):
+    vecs.createOrReplaceTempView("vectors")
+    qdf = _panel(spark, vecs)
+    got = {
+        (r.qid, r.id, r.rank)
+        for r in sql_api.sql_knn(spark, qdf, 5).collect()
+    }
+    panel = [(int(r.qid), list(r.qvec)) for r in qdf.collect()]
+    want = {
+        (r.qid, r.id, r.rank) for r in knn(vecs, panel, 5).collect()
+    }
+    assert got == want and len(got) == 10
+
+
+def test_register_tables_sql_query(spark):
+    sql_api.register_tables(spark, SF_DIR)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n > 0
+    joined = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    ).collect()
+    assert len(joined) == 5

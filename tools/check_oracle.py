@@ -54,8 +54,14 @@ def _normalize(cols, rows):
 
 def main():
     args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
+    results: dict[str, dict] = {}
 
     from vector_database_spark import workload
 
@@ -82,11 +88,17 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"status": "fail", "err": f"spark: {str(e)[:200]}"}
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows, {t_spark:.1f}s)")
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(srows),
+                "spark_s": round(t_spark, 1),
+            }
             continue
         t0 = time.time()
         try:
@@ -95,6 +107,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:200]}"}
             n_fail += 1
             continue
         t_duck = time.time() - t0
@@ -118,10 +131,35 @@ def main():
         if ok:
             n_pass += 1
             print(f"PASS {name}: {len(sn)} rows (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sn),
+                "spark_s": round(t_spark, 1),
+                "duckdb_s": round(t_duck, 1),
+            }
         else:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(msgs))
+            results[name] = {"status": "fail", "err": "; ".join(msgs)[:300]}
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": sum(
+                        1 for v in results.values() if v["status"] == "rows_only"
+                    ),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
