@@ -700,3 +700,68 @@ def test_ewma_chunked_bit_exact_and_bounded(spark):
     for u in per_user:
         assert big[u] == plain[u]
         assert abs(small[u] - plain[u]) < 1e-9
+
+
+def test_streaming_twa_matches_batch(spark):
+    """Keyed-state streaming TWA: exact integer weighted sums carried
+    across micro-batches (big-int-as-string state) equal the batch
+    operator on the full history under event-time-ordered arrival."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import streaming_twa
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "event_id long, user_id long, ts_s long, value double"
+    b1 = [
+        (1, 1, 100, 2.5), (2, 1, 200, 4.0),
+        (3, 2, 100, 7.25),               # single event: span 0, twa NULL
+    ]
+    b2 = [
+        (4, 1, 400, 1.0),                # extends u1 across batches
+        (5, 2, 150, -3.5),               # u2 gets a span
+    ]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run(out):
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double, ts timestamp_ntz"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            streaming_twa(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write(b1)
+    run(f"{tmp}/out1")
+    write(b2)
+    run(f"{tmp}/out2")
+
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa"])
+        for r in spark.read.parquet(f"{tmp}/out2").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa"])
+        for r in ts.time_weighted_avg(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert got[1][0] == 3 and got[1][1] == 300_000_000

@@ -622,6 +622,77 @@ def ewma(
     return g2.select(*kp, "n_events", fold.alias("ewma"))
 
 
+def seasonal_profile(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    period_s: int = 86_400,
+    flag_factor: int = 2,
+) -> DataFrame:
+    """Calendar-seasonal profile + exact deviation flags: events are
+    phased by position within a repeating period (default: hour of
+    day), and each (keys..., phase) cell reports its event count,
+    mean value, and how many of its events exceed ``flag_factor``
+    times the cell mean — the seasonal-naive anomaly baseline
+    (detect "3pm traffic is 2x the usual 3pm", not "3pm is above the
+    daily mean").
+
+    Exactness: phases are integer floor-arithmetic (pre-epoch safe);
+    the flag comparison is ``vm * n > flag_factor * sum_vm`` in
+    DECIMAL(38,0) — values as micro-units, cast BEFORE the multiply
+    (the i64 product overflows at 100 TB group sizes) — so no float
+    division is compared and any engine replays it bit-for-bit. Shape:
+    one hash aggregate for the profile (map-side combinable), one
+    broadcast join of the tiny profile back onto events, one second
+    aggregate — the events table is scanned twice, shuffled zero
+    times beyond the partial-agg traffic."""
+    kp = [str(k) for k in key_cols]
+    n_phases = int(period_s) // int(bucket_s)
+    phase = F.pmod(
+        (time_bucket_s(events, ts_col, int(bucket_s)) / int(bucket_s)).cast(
+            "long"
+        ),
+        F.lit(n_phases),
+    ).alias("phase")
+    prepared = events.select(
+        *kp,
+        phase,
+        F.floor(F.col(value_col) * F.lit(MICROS)).cast("long").alias("_vm"),
+    )
+    prof = prepared.groupBy(*kp, "phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_vm").cast("decimal(38,0)").alias("_sum_vm"),
+    )
+    flagged = (
+        prepared.join(F.broadcast(prof), [*kp, "phase"])
+        .where(
+            F.col("_vm").cast("decimal(38,0)") * F.col("n")
+            > F.lit(int(flag_factor)) * F.col("_sum_vm")
+        )
+        .groupBy(*kp, "phase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_above"))
+    )
+    return (
+        prof.join(flagged, [*kp, "phase"], "left")
+        .select(
+            *kp,
+            "phase",
+            "n",
+            F.round(
+                F.col("_sum_vm").cast("double")
+                / (F.col("n").cast("double") * MICROS),
+                6,
+            ).alias("mean_value"),
+            F.coalesce(F.col("n_above"), F.lit(0)).cast("long").alias(
+                "n_above"
+            ),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     *,

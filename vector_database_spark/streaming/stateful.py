@@ -309,3 +309,76 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_twa(events: DataFrame) -> DataFrame:
+    """Streaming twin of `operators.timeseries.time_weighted_avg`
+    (e12's LOCF shape): per-user exact integer weighted sums
+    maintained as keyed state across micro-batches. Emits the key's
+    running (n_events, span_us, twa) each batch it appears in;
+    output mode must be 'update'.
+
+    Equals the batch operator exactly when each key's events arrive
+    in event-time order ACROSS micro-batches (within a batch, rows
+    are sorted by (ts, event_id) first — the batch total order). The
+    weighted sum sum(vm * dt_us) is an EXACT Python big-int carried
+    in the state as a string (i64 overflows at scale, and the state
+    schema has no decimal — a 40-char string does; O(1) per key
+    either way). The final twa is the same single double division the
+    batch operator and its HUGEINT oracle perform."""
+
+    def update_twa(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, last_us, last_vm, ws_str, span = state.get
+            ws = int(ws_str)
+        else:
+            n, last_us, last_vm, ws, span = 0, 0, 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            order = pdf.assign(_us=ts_us).sort_values(
+                ["_us", "event_id"], kind="mergesort"
+            )
+            vm = [
+                int(math.floor(v * 1_000_000))
+                for v in order["value"].to_numpy("float64")
+            ]
+            for us, v in zip(order["_us"].to_numpy("int64"), vm):
+                if n > 0:
+                    dt = int(us) - last_us
+                    ws += last_vm * dt
+                    span += dt
+                last_us, last_vm = int(us), v
+                n += 1
+        state.update((n, last_us, last_vm, str(ws), span))
+        twa = (
+            round(float(ws) / (float(span) * 1_000_000), 6)
+            if span > 0
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user_id], dtype="int64"),
+                "n_events": pd.array([n], dtype="int64"),
+                "span_us": pd.array([span], dtype="int64"),
+                "twa": pd.array([twa], dtype="float64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_twa,
+        outputStructType="user_id long, n_events long, span_us long, twa double",
+        stateStructType=(
+            "n long, last_us long, last_vm long, ws string, span long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3266,6 +3266,38 @@ def e13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e14_seasonal_profile",
+    oracle="""
+WITH p AS (SELECT event_type,
+                  ((((epoch_us(ts) // 3600000000) % 24) + 24) % 24) AS phase,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vm
+           FROM events),
+prof AS (SELECT event_type, phase, count(*)::BIGINT AS n,
+                sum(vm::HUGEINT) AS sum_vm
+         FROM p GROUP BY event_type, phase),
+fl AS (SELECT p.event_type, p.phase, count(*)::BIGINT AS n_above
+       FROM p JOIN prof USING (event_type, phase)
+       WHERE p.vm::HUGEINT * prof.n > 2 * prof.sum_vm
+       GROUP BY p.event_type, p.phase)
+SELECT prof.event_type, prof.phase::BIGINT AS phase, prof.n,
+       round(sum_vm::DOUBLE / (prof.n::DOUBLE * 1000000), 6) AS mean_value,
+       coalesce(fl.n_above, 0)::BIGINT AS n_above
+FROM prof LEFT JOIN fl USING (event_type, phase)
+""",
+)
+def e14_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type with EXACT
+    deviation flags (seasonal-naive anomaly baseline: "is this 3pm
+    value >2x the usual 3pm mean"). Phases are integer
+    floor-arithmetic; the flag comparison rides DECIMAL(38,0)/HUGEINT
+    integer cross-multiplication (vm*n > 2*sum) so no float division
+    is ever compared — both engines agree bit-for-bit. One profile
+    hash aggregate + one broadcast join back + one flag aggregate."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.seasonal_profile(ev)
+
+
+@query(
     "e12_time_weighted_avg",
     oracle="""
 WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -3592,6 +3624,7 @@ _DRIVER_TAIL = [
     "r23_asof_forward",       # as-of family: r16 backward + r24 nearest stay
     "g01_pagerank",           # graph family: g02 (exact oracle) is in the head
     "g03_pagerank_exact",     # graph family: g02 stays in the head
+    "e14_seasonal_profile",   # events family: e01/e13 stay
 ]
 
 
