@@ -117,11 +117,13 @@ CHECKS = {
         "hash aggregates, JVM-only expressions, norm join broadcast",
     ),
     "e07_ewma": (
-        ["HashAggregate"],
+        ["HashAggregate", "Window"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
-         "Window"],
-        "EWMA: ONE hash aggregate collects each key's ordered list "
-        "(no global window/sort); the fold is a scalar expression",
+         "SortMergeJoin", "BroadcastHashJoin"],
+        "EWMA (bounded two-stage chunked fold): ONE key-partitioned "
+        "window assigns row numbers (external sort — spills, never "
+        "OOMs on a hot key), then per-(key,chunk) and per-key hash "
+        "aggregates whose buffers are capped by chunk_rows; no joins",
     ),
     "e08_hypertable_rollup": (
         ["ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
@@ -152,11 +154,15 @@ CHECKS = {
         "windows, JVM-only",
     ),
     "e10_funnel": (
-        [],
-        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
-         "Window", "BatchEvalPython", "ArrowEvalPython"],
-        "funnel: ONE conditional-collect aggregate + in-row chain "
-        "walk — no joins, no windows, one shuffle on the user key",
+        # struct-typed min buffers fall back to SortAggregate (the
+        # repo's measured aggregation-buffer rule) — still O(1) state
+        ["SortAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "funnel (bounded conditional-min chain): per-step min "
+        "aggregates with O(1) buffers chained through equi-joins on "
+        "the user key — no per-key event lists, no windows; a hot "
+        "key costs scan time, never memory",
     ),
     "e11_retention": (
         ["HashAggregate"],
