@@ -557,3 +557,31 @@ def test_orc_roundtrip_partitioned(spark):
         .toString()
     )
     assert "source=wiki" in plan or "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_frame_hash_dedup_planted_clones(spark):
+    """Cross-video frame dedup: byte-identical clones must report
+    dup_fraction 1.0; distinct synthetic videos share no frames."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.sources.multimodal import (
+        frame_hash_dedup,
+        sample_media,
+    )
+
+    vids = sample_media(spark, n=12).where(F.col("kind") == "video")
+    # distinct videos alone: no cross-video duplicates at all
+    solo = {
+        r["media_id"]: r["dup_fraction"]
+        for r in frame_hash_dedup(vids, every=2).collect()
+    }
+    assert solo and all(v == 0.0 for v in solo.values())
+    cloned = vids.unionByName(
+        vids.withColumn("media_id", F.col("media_id") + F.lit(1000))
+    )
+    dup = {
+        r["media_id"]: (r["dup_fraction"], r["n_frames"])
+        for r in frame_hash_dedup(cloned, every=2).collect()
+    }
+    assert len(dup) == 2 * len(solo)
+    assert all(f == 1.0 and n > 0 for f, n in dup.values())

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -648,3 +649,48 @@ def video_features(payload: bytes, *, grid: int = 2) -> list[float]:
     mean = np.asarray(descs, dtype=np.float64).mean(axis=0)
     dur_ms = 1000.0 * len(frames) / fps
     return [round(float(v), 6) for v in mean] + [round(math.log10(1.0 + dur_ms), 6)]
+
+
+def frame_hash_dedup(media_df: DataFrame, *, every: int = 1,
+                     max_frames: int | None = None) -> DataFrame:
+    """Cross-video exact frame deduplication: decode each video's
+    frames (`sample_frames`), hash the canonical P6 re-encoding, and
+    report, per video, how many of its frames also occur in ANY other
+    video — the image/video analog of d09's exact-substring
+    duplication signal, and the first pass a training pipeline runs
+    before burning GPU-hours on duplicate frames.
+
+    Output: (media_id, n_frames, n_dup_frames, dup_fraction).
+
+    Shape: the decode is `mapInPandas` (bytes never on the driver);
+    everything after is pure Catalyst — md5 projection, ONE
+    hash-partitioned count window over the frame hash, one per-video
+    aggregate. The canonical re-encoding makes the hash
+    representation-independent: two videos sharing pixel-identical
+    frames collide regardless of how the containers chunked them."""
+    frames = sample_frames(media_df, every=every, max_frames=max_frames)
+    h = frames.select(
+        "media_id", F.md5(F.col("payload")).alias("h")
+    )
+    w = Window.partitionBy("h")
+    # a frame is a duplicate if its hash occurs in ANOTHER video too
+    # (distinct media count per hash > 1) — within-video repeats of a
+    # static scene don't count as cross-video duplication
+    per_hash = h.withColumn(
+        "n_media", F.size(F.collect_set("media_id").over(w))
+    )
+    return (
+        per_hash.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(
+                F.when(F.col("n_media") > 1, 1).otherwise(0)
+            ).cast("long").alias("n_dup_frames"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_frames").cast("double") / F.col("n_frames"), 6
+            ),
+        )
+    )

@@ -1527,6 +1527,36 @@ def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("m03_frame_dedup")  # video payloads: rows-only check
+def m03_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video exact frame dedup: real Y4M decode -> canonical
+    P6 frame hash -> one count window + per-video aggregate. The
+    query PLANTS its own ground truth — every video is unioned with a
+    re-id'd byte-identical clone, so each original/clone pair must
+    report dup_fraction 1.0 (asserted in-row as `all_dup`); frames of
+    distinct synthetic videos never collide. Rows-only gate (DuckDB
+    has no media decode), self-checking like a01's old recall
+    contract but with an exact expected value."""
+    from vector_database_spark.sources.multimodal import (
+        frame_hash_dedup,
+        sample_media,
+    )
+
+    media = sample_media(spark, n=24)
+    vids = media.where(F.col("kind") == "video")
+    cloned = vids.unionByName(
+        vids.withColumn("media_id", F.col("media_id") + F.lit(1000))
+    )
+    out = frame_hash_dedup(cloned, every=2)
+    return out.select(
+        "media_id",
+        "n_frames",
+        "n_dup_frames",
+        "dup_fraction",
+        (F.col("dup_fraction") == 1.0).alias("all_dup"),
+    )
+
+
 @query("m02_frame_sample")  # video payloads: rows-only check
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: decode YUV4MPEG2 videos in `mapInPandas`, emit
@@ -3625,6 +3655,7 @@ _DRIVER_TAIL = [
     "g01_pagerank",           # graph family: g02 (exact oracle) is in the head
     "g03_pagerank_exact",     # graph family: g02 stays in the head
     "e14_seasonal_profile",   # events family: e01/e13 stay
+    "m03_frame_dedup",        # multimodal family: m01 stays in the head
 ]
 
 
