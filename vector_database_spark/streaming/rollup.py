@@ -89,16 +89,40 @@ def read_rollup(
     key_cols: Sequence[str] = ("event_type",),
     width_s: int | None = None,
     finest_s: int = 60,
+    as_of_batch: int | None = None,
 ) -> DataFrame | None:
     """Current rollup state: highest-`upto` base merged with every
     delta beyond it, cascaded to `width_s` when coarser than the
-    stored finest resolution. None if nothing was ingested yet."""
+    stored finest resolution. None if nothing was ingested yet.
+
+    ``as_of_batch`` reads the state AS OF that micro-batch id (time
+    travel): the newest base with ``upto <= as_of_batch`` plus deltas
+    in ``(upto, as_of_batch]``. Requires the writer to keep history
+    (``streaming_rollup_ingest(retain_history=True)``) — the default
+    compaction prunes superseded bases/deltas, and a pruned as-of
+    read raises instead of silently returning the wrong snapshot."""
     bases = _list_ids(spark, f"{state_path}/base", "upto")
-    upto = bases[-1] if bases else -1
+    deltas = _list_ids(spark, f"{state_path}/delta", "batch")
+    if as_of_batch is None:
+        upto = bases[-1] if bases else -1
+    else:
+        cut = int(as_of_batch)
+        eligible = [b for b in bases if b <= cut]
+        upto = eligible[-1] if eligible else -1
+        if upto == -1 and bases and not any(d <= cut for d in deltas):
+            # a base NEWER than the cut exists but neither a base nor
+            # any delta at/below it: the pre-cut deltas were compacted
+            # into that newer base and deleted — the snapshot is gone
+            raise ValueError(
+                f"read_rollup: history before batch {cut} was "
+                "compacted away — ingest with retain_history=True "
+                "for as-of reads"
+            )
+        deltas = [b for b in deltas if b <= cut]
     parts = []
-    if bases:
+    if upto >= 0:
         parts.append(spark.read.parquet(f"{state_path}/base/upto={upto}"))
-    for b in _list_ids(spark, f"{state_path}/delta", "batch"):
+    for b in deltas:
         if b > upto:
             parts.append(spark.read.parquet(f"{state_path}/delta/batch={b}"))
     if not parts:
@@ -126,12 +150,21 @@ def streaming_rollup_ingest(
     first_last: bool = True,
     checkpoint: str | None = None,
     compact_every: int = 8,
+    retain_history: bool = False,
 ):
     """Maintain the finest-level rollup of an events stream under
     ``state_path``. Returns the started StreamingQuery; query the
     state at any resolution with `read_rollup`. ``first_last=False``
     keeps the state fixed-width (pure HashAggregate per batch — the
-    metrics-pipeline shape); readers infer the schema either way."""
+    metrics-pipeline shape); readers infer the schema either way.
+
+    ``retain_history=True`` keeps superseded bases and compacted
+    deltas on disk instead of deleting them, enabling
+    ``read_rollup(..., as_of_batch=N)`` time travel to ANY committed
+    batch (the Delta-Lake-style snapshot story at rollup granularity);
+    current-state reads are unaffected — they always use the newest
+    base + newer deltas. Storage grows with history; prune externally
+    when snapshots age out."""
     keys = tuple(key_cols)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -177,11 +210,13 @@ def streaming_rollup_ingest(
             f"{state_path}/base/upto={new_upto}"
         )
         # hygiene only — readers already ignore everything below:
-        # stale bases and deltas <= the new upto
-        for b in bases:
-            _delete(spark, f"{state_path}/base/upto={b}")
-        for b in pending:
-            _delete(spark, f"{state_path}/delta/batch={b}")
+        # stale bases and deltas <= the new upto. retain_history keeps
+        # them for as-of reads (time travel).
+        if not retain_history:
+            for b in bases:
+                _delete(spark, f"{state_path}/base/upto={b}")
+            for b in pending:
+                _delete(spark, f"{state_path}/delta/batch={b}")
 
     w = events_stream.writeStream.foreachBatch(_process)
     if checkpoint is not None:
