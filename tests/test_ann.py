@@ -359,3 +359,57 @@ def test_ivf_assign_expr_matches_blas_kernel(spark, embeddings):
     }
     assert expr_cells == blas_cells
     assert len(expr_cells) == vecs.count()
+
+
+def test_pq_encode_expr_matches_kernel(spark, embeddings):
+    """a03's oracle-gated expression encoder must agree with the
+    dgemm kernel (`pq_encode`) on the same codebooks. The two compute
+    d2 with different FP groupings ((x-c)^2 folds vs x2-2xc+c2
+    BLAS), so agreement is required except where a codeword pair is a
+    genuine near-tie (top-2 d2 within 1e-9)."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import (
+        _subspace_bounds,
+        pq_encode,
+        pq_encode_expr,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    seeds = (
+        vecs.withColumn(
+            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a03")))
+        )
+        .orderBy("_h", "id")
+        .limit(16)
+        .collect()
+    )
+    full = [[float(x) for x in r.vector] for r in seeds]
+    bounds = _subspace_bounds(64, 8)
+    books = [[v[lo:hi] for v in full] for lo, hi in bounds]
+    expr_codes = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode_expr(vecs, books).collect()
+    }
+    kern = {
+        r["id"]: list(bytes(r["code"]))
+        for r in pq_encode(vecs, books).select("id", "code").collect()
+    }
+    vec_by_id = {r["id"]: np.asarray(r["vector"]) for r in vecs.collect()}
+    C = [np.asarray(b) for b in books]
+    mismatches = 0
+    for vid, ec in expr_codes.items():
+        kc = kern[vid]
+        for j, (a, b) in enumerate(zip(ec, kc)):
+            if a == b:
+                continue
+            lo, hi = bounds[j]
+            d2 = ((vec_by_id[vid][lo:hi][None, :] - C[j]) ** 2).sum(axis=1)
+            top2 = np.sort(d2)[:2]
+            assert top2[1] - top2[0] < 1e-9, (vid, j, a, b, top2)
+            mismatches += 1
+    # near-ties must be rare — the codes are substantively identical
+    assert mismatches <= len(expr_codes) * 8 * 0.001

@@ -297,7 +297,7 @@ def ivf_assign_expr(
     dists = F.array(
         *[
             euclidean(
-                F.col(vector_col),
+                F.col("vector"),
                 F.array(*[F.lit(float(x)) for x in c]),
             )
             for c in centroids
@@ -529,6 +529,101 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
             yield out
 
     return df.mapInPandas(encode, out_schema)
+
+
+def pq_encode_expr(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Expression-path twin of `pq_encode`: per-subspace nearest-
+    codeword indices as an ``array<int>`` `codes` column, computed
+    entirely with the left-to-right zip_with/aggregate folds
+    (squared distance, first-min = lowest-code tie-break via
+    ``array_position(array_min)``). Bit-exact with a DuckDB
+    list-slicing replay — a03's oracle-gated path. The dgemm kernel
+    (`pq_encode`) is the scale path: here the cost is
+    m x n_centroids folds per row, fine for gate-scale tables and
+    panels."""
+    from vector_database_spark.functions.vector import euclidean_sq
+
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    dims_total = sum(len(book[0]) for book in books)
+    bounds = _subspace_bounds(dims_total, len(books))
+    vec = F.col(vector_col).cast("array<double>")
+    code_cols = []
+    for j, ((lo, hi), book) in enumerate(zip(bounds, books)):
+        sub = F.slice(vec, lo + 1, hi - lo)
+        ds = F.array(
+            *[
+                euclidean_sq(sub, F.array(*[F.lit(x) for x in c]))
+                for c in book
+            ]
+        )
+        code_cols.append(
+            (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("vector"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def pq_adc_knn_expr(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries_df: DataFrame,
+    k: int,
+    *,
+    refine_factor: int = 8,
+) -> DataFrame:
+    """Expression-path compressed-domain kNN over `pq_encode_expr`
+    output: the ADC score is the left-to-right sum of per-subspace
+    squared distances between the query subvector and the row's
+    codeword (mathematically the LUT kernel's score; here every float
+    op has a fixed SQL-replayable order), shortlist of
+    ``k * refine_factor`` by (adc, id), exact re-rank on the raw
+    vectors. Returns (qid, id, dist, rank) — `pq_knn`'s contract."""
+    from vector_database_spark.functions.vector import (
+        euclidean,
+        euclidean_sq,
+    )
+
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    dims_total = sum(len(book[0]) for book in books)
+    bounds = _subspace_bounds(dims_total, len(books))
+    shortlist = max(int(k), int(k) * int(refine_factor))
+    joined = codes_df.crossJoin(F.broadcast(queries_df))
+    qv = F.col("qvec").cast("array<double>")
+    terms = []
+    for j, ((lo, hi), book) in enumerate(zip(bounds, books)):
+        qsub = F.slice(qv, lo + 1, hi - lo)
+        book_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in book]
+        )
+        cw = F.element_at(
+            book_lit, F.element_at(F.col("codes"), j + 1) + 1
+        )
+        terms.append(euclidean_sq(qsub, cw))
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t  # explicit left-to-right — the oracle's order
+    ws = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("id").asc())
+    short = (
+        joined.withColumn("adc", adc)
+        .withColumn("_r", F.row_number().over(ws))
+        .where(F.col("_r") <= shortlist)
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        short.withColumn("dist", euclidean(F.col("vector"), qv))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "id", "dist", "rank")
+    )
 
 
 def _adc_luts(panel: list[tuple[int, list[float]]], books) -> dict:

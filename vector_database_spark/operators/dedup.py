@@ -865,6 +865,20 @@ def embedding_neardup_blocked(
         vecs, id_col="id", vector_col="v", n_cells=n_cells, iters=iters,
         seed=seed,
     )
+    return neardup_within_cells(assigned, threshold=threshold)
+
+
+def neardup_within_cells(
+    assigned: DataFrame, *, threshold: float = 0.95
+) -> DataFrame:
+    """The SemDeDup pair stage on an EXTERNALLY cell-assigned frame
+    ``(id, vector, cell)``: exact all-pairs cosine within each cell
+    (chunked BLAS prefilter + sequential-fold exact recompute, so
+    reported similarities and the threshold decision are bit-identical
+    to the exact operator and SQL-replayable). Use with
+    `ann.ivf_assign_expr` over deterministic centroids for a fully
+    oracle-checkable blocked near-dup (d08), or let
+    `embedding_neardup_blocked` train cells for the scale path."""
     thr = float(threshold)
 
     def make_cell_kernel(threshold_val: float):

@@ -1426,30 +1426,112 @@ def a02_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a03_pq_adc")  # approximate: rows-only gate; self-asserted recall
+_PQ_GATE_CELLS = 16
+_PQ_GATE_M = 8
+_PQ_GATE_REFINE = 16
+
+
+def _pq_gate_oracle() -> str:
+    """a03's DuckDB replay: seeded codebooks (subvectors of the 16
+    rows in seeded-md5 order), per-subspace argmin codes, ADC =
+    left-associated sum of per-subspace squared distances, shortlist,
+    exact re-rank. Subspaces are uniform width (64/8), so slice
+    bounds are ``j*8+1 .. j*8+8`` — the same contiguous split as
+    `_subspace_bounds`."""
+    w = 64 // _PQ_GATE_M
+
+    def d2(a: str, b: str, rng: str) -> str:
+        t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        return f"list_sum(list_transform({rng}, i -> {t} * {t}))"
+
+    sub_rng = f"range(j.j * {w} + 1, j.j * {w} + {w + 1})"
+    adc = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(_PQ_GATE_M)
+    )
+    shortlist = 10 * _PQ_GATE_REFINE
+    return f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':a03'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_PQ_GATE_CELLS}),
+js AS (SELECT unnest(range(0, {_PQ_GATE_M})) AS j),
+cd AS (SELECT e.vec_id AS id, j.j, c.cell,
+              {d2('e.embedding', 'c.cvec', sub_rng)} AS d2
+       FROM embeddings e CROSS JOIN js j CROSS JOIN cent c),
+codes AS (SELECT id, j, cell AS code FROM
+            (SELECT id, j, cell,
+                    row_number() OVER (PARTITION BY id, j
+                                       ORDER BY d2, cell) AS rn
+             FROM cd)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+t AS (SELECT q.qid, codes.id, codes.j,
+             {d2('q.qv', 'c.cvec', 'range(codes.j * %d + 1, codes.j * %d + %d)' % (w, w, w + 1))} AS d
+      FROM codes JOIN cent c ON c.cell = codes.code CROSS JOIN q),
+a AS (SELECT qid, id, ({adc}) AS adc FROM t GROUP BY qid, id),
+short AS (SELECT qid, id FROM
+            (SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc, id) AS rn
+             FROM a)
+          WHERE rn <= {shortlist}),
+d AS (SELECT s.qid, s.id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM short s JOIN embeddings e ON e.vec_id = s.id
+      JOIN q ON q.qid = s.qid),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= 10
+"""
+
+
+@query("a03_pq_adc", oracle=_pq_gate_oracle())
 def a03_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search (compressed-domain kNN, 8-byte
-    codes) with exact re-rank; recall contract vs exact kNN computed
-    in the same query. The 100 TB story: codes are 64× smaller than
-    the raw float64 vectors, ADC scoring is m=8 table lookups per
-    candidate, and the refine join touches only the shortlist."""
-    from vector_database_spark.operators.ann import pq_encode, pq_knn, pq_train
-    from vector_database_spark.operators.search import knn
+    """Product-quantization ADC search with an EXACT hash-matching
+    oracle (the a01 pattern applied to PQ): codebooks are the
+    subvectors of {_PQ_GATE_CELLS} seeded-md5 rows, codes come from
+    the expression-path argmin (`pq_encode_expr`), and the
+    compressed-domain score is the left-associated per-subspace
+    squared-distance sum (`pq_adc_knn_expr`) — every float op has a
+    fixed order both engines replay bit-for-bit, through the
+    shortlist boundary and the exact re-rank. The Lloyd-trained + LUT
+    dgemm scale path (`pq_train`/`pq_knn`) keeps its recall coverage
+    in tests/test_ann.py and tools/pq_probe.py; a pytest pins the
+    kernel encoder to the expression encoder code-for-code."""
+    from vector_database_spark.operators.ann import (
+        _subspace_bounds,
+        pq_adc_knn_expr,
+        pq_encode_expr,
+    )
 
     vecs = _embeddings(spark, sf_dir)
-    books = pq_train(vecs, m=8, n_centroids=16, iters=6, seed=5)
-    codes = pq_encode(vecs, books)
+    seeds = (
+        vecs.withColumn(
+            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a03")))
+        )
+        .orderBy("_h", "id")
+        .limit(_PQ_GATE_CELLS)
+        .collect()
+    )
+    full = [[float(x) for x in r.vector] for r in seeds]
+    bounds = _subspace_bounds(64, _PQ_GATE_M)
+    books = [[v[lo:hi] for v in full] for lo, hi in bounds]
+    codes = pq_encode_expr(vecs, books)
     qdf = spark.createDataFrame(
         _panel(spark, sf_dir), "qid long, qvec array<double>"
     )
-    # refine_factor 16: the synthetic embeddings are near-uniform in
-    # 64-d, so ADC ordering under 16-level codebooks is noisy and the
-    # exact re-rank needs a deep shortlist for recall >= 0.9 (clustered
-    # real data needs far less — see tests/test_ann.py at factor 8).
-    res = pq_knn(codes, books, qdf, k=10, refine_factor=16)
-    exact = knn(vecs, qdf, k=10, metric="euclidean")
-    return _ann_recall_contract(
-        res.select("qid", "id"), exact.select("qid", "id"), k=10
+    res = pq_adc_knn_expr(
+        codes, books, qdf, k=10, refine_factor=_PQ_GATE_REFINE
+    )
+    return res.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
     )
 
 
@@ -2785,17 +2867,64 @@ def a05_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d08_semantic_neardup")  # approximate BY DESIGN: rows-only gate
+_D08_CELLS = 32
+_D08_NORM = (
+    "list_transform({a}, x -> CAST(x AS DOUBLE) / sqrt({dot}))"
+)
+
+
+def _d08_oracle() -> str:
+    norm = _D08_NORM.format(
+        a="embedding", dot=_dot_sql("embedding", "embedding")
+    )
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) * 1.01 AS REAL))
+  FROM embeddings WHERE vec_id % 50 = 0),
+nv AS (SELECT vec_id, embedding, {norm} AS nvec FROM aug),
+h AS (SELECT vec_id, nvec,
+             row_number() OVER (ORDER BY md5(vec_id || ':d08'), vec_id)
+               AS rn
+      FROM nv),
+cent AS (SELECT rn - 1 AS cell, nvec AS cvec FROM h
+         WHERE rn <= {_D08_CELLS}),
+ad AS (SELECT a.vec_id AS id, c.cell, {_l2_sql('a.nvec', 'c.cvec')} AS d
+       FROM nv a CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+         (SELECT id, cell,
+                 row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+          FROM ad)
+        WHERE rn = 1),
+p AS (SELECT x.id AS a_id, y.id AS b_id,
+             {_cos_sql('xa.embedding', 'ya.embedding')} AS cos
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id
+      JOIN aug xa ON xa.vec_id = x.id
+      JOIN aug ya ON ya.vec_id = y.id)
+SELECT a_id, b_id, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.999
+"""
+
+
+@query("d08_semantic_neardup", oracle=_d08_oracle())
 def d08_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cell-blocked embedding near-dup. The fixture's
-    0.45-cosine pairs are geometrically FAR (near-uniform synthetic
-    data), which is exactly the regime cluster blocking does not
-    target — so the gate PLANTS genuine near-identical duplicates
-    (scaled copies, cosine == 1 up to rounding; planted ids are
-    original + 10M) and self-asserts that every planted pair is
-    recovered from within one cell. One row per planted pair with a
-    `found` boolean — stable row count for the rows-only check,
-    recall visible to the judge."""
+    """SemDeDup cell-blocked embedding near-dup with an EXACT
+    hash-matching oracle (upgraded from the round-3 rows-only gate by
+    the a01 pattern): cells are assigned on NORMALIZED embeddings —
+    the space SemDeDup actually clusters, which also pins each
+    planted scaled copy (cos == 1) to its original's cell — against
+    {_D08_CELLS} seeded-md5 centroids via the expression-path argmin,
+    and the within-cell pair stage reports sequential-fold cosines,
+    so the ENTIRE candidate set and every similarity replays
+    bit-for-bit in SQL. Planted duplicates (scaled copies at
+    original+10M) guarantee the output is non-trivial; the trained
+    (Lloyd) blocking keeps its planted-recall coverage in
+    tests/test_dedup.py."""
+    from vector_database_spark.functions.vector import normalize
+    from vector_database_spark.operators.ann import ivf_assign_expr
+
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.where(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
@@ -2804,18 +2933,30 @@ def d08_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     aug = emb.select("vec_id", "embedding").unionByName(planted)
-    got = dd.embedding_neardup_blocked(
-        aug, threshold=0.999, n_cells=8, seed=42
+    nv = aug.select(
+        "vec_id", normalize(F.col("embedding")).alias("nvec")
     )
-    truth = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("a_id"),
-        (F.col("vec_id") + 10_000_000).alias("b_id"),
+    seeds = (
+        nv.withColumn(
+            "_h",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":d08"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(_D08_CELLS)
+        .collect()
     )
-    return truth.join(got, ["a_id", "b_id"], "left").select(
-        "a_id",
-        "b_id",
-        F.col("cos_sim").isNotNull().alias("found"),
-        F.round(F.coalesce("cos_sim", F.lit(-1.0)), 4).alias("cos_sim"),
+    cents = [[float(x) for x in r.nvec] for r in seeds]
+    asg = ivf_assign_expr(nv, cents, id_col="vec_id", vector_col="nvec")
+    frame = asg.select("id", "cell").join(
+        aug.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        ),
+        "id",
+    )
+    pairs = dd.neardup_within_cells(frame, threshold=0.999)
+    return pairs.select(
+        "a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
