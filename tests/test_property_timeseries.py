@@ -146,3 +146,45 @@ def test_zorder_bijective_on_covered_grid(spark, pts):
         a = sum(((z >> (2 * i)) & 1) << i for i in range(bits))
         b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(bits))
         assert (a, b) == (r["a"], r["b"])
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+    chunk=st.sampled_from([1, 2, 3, 7, 100]),
+    alpha=st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_ewma_chunked_equals_replay_any_chunking(spark, vals, chunk, alpha):
+    """The bounded two-stage EWMA is BIT-IDENTICAL to the pure-Python
+    replay of its fixed chunking scheme for ANY values, chunk size,
+    and alpha — the determinism contract e07's recursive-CTE oracle
+    relies on."""
+    rows = [(i, 1, i * 10, v) for i, v in enumerate(vals, start=1)]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s long, value double"
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+        .drop("ts_s")
+    )
+    out = ts.ewma(df, alpha=alpha, chunk_rows=chunk).collect()
+    assert len(out) == 1 and out[0]["n_events"] == len(vals)
+
+    chunks = [vals[i : i + chunk] for i in range(0, len(vals), chunk)]
+    acc = None
+    for ci, c in enumerate(chunks):
+        if ci == 0:
+            acc = c[0]
+            for x in c[1:]:
+                acc = acc * (1.0 - alpha) + x * alpha
+        else:
+            a, b = 1.0, 0.0
+            for x in c:
+                a = a * (1.0 - alpha)
+                b = b * (1.0 - alpha) + x * alpha
+            acc = acc * a + b
+    assert out[0]["ewma"] == acc

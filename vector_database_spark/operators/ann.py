@@ -959,6 +959,72 @@ def sq8_encode(
     return vecs.withColumn(codes_col, F.transform(F.col(vector_col), _code))
 
 
+def sq8_adc_knn_expr(
+    enc_df: DataFrame,
+    lo: list,
+    hi: list,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Expression-path twin of `sq8_knn` (a05's oracle-gated path):
+    the compressed-domain score is the left-to-right fold over dims of
+    (q_i − deq_i)² with the EXACT midpoint dequantization
+    lo_i + ((c_i + 0.5) · span_i) / 255 — every float op has a fixed
+    order a DuckDB list_transform/list_sum replay matches bit-for-bit
+    (lo/hi are exact per-dim min/max selections, identical in SQL).
+    Shortlist of k·refine_factor by (score, id), exact re-rank on the
+    raw vectors. The LUT-gather kernel (`sq8_knn`) is the scale path —
+    numpy's pairwise sums cannot be replayed."""
+    from vector_database_spark.functions.vector import euclidean
+
+    lo_l = [float(x) for x in lo]
+    span_l = [float(h) - float(l) for l, h in zip(lo, hi)]
+    dims = len(lo_l)
+    lo_a = F.array(*[F.lit(x) for x in lo_l])
+    sp_a = F.array(*[F.lit(x) for x in span_l])
+    shortlist = max(int(k), int(k) * int(refine_factor))
+    joined = enc_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("vector"),
+        F.col(codes_col).alias("codes"),
+    ).crossJoin(F.broadcast(queries_df))
+    qv = F.col("qvec").cast("array<double>")
+
+    def term(i):
+        deq = F.try_element_at(lo_a, i) + (
+            (F.try_element_at(F.col("codes"), i).cast("double") + F.lit(0.5))
+            * F.try_element_at(sp_a, i)
+        ) / F.lit(255.0)
+        d = F.try_element_at(qv, i) - deq
+        return d * d
+
+    score = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)), lambda i: term(i.cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("id").asc())
+    short = (
+        joined.withColumn("adc", score)
+        .withColumn("_r", F.row_number().over(ws))
+        .where(F.col("_r") <= shortlist)
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        short.withColumn("dist", euclidean(F.col("vector"), qv))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "id", "dist", "rank")
+    )
+
+
 def sq8_decode(
     codes_col, lo: list, hi: list
 ):

@@ -2841,18 +2841,67 @@ def a04_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_profile(_embeddings(spark, sf_dir))
 
 
-@query("a05_sq8_knn")  # approximate: rows-only gate; self-asserted recall
+_A05_SHORTLIST = 80  # k=10 x refine_factor=8
+
+
+@query(
+    "a05_sq8_knn",
+    oracle=f"""
+WITH ex AS (SELECT (generate_subscripts(embedding, 1) - 1)::BIGINT AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+st AS (SELECT idx, min(v) AS lo, max(v) AS hi FROM ex GROUP BY idx),
+arr AS (SELECT list(lo ORDER BY idx) AS lo, list(hi ORDER BY idx) AS hi
+        FROM st),
+enc AS (SELECT e.vec_id AS id, e.embedding, a.lo, a.hi,
+               list_transform(list_zip(e.embedding, a.lo, a.hi), s ->
+                 CASE WHEN s[3] = s[2] THEN 0
+                      ELSE least(255, greatest(0,
+                        floor((CAST(s[1] AS DOUBLE) - s[2])
+                              / (s[3] - s[2]) * 255)))::INT END) AS codes
+        FROM embeddings e CROSS JOIN arr a),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+sc AS (SELECT q.qid, enc.id,
+              list_sum(list_transform(range(1, 65), i ->
+                (CAST(q.qv[i] AS DOUBLE)
+                 - (enc.lo[i] + ((CAST(enc.codes[i] AS DOUBLE) + 0.5)
+                                 * (enc.hi[i] - enc.lo[i])) / 255.0))
+                * (CAST(q.qv[i] AS DOUBLE)
+                   - (enc.lo[i] + ((CAST(enc.codes[i] AS DOUBLE) + 0.5)
+                                   * (enc.hi[i] - enc.lo[i])) / 255.0))))
+                AS adc
+       FROM enc CROSS JOIN q),
+short AS (SELECT qid, id FROM
+            (SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc, id) AS rn
+             FROM sc)
+          WHERE rn <= {_A05_SHORTLIST}),
+d AS (SELECT s.qid, s.id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM short s JOIN embeddings e ON e.vec_id = s.id
+      JOIN q ON q.qid = s.qid),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= 10
+""",
+)
 def a05_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain kNN over SQ8 codes (per-query dims x 256
-    residual LUT, map-side shortlist pre-reduce, exact re-rank). The
-    SQ8 grid is fine enough that the re-ranked result recovers the
-    exact top-k — asserted in-query via the recall contract."""
+    """Compressed-domain kNN over SQ8 codes with an EXACT
+    hash-matching oracle: lo/hi are exact per-dim min/max selections,
+    codes are a04's already-oracle-proven integer encode, and the new
+    `sq8_adc_knn_expr` scores with a fixed-order fold of
+    (q_i − midpoint-dequant)² that DuckDB replays bit-for-bit through
+    the shortlist boundary and exact re-rank. The LUT-gather kernel
+    (`sq8_knn`) keeps its recall coverage in tests/test_ann.py
+    (it recovers brute-force top-k after re-rank)."""
     from vector_database_spark.operators.ann import (
+        sq8_adc_knn_expr,
         sq8_encode,
-        sq8_knn,
         sq8_stats,
     )
-    from vector_database_spark.operators.search import knn
 
     vecs = _embeddings(spark, sf_dir)
     lo, hi = sq8_stats(vecs)
@@ -2860,10 +2909,12 @@ def a05_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         _panel(spark, sf_dir), "qid long, qvec array<double>"
     )
-    res = sq8_knn(enc, lo, hi, qdf, k=10, refine_factor=8)
-    exact = knn(vecs, qdf, k=10, metric="euclidean")
-    return _ann_recall_contract(
-        res.select("qid", "id"), exact.select("qid", "id"), k=10
+    res = sq8_adc_knn_expr(enc, lo, hi, qdf, k=10, refine_factor=8)
+    return res.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
     )
 
 
@@ -3469,6 +3520,74 @@ def e14_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r26_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       row_number() OVER w AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def r26_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction (the CDC
+    warehouse shape): each change record becomes a validity interval
+    [valid_from, valid_to) closed by the key's next change, with a
+    version counter and a current-row flag. One key-partitioned
+    window — lead + row_number share the frame, so a single sort
+    serves both; timestamps exported as exact epoch micros."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(ts_ops._epoch_us(ev, "ts")).cast("long").alias("valid_from_us"),
+        nxt.alias("_nxt"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    nxt_us = F.expr(ts_ops._epoch_us(base, "_nxt"))
+    return base.select(
+        "user_id",
+        "event_id",
+        "valid_from_us",
+        nxt_us.cast("long").alias("valid_to_us"),
+        "version",
+        F.col("_nxt").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "e15_transitions",
+    oracle="""
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events)
+SELECT event_type, next_type, count(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def e15_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov path
+    analysis): consecutive event pairs per user, counted globally.
+    One key-partitioned lead window + one map-side-combinable hash
+    aggregate over |types|^2 rows — the per-user sort is Spark's
+    spill-safe external sort, so hot keys cost time, not memory."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
     "e12_time_weighted_avg",
     oracle="""
 WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -3797,6 +3916,8 @@ _DRIVER_TAIL = [
     "g03_pagerank_exact",     # graph family: g02 stays in the head
     "e14_seasonal_profile",   # events family: e01/e13 stay
     "m03_frame_dedup",        # multimodal family: m01 stays in the head
+    "r26_scd2_intervals",     # window family: r04/e03 stay
+    "e15_transitions",        # events family: e01/e02 stay
 ]
 
 
