@@ -107,3 +107,35 @@ def test_prepare_training_data_mix_quotas(spark):
     assert {(r.doc_id, r.chunk_id) for r in chunks.collect()} == {
         (r.doc_id, r.chunk_id) for r in again.collect()
     }
+
+
+def test_shard_training_data_deterministic_and_balanced(spark):
+    """Sharding is a pure function of identity+seed: same assignment
+    under any partitioning/order; shards are roughly balanced; the
+    within-shard sort key gives a stable total order."""
+    from vector_database_spark.pipeline import shard_training_data
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in shard_training_data(df, id_cols=("doc_id",)).collect()
+    }
+    shuffled = df.repartition(7).sortWithinPartitions(F.col("doc_id").desc())
+    b = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in shard_training_data(shuffled, id_cols=("doc_id",)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in a.values())
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    # seed changes the layout
+    c = {
+        r["doc_id"]: r["shard"]
+        for r in shard_training_data(
+            df, id_cols=("doc_id",), seed="other"
+        ).collect()
+    }
+    assert any(c[k] != a[k][0] for k in c)

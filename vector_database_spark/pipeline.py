@@ -131,3 +131,37 @@ def prepare_training_data(
 
         export_jsonl(chunks, out_path)
     return chunks
+
+
+def shard_training_data(
+    df: DataFrame,
+    *,
+    id_cols: tuple = ("doc_id", "chunk_id"),
+    n_shards: int = 16,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final stage of a
+    training-data pipeline: every example gets a shard (md5 of its
+    identity and a seed, mod n_shards) and a stable within-shard sort
+    key, so ANY run over the same corpus produces byte-identical
+    shards regardless of partitioning, cluster size, or input order
+    (the property epoch-reproducible training needs). Appends
+    (shard, sort_key); write with
+    ``df.repartition('shard').sortWithinPartitions('sort_key')`` or
+    `sources.export.export_jsonl(..., partition_cols=['shard'])`.
+
+    The hash is the repo's engine-portable md5->BIGINT trick, so the
+    assignment is replayable in any engine (p07's oracle). One
+    zero-shuffle projection; the physical shuffle happens once at
+    write time on the `shard` key."""
+    ident = F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        *[F.col(c).cast("string") for c in id_cols],
+    )
+    h = F.conv(F.substring(F.md5(ident), 18, 15), 16, 10).cast("long")
+    return df.select(
+        "*",
+        F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+        h.alias("sort_key"),
+    )

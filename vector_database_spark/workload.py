@@ -3046,6 +3046,42 @@ EWMA_CHUNK_ROWS = 65_536  # e07's bounded-fold chunk (oracle replays it)
 
 
 @query(
+    "p07_shards",
+    oracle="""
+WITH h AS (SELECT doc_id,
+                  ('0x' || substr(md5('shard:' || doc_id), 18, 15))::BIGINT
+                    AS hv
+           FROM documents)
+SELECT (hv % 16)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       min(hv)::BIGINT AS first_sort_key,
+       sum(hv)::HUGEINT::VARCHAR AS key_sum
+FROM h GROUP BY 1
+""",
+)
+def p07_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding
+    (`pipeline.shard_training_data`): md5-derived shard assignment
+    and within-shard sort keys, so any run over the same corpus
+    yields byte-identical training shards (epoch reproducibility).
+    The gate profiles the shard layout — per-shard count, first sort
+    key, and the full key-sum (exact integer, exported as a string:
+    the sum exceeds i64 and DuckDB sums to HUGEINT) — proving the
+    engine-portable assignment end-to-end."""
+    from vector_database_spark.pipeline import shard_training_data
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shard_training_data(docs, id_cols=("doc_id",), n_shards=16)
+    return sh.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("sort_key").cast("long").alias("first_sort_key"),
+        F.sum(F.col("sort_key").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("key_sum"),
+    )
+
+
+@query(
     "e07_ewma",
     oracle=f"""
 WITH RECURSIVE o AS (
@@ -3918,6 +3954,7 @@ _DRIVER_TAIL = [
     "m03_frame_dedup",        # multimodal family: m01 stays in the head
     "r26_scd2_intervals",     # window family: r04/e03 stay
     "e15_transitions",        # events family: e01/e02 stay
+    "p07_shards",             # pipeline family: p01-p06 stay
 ]
 
 
