@@ -180,6 +180,35 @@ CHECKS = {
         "integer shift/mask projection (bounds pre-collected, closed "
         "over as literals)",
     ),
+    "e14_seasonal_profile": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "Window", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "seasonal profile: two hash aggregates + the tiny profile "
+        "broadcast back — no windows, no big-side shuffle join",
+    ),
+    "e15_transitions": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+        "transition matrix: one key-partitioned lead window + one "
+        "map-side-combinable aggregate over |types|^2 rows",
+    ),
+    "r26_scd2_intervals": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "HashAggregate", "BatchEvalPython", "ArrowEvalPython"],
+        "SCD2 intervals: ONE window (lead + row_number share the "
+        "frame) — no joins, no aggregates, one sort per key partition",
+    ),
+    "p07_shards": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Window", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+        "sharding: zero-shuffle md5 projection + one profile "
+        "aggregate; the physical shuffle happens only at write time "
+        "on the shard key",
+    ),
 }
 
 
