@@ -585,3 +585,40 @@ def test_frame_hash_dedup_planted_clones(spark):
     }
     assert len(dup) == 2 * len(solo)
     assert all(f == 1.0 and n > 0 for f, n in dup.values())
+
+
+def test_quantile_two_pass_matches_full_sort(spark):
+    """The histogram-narrowed rank pick equals a brute full-sort rank
+    pick for any q, including ties, tiny buckets, and the all-equal
+    single-bucket degenerate key."""
+    import random
+
+    from vector_database_spark.operators.sketch import quantile_two_pass
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(600):
+        rows.append((i, "a", rng.uniform(-10, 10)))
+    for i in range(600, 650):
+        rows.append((i, "b", 7.0))              # all-equal key
+    for i in range(650, 700):
+        rows.append((i, "c", float(i % 5)))     # heavy ties
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r["k"]: (r["n"], r["v_lo"], r["v_hi"])
+            for r in quantile_two_pass(
+                df, value_col="value", q=q, key_cols=("k",), n_buckets=8
+            ).collect()
+        }
+        vals = {}
+        for _, k, v in rows:
+            vals.setdefault(k, []).append(v)
+        for k, vs in vals.items():
+            vs = sorted(vs)
+            n = len(vs)
+            h = (n - 1) * q
+            import math
+
+            want = (n, vs[int(math.floor(h))], vs[int(math.ceil(h))])
+            assert got[k] == want, (k, q, got[k], want)

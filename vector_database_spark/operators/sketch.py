@@ -477,3 +477,97 @@ def mad_outliers(
             (dev / F.col("_mad")).alias("robust_z"),
         )
     )
+
+
+def quantile_two_pass(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    q: float = 0.5,
+    key_cols: Sequence[str] = (),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-key order statistics WITHOUT a global sort — the
+    100 TB quantile shape: `F.percentile`/a full sort must move or
+    buffer every value per key, while this runs (1) one stats
+    aggregate, (2) one histogram aggregate over ``n_buckets`` value
+    ranges, then (3) sorts ONLY the bucket(s) containing the target
+    ranks (expected n/n_buckets rows per key). Returns the two
+    bracketing order statistics around rank h = (n-1)*q:
+    (keys..., n, v_lo, v_hi) with v_lo at rank floor(h)+1 and v_hi at
+    ceil(h)+1 — pure value SELECTIONS, no interpolation arithmetic,
+    so any engine replays them exactly (s06's oracle). Callers
+    wanting the interpolated percentile combine them as
+    (1-g)*v_lo + g*v_hi.
+
+    Skew caveat: a key whose values are all equal lands in one bucket
+    and pass 3 sorts that key entirely — the sort is Spark's
+    spill-safe external sort, so it costs time, never memory."""
+    kp = [str(k) for k in key_cols]
+    B = int(n_buckets)
+    qf = float(q)
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*kp).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(v).alias("_n"),
+    )
+    h = (F.col("_n") - 1) * F.lit(qf)
+    kq = stats.select(
+        *kp,
+        "_lo",
+        "_hi",
+        "_n",
+        (F.floor(h) + 1).cast("long").alias("_k_lo"),
+        (F.ceil(h) + 1).cast("long").alias("_k_hi"),
+    )
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (v - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(float(B))
+                ),
+            ),
+        )
+    ).cast("int")
+    keyed = df.join(F.broadcast(kq), kp) if kp else df.crossJoin(
+        F.broadcast(kq)
+    )
+    bucketed = keyed.withColumn("_b", bucket)
+    hist = bucketed.groupBy(*kp, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wb = Window.partitionBy(*kp).orderBy("_b")
+    cum = hist.withColumn(
+        "_below", F.sum("_c").over(wb) - F.col("_c")
+    ).join(kq.select(*kp, "_k_lo", "_k_hi"), kp)
+    spec = None
+    for which, kcol in (("lo", "_k_lo"), ("hi", "_k_hi")):
+        s = cum.where(
+            (F.col("_below") < F.col(kcol))
+            & (F.col("_below") + F.col("_c") >= F.col(kcol))
+        ).select(
+            *kp,
+            "_b",
+            "_below",
+            (F.col(kcol) - F.col("_below")).alias("_rank_in_bucket"),
+            F.lit(which).alias("_which"),
+        )
+        spec = s if spec is None else spec.unionByName(s)
+    tgt = bucketed.join(F.broadcast(spec), [*kp, "_b"])
+    wr = Window.partitionBy(*kp, "_which").orderBy(v)
+    picked = (
+        tgt.withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") == F.col("_rank_in_bucket"))
+        .groupBy(*kp)
+        .pivot("_which", ["lo", "hi"])
+        .agg(F.first(v))
+    )
+    return picked.join(kq.select(*kp, "_n"), kp).select(
+        *kp,
+        F.col("_n").cast("long").alias("n"),
+        F.col("lo").alias("v_lo"),
+        F.col("hi").alias("v_hi"),
+    )

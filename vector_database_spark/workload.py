@@ -3046,6 +3046,47 @@ EWMA_CHUNK_ROWS = 65_536  # e07's bounded-fold chunk (oracle replays it)
 
 
 @query(
+    "s06_quantile_two_pass",
+    oracle="""
+WITH s AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+k AS (SELECT event_type, n,
+             (floor((n - 1) * 0.5) + 1)::BIGINT AS k_lo,
+             (ceil((n - 1) * 0.5) + 1)::BIGINT AS k_hi
+      FROM s),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rk
+      FROM events)
+SELECT k.event_type, k.n::BIGINT AS n,
+       round(max(CASE WHEN rk = k_lo THEN value END), 6) AS v_lo,
+       round(max(CASE WHEN rk = k_hi THEN value END), 6) AS v_hi
+FROM r JOIN k USING (event_type)
+GROUP BY k.event_type, k.n
+""",
+)
+def s06_quantile_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median order statistics WITHOUT a global sort
+    (`sketch.quantile_two_pass`): histogram pass narrows each key's
+    target ranks to one value bucket, and only that bucket is ever
+    sorted — the quantile algorithm that survives 100 TB, where
+    F.percentile-style exact aggregation must buffer each key's full
+    value list. Output ranks are pure value selections, so the
+    oracle (a literal rank pick over a full sort) matches
+    bit-for-bit; correctness is independent of how values distribute
+    over buckets."""
+    ev = _events(spark, sf_dir)
+    out = sk.quantile_two_pass(
+        ev, value_col="value", q=0.5, key_cols=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("v_lo", 6).alias("v_lo"),
+        F.round("v_hi", 6).alias("v_hi"),
+    )
+
+
+@query(
     "p07_shards",
     oracle="""
 WITH h AS (SELECT doc_id,
@@ -3955,6 +3996,7 @@ _DRIVER_TAIL = [
     "r26_scd2_intervals",     # window family: r04/e03 stay
     "e15_transitions",        # events family: e01/e02 stay
     "p07_shards",             # pipeline family: p01-p06 stay
+    "s06_quantile_two_pass",  # sketch/profiling family: s01/s03 stay
 ]
 
 
