@@ -276,3 +276,60 @@ def test_asof_tolerance_ntz_is_timezone_independent(spark):
         assert [r.val_asof for r in out.collect()] == [None]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_versioned_table_merge_and_time_travel(spark, tmp_path):
+    """MERGE INTO on a versioned copy-on-write table: update +
+    insert + delete in one merge, snapshot isolation (old versions
+    readable), crash-safe listing (_SUCCESS-gated)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.catalog import (
+        merge_table,
+        read_table,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    v0 = write_table_version(base, path)
+    assert v0 == 0
+
+    updates = spark.createDataFrame(
+        [
+            (2, "B2", 22.0, False),   # update
+            (4, "d", 40.0, False),    # insert
+            (3, None, 0.0, True),     # delete
+        ],
+        "id long, name string, score double, _delete boolean",
+    )
+    v1 = merge_table(
+        spark, path, updates, key_cols=("id",), delete_col="_delete"
+    )
+    assert v1 == 1
+    now = {
+        r["id"]: (r["name"], r["score"])
+        for r in read_table(spark, path).collect()
+    }
+    assert now == {1: ("a", 10.0), 2: ("B2", 22.0), 4: ("d", 40.0)}
+    # time travel: version 0 untouched
+    old = {r["id"] for r in read_table(spark, path, version=0).collect()}
+    assert old == {1, 2, 3}
+
+    # a partial (uncommitted) snapshot dir is invisible
+    import os
+
+    os.makedirs(f"{path}/v=7", exist_ok=True)
+    with open(f"{path}/v=7/part-junk.parquet", "wb") as f:
+        f.write(b"not parquet")
+    latest = read_table(spark, path)
+    assert latest.count() == 3  # still v=1
+
+    # merge without delete_col: pure upsert
+    up2 = spark.createDataFrame([(1, "A", 11.0)], "id long, name string, score double")
+    v2 = merge_table(spark, path, up2, key_cols=("id",))
+    got = {r["id"]: r["name"] for r in read_table(spark, path).collect()}
+    assert v2 == 2 and got[1] == "A" and got[2] == "B2"

@@ -311,3 +311,114 @@ def write_zordered(
                 f"bits too low)"
             )
     return out
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions (`v=N` dirs with _SUCCESS) under a
+    versioned table path — the same crash-safety listing rule as the
+    streaming rollup LSM (partial writes are invisible)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(ok):
+                out.append(v)
+    return sorted(out)
+
+
+def write_table_version(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot (`v=N+1`) of a versioned
+    copy-on-write table. Readers only ever see committed snapshots
+    (`_SUCCESS`-gated), so a crash mid-write is invisible. Returns
+    the new version number."""
+    spark = df.sparkSession
+    vs = _list_versions(spark, path)
+    new_v = (vs[-1] if vs else -1) + 1
+    df.write.mode("overwrite").parquet(f"{path}/v={new_v}")
+    return new_v
+
+
+def read_table(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table at its latest (default) or any retained
+    snapshot — parquet-level time travel matching the rollup state's
+    `as_of_batch` story."""
+    vs = _list_versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise ValueError(f"version {v} not in committed set {vs}")
+    return spark.read.parquet(f"{path}/v={v}")
+
+
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_cols,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO for a versioned parquet table (copy-on-write): rows
+    matched on ``key_cols`` take the update's values, unmatched
+    update rows insert, unmatched target rows carry over, and update
+    rows whose ``delete_col`` is true delete their target row — the
+    reference's delete+insert upsert (O15/O25, DDL.sql IndexDocument)
+    generalized to any keyed table, with snapshot isolation: readers
+    of the previous version are never disturbed, and the new version
+    only becomes visible at its `_SUCCESS` commit.
+
+    At 100 TB: one full-outer co-partitioned join per merge — the
+    copy-on-write cost. For high-frequency small updates, keep an LSM
+    tail instead (`api.py`'s incremental-insert path) and fold it in
+    at compaction; this operator IS that compaction step. Returns the
+    new version."""
+    kp = [str(k) for k in key_cols]
+    target = read_table(spark, path)
+    up_cols = [c for c in updates.columns if c not in kp and c != delete_col]
+    t = target.select(
+        *[F.col(c).alias(f"_t_{c}") for c in target.columns]
+    )
+    cond = None
+    for k in kp:
+        c = F.col(f"_t_{k}") == updates[k]
+        cond = c if cond is None else cond & c
+    joined = t.join(updates, cond, "full_outer")
+    has_update = updates[kp[0]].isNotNull()
+    deleted = (
+        F.coalesce(updates[delete_col], F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    out_cols = []
+    for c in target.columns:
+        if c in kp:
+            out_cols.append(
+                F.coalesce(updates[c], F.col(f"_t_{c}")).alias(c)
+            )
+        elif c in up_cols:
+            out_cols.append(
+                F.when(has_update, updates[c])
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"_t_{c}").alias(c))
+    merged = joined.where(~(has_update & deleted)).select(*out_cols)
+    # materialize before writing the new snapshot: the plan reads the
+    # previous version's files (same-path read-under-write rule as
+    # the delete path above)
+    merged = merged.localCheckpoint(eager=True)
+    return write_table_version(merged, path)
