@@ -3046,6 +3046,41 @@ EWMA_CHUNK_ROWS = 65_536  # e07's bounded-fold chunk (oracle replays it)
 
 
 @query(
+    "v17_sql_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT qid, vec_id, round(d, 4) AS dist
+FROM (SELECT q.qid, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q)
+WHERE d <= {SEARCH_DOMAIN}
+""",
+)
+def v17_sql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door UNDER THE HASH GATE: the ball search
+    expressed as one `WITH RECURSIVE` SQL string (`sql_api` — the
+    reference's T-SQL-proc interface, Spark 4 recursive CTEs using
+    the same pruning predicates as the DataFrame walker) must equal
+    the brute-force oracle exactly, like v01 does for the walker.
+    Proves a user can drive the engine start-to-finish from SQL with
+    identical results."""
+    from vector_database_spark import sql_api
+
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    sql_api.register_engine_views(spark, vecs, idx)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = sql_api.sql_search(spark, qdf, SEARCH_DOMAIN)
+    return res.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+@query(
     "s06_quantile_two_pass",
     oracle="""
 WITH s AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
@@ -3997,6 +4032,7 @@ _DRIVER_TAIL = [
     "e15_transitions",        # events family: e01/e02 stay
     "p07_shards",             # pipeline family: p01-p06 stay
     "s06_quantile_two_pass",  # sketch/profiling family: s01/s03 stay
+    "v17_sql_search",         # tree-search family: v01/v12/v14 stay
 ]
 
 
