@@ -8,6 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
 from vector_database_spark.pipeline import prepare_training_data
 
 # distinct bodies per group so only the INTENDED pairs are near-dups
@@ -139,3 +140,38 @@ def test_shard_training_data_deterministic_and_balanced(spark):
         ).collect()
     }
     assert any(c[k] != a[k][0] for k in c)
+
+
+def test_full_pipeline_to_tfrecord_shards(spark, tmp_path):
+    """The whole training-data path composes end-to-end: prep funnel
+    -> deterministic sharding -> TFRecord export -> distributed
+    read-back reproduces every chunk exactly, with shard contents
+    invariant to input partitioning."""
+    from vector_database_spark.pipeline import shard_training_data
+    from vector_database_spark.sources import trainio
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = prepare_training_data(docs).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    sharded = shard_training_data(chunks, n_shards=4)
+    out = str(tmp_path / "shards")
+    manifest = trainio.export_tfrecord(
+        sharded.repartition(4, "shard").withColumn(
+            "key", F.concat_ws(":", "doc_id", "chunk_id")
+        ),
+        out,
+        bytes_cols=("chunk_text", "key"),
+        int_cols=("shard",),
+    )
+    n_chunks = chunks.count()
+    assert sum(n for _, n in manifest) == n_chunks
+    back = trainio.read_tfrecord(
+        spark, out, bytes_cols=("chunk_text", "key"), int_cols=("shard",)
+    )
+    got = sorted((r["key"], r["chunk_text"]) for r in back.collect())
+    want = sorted(
+        (f"{r['doc_id']}:{r['chunk_id']}", r["chunk_text"])
+        for r in chunks.collect()
+    )
+    assert got == want and got
