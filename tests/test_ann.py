@@ -338,15 +338,9 @@ def test_ivf_assign_expr_matches_blas_kernel(spark, embeddings):
     vecs = embeddings.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
-    seeds = (
-        vecs.withColumn(
-            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a01")))
-        )
-        .orderBy("_h", "id")
-        .limit(8)
-        .collect()
-    )
-    cents = [[float(x) for x in r.vector] for r in seeds]
+    from vector_database_spark.workload import _seeded_rows
+
+    cents = _seeded_rows(vecs, "a01", 8)
     expr_cells = {
         r["id"]: r["cell"] for r in ivf_assign_expr(vecs, cents).collect()
     }
@@ -379,15 +373,9 @@ def test_pq_encode_expr_matches_kernel(spark, embeddings):
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    seeds = (
-        vecs.withColumn(
-            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a03")))
-        )
-        .orderBy("_h", "id")
-        .limit(16)
-        .collect()
-    )
-    full = [[float(x) for x in r.vector] for r in seeds]
+    from vector_database_spark.workload import _seeded_rows
+
+    full = _seeded_rows(vecs, "a03", 16)
     bounds = _subspace_bounds(64, 8)
     books = [[v[lo:hi] for v in full] for lo, hi in bounds]
     expr_codes = {

@@ -333,3 +333,25 @@ def test_versioned_table_merge_and_time_travel(spark, tmp_path):
     v2 = merge_table(spark, path, up2, key_cols=("id",))
     got = {r["id"]: r["name"] for r in read_table(spark, path).collect()}
     assert v2 == 2 and got[1] == "A" and got[2] == "B2"
+
+
+def test_merge_table_rejects_null_and_duplicate_keys(spark, tmp_path):
+    from vector_database_spark.operators.catalog import (
+        merge_table,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "tbl2")
+    write_table_version(
+        spark.createDataFrame([(1, "a")], "id long, name string"), path
+    )
+    import pytest as _pt
+
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "id long, name string"
+    )
+    with _pt.raises(ValueError, match="duplicate keys"):
+        merge_table(spark, path, dup, key_cols=("id",))
+    nul = spark.createDataFrame([(None, "x")], "id long, name string")
+    with _pt.raises(ValueError, match="NULL keys"):
+        merge_table(spark, path, nul, key_cols=("id",))

@@ -603,6 +603,8 @@ def test_quantile_two_pass_matches_full_sort(spark):
         rows.append((i, "b", 7.0))              # all-equal key
     for i in range(650, 700):
         rows.append((i, "c", float(i % 5)))     # heavy ties
+    for i in range(700, 720):
+        rows.append((i, "a", None))             # nulls must not shift ranks
     df = spark.createDataFrame(rows, "id long, k string, value double")
     for q in (0.0, 0.25, 0.5, 0.9, 1.0):
         got = {
@@ -613,7 +615,8 @@ def test_quantile_two_pass_matches_full_sort(spark):
         }
         vals = {}
         for _, k, v in rows:
-            vals.setdefault(k, []).append(v)
+            if v is not None:
+                vals.setdefault(k, []).append(v)
         for k, vs in vals.items():
             vs = sorted(vs)
             n = len(vs)

@@ -720,6 +720,8 @@ def test_streaming_twa_matches_batch(spark):
     b2 = [
         (4, 1, 400, 1.0),                # extends u1 across batches
         (5, 2, 150, -3.5),               # u2 gets a span
+        (6, 2, 200, None),               # NULL value: dt in span, no weight
+        (7, 2, 260, 2.0),
     ]
 
     def write(rows):
@@ -867,3 +869,48 @@ def test_rollup_time_travel_as_of_batch(spark):
 
     with _pt.raises(ValueError, match="compacted away"):
         read_rollup(spark, state2, as_of_batch=0)
+
+
+def test_e14_oracle_parity_pre_epoch(spark, tmp_path):
+    """e14's phase arithmetic must agree between Spark (pmod floor
+    form) and the DuckDB oracle (day-micros floor-mod first) for
+    PRE-1970 timestamps — DuckDB's // truncates toward zero, so the
+    naive (epoch // hour) % 24 form breaks below zero (review
+    finding, round 4)."""
+    import duckdb
+
+    from vector_database_spark.workload import oracle_sql, queries
+
+    rows = [
+        (1, 1, "1969-12-31 23:30:00", "view", 1.5),   # phase 23
+        (2, 1, "1969-12-31 00:10:00", "view", 2.5),   # phase 0
+        (3, 2, "1970-01-01 05:45:00", "click", -4.0), # phase 5
+        (4, 2, "1968-06-01 12:00:00", "click", 9.0),  # phase 12
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string,"
+            " event_type string, value double"
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+        .withColumn("props", F.lit("{}"))
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(
+        tuple(r)
+        for r in queries()["e14_seasonal_profile"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(oracle_sql()["e14_seasonal_profile"]).fetchall()
+    )
+    assert got == want
+    phases = {r[0:2] for r in got}
+    assert ("view", 23) in phases and ("click", 12) in phases

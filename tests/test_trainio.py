@@ -92,3 +92,20 @@ def test_webdataset_roundtrip(spark, tmp_path):
         names = t.getnames()
     assert any(n.endswith(".txt") for n in names)
     assert any(n.endswith(".json") for n in names)
+
+
+def test_tfrecord_null_and_large_ints(spark, tmp_path):
+    """Nullable and full-range int64 features survive exactly: ints
+    travel Spark->kernel as strings (a nullable long column would
+    reach pandas as float64 — NaN crashes int(), values above 2^53
+    silently corrupt)."""
+    big = (1 << 62) + 12345
+    docs = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", None), (3, "c", big), (4, "d", -big)],
+        "doc_id long, text string, extra long",
+    ).repartition(2)
+    path = str(tmp_path / "tfrn")
+    trainio.export_tfrecord(docs, path, int_cols=("doc_id", "extra"))
+    back = trainio.read_tfrecord(spark, path, int_cols=("doc_id", "extra"))
+    got = {r["doc_id"]: r["extra"] for r in back.collect()}
+    assert got == {1: 7, 2: None, 3: big, 4: -big}

@@ -387,6 +387,34 @@ def merge_table(
     new version."""
     kp = [str(k) for k in key_cols]
     target = read_table(spark, path)
+    # standard MERGE INTO preconditions, checked in ONE aggregate over
+    # the (small) updates side: a NULL key would surface as a spurious
+    # all-NULL "insert" from the full-outer join, and duplicate keys
+    # would fan one target row into several output rows — both corrupt
+    # the new snapshot silently if allowed through
+    chk = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in kp]).alias("nd"),
+        F.sum(
+            F.when(
+                sum(
+                    (F.col(k).isNull().cast("int") for k in kp), F.lit(0)
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_null"),
+    ).first()
+    if chk["n_null"]:
+        raise ValueError(
+            f"merge_table: {chk['n_null']} update rows have NULL keys"
+        )
+    if chk["nd"] != chk["n"]:
+        raise ValueError(
+            "merge_table: duplicate keys in updates "
+            f"({chk['n']} rows, {chk['nd']} distinct keys) — standard "
+            "MERGE INTO semantics reject multiple matches per target row"
+        )
     up_cols = [c for c in updates.columns if c not in kp and c != delete_col]
     t = target.select(
         *[F.col(c).alias(f"_t_{c}") for c in target.columns]
@@ -417,8 +445,8 @@ def merge_table(
         else:
             out_cols.append(F.col(f"_t_{c}").alias(c))
     merged = joined.where(~(has_update & deleted)).select(*out_cols)
-    # materialize before writing the new snapshot: the plan reads the
-    # previous version's files (same-path read-under-write rule as
-    # the delete path above)
-    merged = merged.localCheckpoint(eager=True)
+    # no checkpoint needed: the write goes to the NEW v=N+1 directory
+    # while the plan reads v=N — there is no same-path
+    # read-under-write, and an eager materialization would double the
+    # copy-on-write I/O (round-4 review finding)
     return write_table_version(merged, path)

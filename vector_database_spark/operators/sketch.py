@@ -507,6 +507,10 @@ def quantile_two_pass(
     B = int(n_buckets)
     qf = float(q)
     v = F.col(value_col).cast("double")
+    # quantiles are over NON-NULL values (the standard semantics);
+    # without this filter the histogram counts null rows (count(*))
+    # while the target ranks come from count(v), shifting every pick
+    df = df.where(v.isNotNull())
     stats = df.groupBy(*kp).agg(
         F.min(v).alias("_lo"),
         F.max(v).alias("_hi"),

@@ -154,12 +154,14 @@ def shard_training_data(
     assignment is replayable in any engine (p07's oracle). One
     zero-shuffle projection; the physical shuffle happens once at
     write time on the `shard` key."""
+    from vector_database_spark.functions.hashing import h60
+
     ident = F.concat_ws(
         ":",
         F.lit(str(seed)),
         *[F.col(c).cast("string") for c in id_cols],
     )
-    h = F.conv(F.substring(F.md5(ident), 18, 15), 16, 10).cast("long")
+    h = h60(ident)  # the repo's one engine-portable md5->60-bit hash
     return df.select(
         "*",
         F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),

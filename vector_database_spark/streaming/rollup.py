@@ -109,10 +109,17 @@ def read_rollup(
         cut = int(as_of_batch)
         eligible = [b for b in bases if b <= cut]
         upto = eligible[-1] if eligible else -1
-        if upto == -1 and bases and not any(d <= cut for d in deltas):
-            # a base NEWER than the cut exists but neither a base nor
-            # any delta at/below it: the pre-cut deltas were compacted
-            # into that newer base and deleted — the snapshot is gone
+        if upto == -1 and bases and (not deltas or deltas[0] != 0):
+            # A base NEWER than the cut exists but no base at/below
+            # it, and delta 0 is gone: the pre-cut deltas were
+            # compacted into that newer base and deleted — the
+            # snapshot is unreconstructable. The delta-0 probe also
+            # catches a compaction that CRASHED mid-hygiene (deletes
+            # run in ascending batch order, so any partial delete
+            # removes delta 0 first) — without it a half-deleted
+            # prefix would silently yield an incomplete snapshot.
+            # Caveat: a stream whose batch 0 was EMPTY writes no
+            # delta 0 and refuses here even under retain_history.
             raise ValueError(
                 f"read_rollup: history before batch {cut} was "
                 "compacted away — ingest with retain_history=True "

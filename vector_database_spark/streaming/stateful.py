@@ -336,10 +336,10 @@ def streaming_twa(events: DataFrame) -> DataFrame:
 
         (user_id,) = key
         if state.exists:
-            n, last_us, last_vm, ws_str, span = state.get
+            n, last_us, last_vm, has_vm, ws_str, span = state.get
             ws = int(ws_str)
         else:
-            n, last_us, last_vm, ws, span = 0, 0, 0, 0, 0
+            n, last_us, last_vm, has_vm, ws, span = 0, 0, 0, 0, 0, 0
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -347,18 +347,26 @@ def streaming_twa(events: DataFrame) -> DataFrame:
             order = pdf.assign(_us=ts_us).sort_values(
                 ["_us", "event_id"], kind="mergesort"
             )
+            # NULL values mirror the batch twin exactly: the row still
+            # advances time (its dt lands in span) and counts in
+            # n_events, but its segment adds nothing to the weighted
+            # sum (SQL sum() skips the null product). NaN-guard BEFORE
+            # floor — math.floor(nan) raises and would kill the query.
             vm = [
-                int(math.floor(v * 1_000_000))
-                for v in order["value"].to_numpy("float64")
+                None if v is None or (isinstance(v, float) and v != v)
+                else int(math.floor(v * 1_000_000))
+                for v in order["value"].tolist()
             ]
             for us, v in zip(order["_us"].to_numpy("int64"), vm):
                 if n > 0:
                     dt = int(us) - last_us
-                    ws += last_vm * dt
+                    if has_vm:
+                        ws += last_vm * dt
                     span += dt
-                last_us, last_vm = int(us), v
+                last_us = int(us)
+                last_vm, has_vm = (v, 1) if v is not None else (0, 0)
                 n += 1
-        state.update((n, last_us, last_vm, str(ws), span))
+        state.update((n, last_us, last_vm, has_vm, str(ws), span))
         twa = (
             round(float(ws) / (float(span) * 1_000_000), 6)
             if span > 0
@@ -377,7 +385,8 @@ def streaming_twa(events: DataFrame) -> DataFrame:
         update_twa,
         outputStructType="user_id long, n_events long, span_us long, twa double",
         stateStructType=(
-            "n long, last_us long, last_vm long, ws string, span long"
+            "n long, last_us long, last_vm long, has_vm long, "
+            "ws string, span long"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

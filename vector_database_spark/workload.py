@@ -238,6 +238,26 @@ def embeddings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seeded_rows(df, tag: str, n: int, *, id_col: str = "id",
+                 vec_col: str = "vector") -> list:
+    """The n vectors in seeded-md5 order — the deterministic,
+    engine-portable "training" replacement that makes a01/a03/d08's
+    ANN oracles exact. MUST stay in lock-step with the oracles'
+    ``ORDER BY md5(<id> || ':<tag>'), <id>`` clause (one shared
+    helper so the tie-break can never drift per gate); limit(n) plans
+    as a TakeOrdered top-k, never a full sort."""
+    seeds = (
+        df.withColumn(
+            "_h",
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{tag}"))),
+        )
+        .orderBy("_h", id_col)
+        .limit(int(n))
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in seeds]
+
+
 def _panel(spark: SparkSession, sf_dir: str) -> list:
     vecs = _embeddings(spark, sf_dir)
     return [
@@ -1332,15 +1352,7 @@ def a01_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_spark.operators.ann import ivf_assign_expr, ivf_knn
 
     vecs = _embeddings(spark, sf_dir)
-    seeds = (
-        vecs.withColumn(
-            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a01")))
-        )
-        .orderBy("_h", "id")
-        .limit(_IVF_GATE_CELLS)
-        .collect()
-    )
-    cents = [[float(x) for x in r.vector] for r in seeds]
+    cents = _seeded_rows(vecs, "a01", _IVF_GATE_CELLS)
     assigned = ivf_assign_expr(vecs, cents)
     qdf = spark.createDataFrame(
         _panel(spark, sf_dir), "qid long, qvec array<double>"
@@ -1509,15 +1521,7 @@ def a03_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _embeddings(spark, sf_dir)
-    seeds = (
-        vecs.withColumn(
-            "_h", F.md5(F.concat(F.col("id").cast("string"), F.lit(":a03")))
-        )
-        .orderBy("_h", "id")
-        .limit(_PQ_GATE_CELLS)
-        .collect()
-    )
-    full = [[float(x) for x in r.vector] for r in seeds]
+    full = _seeded_rows(vecs, "a03", _PQ_GATE_CELLS)
     bounds = _subspace_bounds(64, _PQ_GATE_M)
     books = [[v[lo:hi] for v in full] for lo, hi in bounds]
     codes = pq_encode_expr(vecs, books)
@@ -2987,16 +2991,8 @@ def d08_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = aug.select(
         "vec_id", normalize(F.col("embedding")).alias("nvec")
     )
-    seeds = (
-        nv.withColumn(
-            "_h",
-            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":d08"))),
-        )
-        .orderBy("_h", "vec_id")
-        .limit(_D08_CELLS)
-        .collect()
-    )
-    cents = [[float(x) for x in r.nvec] for r in seeds]
+    cents = _seeded_rows(nv, "d08", _D08_CELLS, id_col="vec_id",
+                         vec_col="nvec")
     asg = ivf_assign_expr(nv, cents, id_col="vec_id", vector_col="nvec")
     frame = asg.select("id", "cell").join(
         aug.select(
@@ -3603,7 +3599,13 @@ def e13_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e14_seasonal_profile",
     oracle="""
 WITH p AS (SELECT event_type,
-                  ((((epoch_us(ts) // 3600000000) % 24) + 24) % 24) AS phase,
+                  -- day-micros floor-mod FIRST (always non-negative),
+                  -- THEN the hour division: DuckDB's // truncates
+                  -- toward zero (measured: -7 // 2 = -3), so dividing
+                  -- a possibly-negative epoch directly would break
+                  -- pre-1970 phases
+                  (((epoch_us(ts) % 86400000000) + 86400000000)
+                    % 86400000000) // 3600000000 AS phase,
                   CAST(floor(value * 1000000) AS BIGINT) AS vm
            FROM events),
 prof AS (SELECT event_type, phase, count(*)::BIGINT AS n,
