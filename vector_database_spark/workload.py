@@ -3211,7 +3211,7 @@ def e07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e08_hypertable_rollup",
     oracle="""
-SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+SELECT ((epoch_us(ts) - (((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)) // 3600000000) * 3600 AS bucket_s,
        event_type,
        count(*)::BIGINT AS n,
        sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_micros,
@@ -3254,7 +3254,7 @@ def e08_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e09_gapfill",
     oracle="""
 WITH b AS (
-  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+  SELECT ((epoch_us(ts) - (((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)) // 3600000000) * 3600 AS bucket_s, event_type,
          sum(CAST(floor(value * 1000000) AS BIGINT)) AS v
   FROM events GROUP BY 1, 2),
 grid AS (
@@ -3370,7 +3370,7 @@ def e10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e11_retention",
     oracle="""
 WITH uw AS (SELECT DISTINCT user_id,
-                   (epoch_us(ts) // 604800000000) * 604800 AS week_s
+                   ((epoch_us(ts) - (((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000)) // 604800000000) * 604800 AS week_s
             FROM events),
 c AS (SELECT user_id, min(week_s) AS cohort_s FROM uw GROUP BY user_id)
 SELECT c.cohort_s,
