@@ -401,3 +401,34 @@ def test_pq_encode_expr_matches_kernel(spark, embeddings):
             mismatches += 1
     # near-ties must be rare — the codes are substantively identical
     assert mismatches <= len(expr_codes) * 8 * 0.001
+
+
+def test_pca_power_fixedpoint_aligns_with_numpy(spark, embeddings):
+    """The fixed-point power iteration must converge to numpy's
+    dominant eigenvector of the quantized Gram matrix (up to sign and
+    quantization): |cosine| > 0.999 after 8 iterations, components
+    bounded by the scale, max |component| == scale."""
+    import numpy as np
+
+    from vector_database_spark.operators.linalg import (
+        pca_power_fixedpoint,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    v = np.asarray(
+        pca_power_fixedpoint(vecs, squarings=6), dtype=np.float64
+    )
+    assert np.abs(v).max() == 1_000_000
+    X = np.asarray(
+        [
+            np.floor(np.asarray(r["vector"], dtype=np.float64) * 1e6)
+            for r in vecs.collect()
+        ]
+    )
+    G = X.T @ X
+    eig_vals, eig_vecs = np.linalg.eigh(G)
+    top = eig_vecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.99, cos

@@ -3076,6 +3076,78 @@ def v17_sql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_SQUARINGS = 6  # == 2^6 = 64 power steps (lambda2/lambda1 ~0.93)
+
+
+def _pca_oracle() -> str:
+    """v18's replay: exact integer Gram (HUGEINT sums of micro-unit
+    products — order-free), then the renormalized repeated squaring
+    unrolled as chained MATERIALIZED CTEs (recursive CTEs cannot
+    aggregate — the g03 lesson; MATERIALIZED is load-bearing because
+    a squaring references its predecessor TWICE, so plain inlining
+    doubles the plan per level — 2^6 Gram recomputations took DuckDB
+    minutes and ran the process out of file handles). DuckDB's
+    truncating // matches the operator's renormalization exactly."""
+    parts = [
+        """
+WITH vm AS (SELECT vec_id,
+                   list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                     AS vm
+            FROM embeddings),
+e1 AS (SELECT vec_id, t.i, list_extract(vm, t.i + 1) AS vi
+       FROM vm CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t),
+graw AS MATERIALIZED (
+      SELECT a.i, b.i AS j, sum(a.vi::HUGEINT * b.vi) AS g
+      FROM e1 a JOIN e1 b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+gm0 AS (SELECT max(abs(g)) AS m FROM graw),
+a0 AS MATERIALIZED (SELECT i, j, (g * 1000000) // gm0.m AS g
+                    FROM graw CROSS JOIN gm0)"""
+    ]
+    prev = "a0"
+    for k in range(1, _PCA_SQUARINGS + 1):
+        parts.append(
+            f""",
+h{k} AS MATERIALIZED (
+        SELECT a.i, b.j, sum(a.g * b.g) AS g
+        FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j),
+hm{k} AS (SELECT max(abs(g)) AS m FROM h{k}),
+a{k} AS MATERIALIZED (SELECT i, j, (g * 1000000) // hm{k}.m AS g
+                      FROM h{k} CROSS JOIN hm{k})"""
+        )
+        prev = f"a{k}"
+    parts.append(
+        f""",
+w AS (SELECT i, sum(g * 1000000::HUGEINT) AS w FROM {prev} GROUP BY i),
+wm AS (SELECT max(abs(w)) AS m FROM w)
+SELECT i::BIGINT AS dim, ((w * 1000000) // wm.m)::BIGINT AS comp
+FROM w CROSS JOIN wm"""
+    )
+    return "".join(parts)
+
+
+@query("v18_pca_power", oracle=_pca_oracle())
+def v18_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    FIXED-POINT renormalized repeated squaring (operators/linalg.py)
+    — the g03 exact-oracle pattern applied to linear algebra: one
+    distributed pass builds the exact integer Gram matrix (micro-unit
+    products, DECIMAL(38,0)/HUGEINT sums — associative,
+    engine-equal); 6 truncating-division renormalized squarings
+    (direction-equivalent to 64 power steps) plus one matvec run
+    identically on the driver and in the oracle's unrolled
+    MATERIALIZED CTEs, so all 64 output components hash-match
+    bit-for-bit. The dimensionality-reduction primitive the §2.2
+    capability surface was missing."""
+    from vector_database_spark.operators.linalg import pca_power_fixedpoint
+
+    vecs = _embeddings(spark, sf_dir)
+    v = pca_power_fixedpoint(vecs, squarings=_PCA_SQUARINGS)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "dim long, comp long"
+    )
+
+
 @query(
     "s06_quantile_two_pass",
     oracle="""
@@ -4035,6 +4107,7 @@ _DRIVER_TAIL = [
     "p07_shards",             # pipeline family: p01-p06 stay
     "s06_quantile_two_pass",  # sketch/profiling family: s01/s03 stay
     "v17_sql_search",         # tree-search family: v01/v12/v14 stay
+    "v18_pca_power",          # vector-stats family: v05/v15 stay
 ]
 
 
