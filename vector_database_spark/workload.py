@@ -3126,6 +3126,80 @@ FROM w CROSS JOIN wm"""
     return "".join(parts)
 
 
+_C01_CELLS = 8
+
+
+@query(
+    "c01_kmeans_step",
+    oracle=f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':c01'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_C01_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+vm AS (SELECT e.vec_id AS id, t.dim,
+              CAST(floor(CAST(list_extract(e.embedding, t.dim + 1)
+                              AS DOUBLE) * 1000000) AS BIGINT) AS vm
+       FROM embeddings e
+       CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t),
+upd AS (SELECT asg.cell, vm.dim,
+               count(*)::BIGINT AS n,
+               sum(vm.vm::HUGEINT) AS sum_vm
+        FROM asg JOIN vm ON vm.id = asg.id
+        GROUP BY asg.cell, vm.dim)
+SELECT cell::BIGINT AS cell, dim::BIGINT AS dim, n,
+       sum_vm::VARCHAR AS sum_vm
+FROM upd
+""",
+)
+def c01_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact k-means (Lloyd) step under the hash gate — the
+    TRAINING side of clustering made oracle-checkable, completing the
+    a01 pattern (which gated assignment + search): assignment runs
+    the expression-path argmin against seeded centroids (bit-exact
+    folds), and the centroid UPDATE is carried as exact integer state
+    — per-(cell, dim) counts and micro-unit sums (the rollup
+    family's mergeable-aggregate rule), with the mean emitted as one
+    final double division both engines perform identically. At scale
+    this is exactly `ivf_build`'s per-iteration shuffle shape: one
+    assignment pass + one map-side-combinable (cell, dim) aggregate."""
+    from vector_database_spark.operators.ann import ivf_assign_expr
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "c01", _C01_CELLS)
+    assigned = ivf_assign_expr(vecs, cents)
+    vm = F.transform(
+        F.col("vector").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000)).cast("long"),
+    )
+    exploded = assigned.select(
+        "cell", F.posexplode(vm).alias("dim", "vm")
+    )
+    upd = exploded.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("_s"),
+    )
+    # (n, sum_vm) IS the exact mergeable centroid state — emitting a
+    # rounded float mean too would re-introduce the round()-at-tie
+    # hazard (0.0078725 rounded to 6 places flipped between engines
+    # at sf0.001); consumers divide when they need the float
+    return upd.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.col("_s").cast("string").alias("sum_vm"),
+    )
+
+
 @query("v18_pca_power", oracle=_pca_oracle())
 def v18_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus by
@@ -4108,6 +4182,7 @@ _DRIVER_TAIL = [
     "s06_quantile_two_pass",  # sketch/profiling family: s01/s03 stay
     "v17_sql_search",         # tree-search family: v01/v12/v14 stay
     "v18_pca_power",          # vector-stats family: v05/v15 stay
+    "c01_kmeans_step",        # ANN-training family: a01 assignment stays
 ]
 
 
