@@ -3126,18 +3126,18 @@ FROM w CROSS JOIN wm"""
     return "".join(parts)
 
 
-_C01_CELLS = 8
+_A06_CELLS = 8
 
 
 @query(
-    "c01_kmeans_step",
+    "a06_kmeans_step",
     oracle=f"""
 WITH h AS (SELECT vec_id, embedding,
-                  row_number() OVER (ORDER BY md5(vec_id || ':c01'), vec_id)
+                  row_number() OVER (ORDER BY md5(vec_id || ':a06'), vec_id)
                     AS rn
            FROM embeddings),
 cent AS (SELECT rn - 1 AS cell, embedding AS cvec FROM h
-         WHERE rn <= {_C01_CELLS}),
+         WHERE rn <= {_A06_CELLS}),
 ad AS (SELECT e.vec_id AS id, c.cell,
               {_l2_sql('e.embedding', 'c.cvec')} AS d
        FROM embeddings e CROSS JOIN cent c),
@@ -3161,7 +3161,7 @@ SELECT cell::BIGINT AS cell, dim::BIGINT AS dim, n,
 FROM upd
 """,
 )
-def c01_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a06_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE exact k-means (Lloyd) step under the hash gate — the
     TRAINING side of clustering made oracle-checkable, completing the
     a01 pattern (which gated assignment + search): assignment runs
@@ -3175,7 +3175,7 @@ def c01_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_spark.operators.ann import ivf_assign_expr
 
     vecs = _embeddings(spark, sf_dir)
-    cents = _seeded_rows(vecs, "c01", _C01_CELLS)
+    cents = _seeded_rows(vecs, "a06", _A06_CELLS)
     assigned = ivf_assign_expr(vecs, cents)
     vm = F.transform(
         F.col("vector").cast("array<double>"),
@@ -3191,7 +3191,7 @@ def c01_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n, sum_vm) IS the exact mergeable centroid state — emitting a
     # rounded float mean too would re-introduce the round()-at-tie
     # hazard (0.0078725 rounded to 6 places flipped between engines
-    # at sf0.001); consumers divide when they need the float
+    # at sf0.001; see CLAUDE.md); consumers divide when they need the float
     return upd.select(
         F.col("cell").cast("long").alias("cell"),
         F.col("dim").cast("long").alias("dim"),
@@ -4182,7 +4182,7 @@ _DRIVER_TAIL = [
     "s06_quantile_two_pass",  # sketch/profiling family: s01/s03 stay
     "v17_sql_search",         # tree-search family: v01/v12/v14 stay
     "v18_pca_power",          # vector-stats family: v05/v15 stay
-    "c01_kmeans_step",        # ANN-training family: a01 assignment stays
+    "a06_kmeans_step",        # ANN-training family: a01 assignment stays
 ]
 
 
