@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tests.conftest import SF_DIR
 from vector_database_spark.operators import timeseries as ts
@@ -914,3 +915,79 @@ def test_e14_oracle_parity_pre_epoch(spark, tmp_path):
     assert got == want
     phases = {r[0:2] for r in got}
     assert ("view", 23) in phases and ("click", 12) in phases
+
+
+def test_streaming_transitions_matches_batch(spark):
+    """O(1)-state streaming transition increments sum to the batch
+    operator's matrix across micro-batches, including a chain that
+    spans the batch boundary."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "event_id long, user_id long, ts_s long, event_type string"
+    b1 = [
+        (1, 1, 100, "view"), (2, 1, 200, "click"),
+        (3, 2, 100, "view"),
+    ]
+    b2 = [
+        (4, 1, 300, "purchase"),          # click->purchase across batches
+        (5, 2, 150, "view"), (6, 2, 160, "click"),
+    ]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    got: list = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp_ntz"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            got.extend(bdf.collect())
+
+        q = (
+            streaming_transitions(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write(b1)
+    run()
+    write(b2)
+    run()
+
+    acc: dict = {}
+    for r in got:
+        k = (r["event_type"], r["next_type"])
+        acc[k] = acc.get(k, 0) + r["n_batch"]
+    ev = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {
+        (r["event_type"], r["next_type"]): r["n"] for r in batch.collect()
+    }
+    assert acc == want and acc[("click", "purchase")] == 1

@@ -391,3 +391,67 @@ def streaming_twa(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of e15's first-order transition matrix: per-user
+    keyed state carries ONLY the last event (ts, id, type — O(1)
+    forever), and each micro-batch emits the transition-count
+    INCREMENTS it observed (from_type, to_type, n_batch per user).
+    Summing the increments over time equals the batch operator under
+    event-time-ordered arrival per key (asserted in tests). Output
+    mode must be 'update'; feed the increments to a downstream
+    accumulator (foreachBatch merge or a rollup state dir) for the
+    global matrix."""
+
+    def update_transitions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_us, last_id, last_type = state.get
+        else:
+            last_us, last_id, last_type = -1, -1, ""
+        counts: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            order = pdf.assign(_us=ts_us).sort_values(
+                ["_us", "event_id"], kind="mergesort"
+            )
+            for us, eid, et in zip(
+                order["_us"].to_numpy("int64"),
+                order["event_id"].to_numpy("int64"),
+                order["event_type"],
+            ):
+                if last_type:
+                    k = (last_type, str(et))
+                    counts[k] = counts.get(k, 0) + 1
+                last_us, last_id, last_type = int(us), int(eid), str(et)
+        state.update((last_us, last_id, last_type))
+        if not counts:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(
+                    [user_id] * len(counts), dtype="int64"
+                ),
+                "event_type": [k[0] for k in counts],
+                "next_type": [k[1] for k in counts],
+                "n_batch": pd.array(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_transitions,
+        outputStructType=(
+            "user_id long, event_type string, next_type string,"
+            " n_batch long"
+        ),
+        stateStructType="last_us long, last_id long, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
