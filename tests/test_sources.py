@@ -625,3 +625,34 @@ def test_quantile_two_pass_matches_full_sort(spark):
 
             want = (n, vs[int(math.floor(h))], vs[int(math.ceil(h))])
             assert got[k] == want, (k, q, got[k], want)
+
+
+def test_seeded_ppm_grid_sums_match_float_features(spark):
+    """m04's integer grid sums are the exact face of image_features:
+    psum/npix/255 must equal the float color-layout mean (same
+    linspace patch boundaries), and the seeded corpus must decode
+    through the REAL P6 path with the advertised dimensions."""
+    from vector_database_spark.sources.multimodal import (
+        image_features,
+        image_grid_sums,
+        seeded_ppm_media,
+    )
+
+    media = seeded_ppm_media(spark, n=6)
+    rows = media.collect()
+    assert len(rows) == 6
+    feats = {}
+    for r in rows:
+        raw = bytes(r.payload)
+        assert raw[:2] == b"P6"
+        arr = decode_ppm(raw)
+        assert arr.shape == (r.height, r.width, 3)
+        feats[r.media_id] = image_features(raw, grid=2)
+
+    sums = image_grid_sums(media, grid=2).collect()
+    assert len(sums) == 6 * 4 * 3
+    for r in sums:
+        patch_idx = r.gy * 2 + r.gx
+        want = feats[r.media_id][patch_idx * 3 + r.c]
+        got = round(r.psum / r.npix / 255.0, 6)
+        assert got == pytest.approx(want, abs=1e-6)

@@ -694,3 +694,118 @@ def frame_hash_dedup(media_df: DataFrame, *, every: int = 1,
             ),
         )
     )
+
+
+def seeded_ppm_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic P6 PPM corpus whose pixel bytes BOTH engines can
+    reconstruct independently (the a01/a02 seeded-md5 pattern applied
+    to media): pixel byte stream of image ``m`` is the concatenation
+    of ``md5("m{m}:{chunk}")`` digests, truncated to ``3*w*h`` bytes,
+    with ``w = 8 + 4*(m%3)`` and ``h = 8 + 4*(m%2)`` (both even, so
+    2x2 grid boundaries are exact halves). A SQL oracle replays the
+    identical bytes via ``('0x'||substr(md5(...), off*2+1, 2))::INT``
+    without ever touching a BLOB, while the Spark side goes through
+    the REAL ``encode_ppm`` -> binary payload -> ``decode_ppm`` path.
+
+    Payload construction runs in `mapInPandas` (bytes never visit the
+    driver); the corpus is hash-distributed over partitions, so at
+    100 TB this is the same per-worker generate-or-read shape as a
+    real media scan."""
+    m = int(n)
+    base = spark.range(m).select(F.col("id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 8 + 4 * (mid % 3)
+                h = 8 + 4 * (mid % 2)
+                nb = 3 * w * h
+                raw = b"".join(
+                    hashlib.md5(f"m{mid}:{c}".encode()).digest()
+                    for c in range((nb + 15) // 16)
+                )[:nb]
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                rows.append(
+                    (
+                        mid,
+                        "image",
+                        "image/x-portable-pixmap",
+                        encode_ppm(arr),
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return base.repartition(8, "media_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def image_grid_sums(media_df: DataFrame, *, grid: int = 2) -> DataFrame:
+    """REAL-decode color-layout featurizer with EXACT integer output:
+    decode each P6 PPM payload (`decode_ppm`, pure numpy), split into
+    a ``grid x grid`` patch grid (the `image_features` linspace
+    boundaries), and emit per-patch per-channel pixel SUMS as BIGINT
+    plus the patch pixel count and payload length. Integer sums are
+    order-independent and bit-exact across engines — this is the
+    oracle-able face of the image featurizer (the float mean form in
+    `image_features` is psum/npix/255).
+
+    Output: (media_id, gy, gx, c, psum, npix, n_bytes), one row per
+    patch-channel. Runs in `mapInPandas`; no driver traffic."""
+    g = int(grid)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "gy", "gx", "c", "psum", "npix", "n_bytes"
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                a = decode_ppm(raw).astype(np.int64)
+                h, w, _ = a.shape
+                ys = np.linspace(0, h, g + 1).astype(np.int64)
+                xs = np.linspace(0, w, g + 1).astype(np.int64)
+                for gy in range(g):
+                    for gx in range(g):
+                        patch = a[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]]
+                        s = patch.sum(axis=(0, 1))
+                        npix = int(patch.shape[0] * patch.shape[1])
+                        for c in range(3):
+                            cols["media_id"].append(int(mid))
+                            cols["gy"].append(gy)
+                            cols["gx"].append(gx)
+                            cols["c"].append(c)
+                            cols["psum"].append(int(s[c]))
+                            cols["npix"].append(npix)
+                            cols["n_bytes"].append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "gy": pd.Series(cols["gy"], dtype="int32"),
+                    "gx": pd.Series(cols["gx"], dtype="int32"),
+                    "c": pd.Series(cols["c"], dtype="int32"),
+                    "psum": pd.Series(cols["psum"], dtype="int64"),
+                    "npix": pd.Series(cols["npix"], dtype="int64"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        run,
+        "media_id long, gy int, gx int, c int, psum long, npix long, "
+        "n_bytes long",
+    )

@@ -1577,6 +1577,62 @@ def e05_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M04_N_MEDIA = 48
+
+
+@query(
+    "m04_image_grid",
+    oracle=f"""
+WITH m AS (SELECT unnest(range({_M04_N_MEDIA})) AS media_id),
+d AS (SELECT media_id,
+             (8 + 4 * (media_id % 3)) AS w,
+             (8 + 4 * (media_id % 2)) AS h
+      FROM m),
+p AS (SELECT media_id, w, h, unnest(range(3 * w * h)) AS bpos FROM d),
+b AS (SELECT media_id, w, h, bpos,
+             ('0x' || substr(md5('m' || media_id || ':' || (bpos // 16)),
+                             ((bpos % 16) * 2 + 1)::INT, 2))::INT AS byte
+      FROM p),
+px AS (SELECT media_id, w, h, byte,
+              ((bpos // 3) // w) AS y,
+              ((bpos // 3) % w) AS x,
+              (bpos % 3) AS c
+       FROM b)
+SELECT media_id::BIGINT AS media_id,
+       (y // (h // 2))::INT AS gy,
+       (x // (w // 2))::INT AS gx,
+       c::INT AS c,
+       sum(byte)::BIGINT AS psum,
+       count(*)::BIGINT AS npix,
+       (9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h)::BIGINT
+         AS n_bytes
+FROM px
+GROUP BY media_id, (y // (h // 2)), (x // (w // 2)), c, w, h
+""",
+)
+def m04_image_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle media gate (holds the head's multimodal slot):
+    seeded-md5 P6 PPM payloads go through the REAL binary
+    encode_ppm -> decode_ppm path in `mapInPandas`, and the
+    color-layout grid feature is emitted as exact integer per-patch
+    per-channel pixel sums. The DuckDB oracle reconstructs the same
+    pixel bytes arithmetically (`('0x'||substr(md5(...),off,2))::INT`
+    — no BLOB handling needed) and replays the grid aggregation:
+    every value, including the P6 header length in `n_bytes`, is
+    hash-matched. The full multi-modality decode (audio FFT, Y4M)
+    stays in m01/m02/m03 in the tail — their physics is genuinely
+    non-SQL. All `//` and `%` operands are non-negative, so DuckDB
+    truncation == floor (the documented pre-1970 hazard class cannot
+    arise)."""
+    from vector_database_spark.sources.multimodal import (
+        image_grid_sums,
+        seeded_ppm_media,
+    )
+
+    media = seeded_ppm_media(spark, n=_M04_N_MEDIA)
+    return image_grid_sums(media, grid=2)
+
+
 @query("m01_multimodal_features")  # binary payloads: rows-only check
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every modality goes through its REAL decode path (pure numpy,
@@ -4143,7 +4199,8 @@ _DRIVER_TAIL = [
     "t03_regex_tokens",    # token counting: t01 stays (t07 tf-idf joins the head)
     "s04_count_min",       # sketch family: s01 KMV + s03 A-ES stay
     "a03_pq_adc",          # ANN family: a01 IVF + a02 LSH stay
-    "m02_frame_sample",    # multimodal family: m01 (all-modality decode) stays
+    "m02_frame_sample",    # multimodal family: m04 (exact-oracle grid) stays
+    "m01_multimodal_features",  # multimodal family: m04 holds the head slot
     "s05_histogram",       # sketch family: s01 KMV + s03 A-ES stay
     "p02_decontaminate",   # shingle-join family: d02/d04 + p01 stay
     "d07_boilerplate",     # shingle-agg family: d02/d03 + t06 stay
@@ -4175,7 +4232,7 @@ _DRIVER_TAIL = [
     "g01_pagerank",           # graph family: g02 (exact oracle) is in the head
     "g03_pagerank_exact",     # graph family: g02 stays in the head
     "e14_seasonal_profile",   # events family: e01/e13 stay
-    "m03_frame_dedup",        # multimodal family: m01 stays in the head
+    "m03_frame_dedup",        # multimodal family: m04 stays in the head
     "r26_scd2_intervals",     # window family: r04/e03 stay
     "e15_transitions",        # events family: e01/e02 stay
     "p07_shards",             # pipeline family: p01-p06 stay
