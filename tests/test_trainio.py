@@ -109,3 +109,29 @@ def test_tfrecord_null_and_large_ints(spark, tmp_path):
     back = trainio.read_tfrecord(spark, path, int_cols=("doc_id", "extra"))
     got = {r["doc_id"]: r["extra"] for r in back.collect()}
     assert got == {1: 7, 2: None, 3: big, 4: -big}
+
+
+def test_reexport_clears_stale_shards(spark, tmp_path):
+    """A re-export with fewer partitions must not leave prior shards
+    behind: the directory has to equal the returned manifest, or the
+    readers silently include stale records."""
+    import glob
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "tfr_restage")
+    trainio.export_tfrecord(docs.repartition(6), path)
+    assert len(glob.glob(f"{path}/part-*.tfrecord")) == 6
+    manifest = trainio.export_tfrecord(docs.repartition(2), path)
+    files = glob.glob(f"{path}/part-*.tfrecord")
+    assert len(files) == 2 and len(manifest) == 2
+    assert trainio.read_tfrecord(spark, path).count() == 40
+
+    wpath = str(tmp_path / "wds_restage")
+    trainio.export_webdataset(docs.repartition(5), wpath)
+    assert len(glob.glob(f"{wpath}/shard-*.tar")) == 5
+    trainio.export_webdataset(docs.repartition(2), wpath)
+    assert len(glob.glob(f"{wpath}/shard-*.tar")) == 2
+    assert trainio.read_webdataset(spark, wpath).count() == 40

@@ -1,0 +1,114 @@
+"""Headline apples-to-apples probe: the reference's own banner
+workload — a 10M x 96 single-node index build (~3 min anchor,
+reference README.md:100) — run for real, not extrapolated from the
+200k scale probe.
+
+Usage: python tools/headline_probe.py [n_rows] [dims] [passes]
+
+Protocol:
+1. stage n x d float vectors as parquet (the reference reads HDF5
+   from disk; we read parquet from disk — same I/O shape),
+2. timed cold build from the staged file in a fresh session (one-time
+   JIT + python-worker bring-up is warmed by the session's standard
+   tiny-build warmup, same as every other consumer of get_spark),
+3. leaf/node invariants (2N-1 nodes, N leaves),
+4. search == brute on a sampled panel.
+
+Prints one JSON line for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_spark import get_spark
+from vector_database_spark.operators.index_build import build_index
+from vector_database_spark.operators.search import brute_force_search, search
+from vector_database_spark.sources.generators import clusters
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    spark = get_spark(
+        app_name="headline-probe", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"headline_{n}x{dims}.parquet"
+    )
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        t0 = time.time()
+        clusters(spark, n, dims, n_clusters=64, seed=11).select(
+            "id", "vector"
+        ).repartition(64).write.mode("overwrite").parquet(stage_dir)
+        print(f"stage {n}x{dims} parquet: {time.time()-t0:.1f}s", flush=True)
+
+    vecs = spark.read.parquet(stage_dir)
+
+    t_build = []
+    idx = None
+    for i in range(passes):
+        if idx is not None:
+            idx.unpersist()
+        t0 = time.time()
+        idx = build_index(vecs, local_threshold=None).persist()
+        n_nodes = idx.count()
+        t_build.append(time.time() - t0)
+        print(f"build pass {i}: {t_build[-1]:.1f}s", flush=True)
+    n_leaves = idx.where(F.col("id").isNotNull()).count()
+    assert n_leaves == n, (n_leaves, n)
+    assert n_nodes == 2 * n - 1, n_nodes
+
+    panel_ids = [7, 424242, n - 3]
+    panel = [
+        (int(r.id), [float(x) for x in r.vector])
+        for r in vecs.where(F.col("id").isin(panel_ids)).collect()
+    ]
+    t0 = time.time()
+    got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
+    t_search = time.time() - t0
+    t0 = time.time()
+    want = {
+        (r.qid, r.id)
+        for r in brute_force_search(vecs, panel, 0.5).collect()
+    }
+    t_brute = time.time() - t0
+    assert got == want, (len(got), len(want))
+
+    best = min(t_build)
+    print(
+        json.dumps(
+            {
+                "probe": "headline_10m_build",
+                "n": n,
+                "dims": dims,
+                "build_sec": [round(t, 1) for t in t_build],
+                "build_best_sec": round(best, 1),
+                "vec_per_sec": round(n / best),
+                "nodes": n_nodes,
+                "leaves": n_leaves,
+                "search_sec": round(t_search, 1),
+                "brute_sec": round(t_brute, 1),
+                "search_matches_brute": True,
+                "hits": len(got),
+                "reference_anchor_sec": 180,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,15 @@ def pagerank(
         # dangling mass WITHOUT a second pass over with_deg: total
         # mass is 1 every iteration and each non-dangling src's rank
         # is fully distributed across its out-edges, so
-        # dangling = 1 - sum(contrib). One tiny aggregate over the
+        # dangling = 1 - sum(contrib). The mass invariant holds only
+        # up to FP rounding: sum(contrib) re-associates rank/out_deg
+        # products, so `dangling` can drift from the direct
+        # sum-over-dangling-ranks by ~iters * n * ulp — far inside the
+        # rows-only gate's 1e-6 tolerance for any realistic
+        # iteration count, but NOT bit-exact (g03's fixed-point
+        # integer variant is the bit-exact form; renormalize ranks
+        # periodically if running thousands of iterations). One tiny
+        # aggregate over the
         # contrib output (O(nodes) rows, already shuffled) replaces
         # the round-3 shape's eager with_deg checkpoint + separate
         # dangling scan — ONE job per iteration instead of three on

@@ -44,6 +44,19 @@ import os
 from pyspark.sql import DataFrame
 
 
+def _clear_stale_shards(path: str, pattern: str) -> None:
+    """Exporters write part-<pid> files named by input partition id; a
+    re-run with FEWER partitions would leave higher-numbered shards
+    from the previous run in place, and the readers (directory glob)
+    would silently include them — the directory would disagree with
+    the returned manifest. Remove prior matching shards up front so
+    the directory is exactly the manifest after every export."""
+    import glob
+
+    for f in glob.glob(os.path.join(path, pattern)):
+        os.remove(f)
+
+
 def _make_codec():
     """The complete TFRecord/Example codec as NESTED functions
     (pickle-by-value; see module docstring). Returns a dict of
@@ -263,6 +276,7 @@ def export_tfrecord(
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
+    _clear_stale_shards(path, "part-*.tfrecord")
     bcols = [str(c) for c in bytes_cols]
     icols = [str(c) for c in int_cols]
     out_dir = path
@@ -367,6 +381,7 @@ def export_webdataset(
     ``{key}.txt`` (the text) and ``{key}.json`` (the metadata dict).
     One shard per partition, executor-side; returns the manifest."""
     os.makedirs(path, exist_ok=True)
+    _clear_stale_shards(path, "shard-*.tar")
     kcol, tcol = str(key_col), str(text_col)
     mcols = [str(c) for c in meta_cols]
     out_dir = path

@@ -367,11 +367,24 @@ def streaming_twa(events: DataFrame) -> DataFrame:
                 last_vm, has_vm = (v, 1) if v is not None else (0, 0)
                 n += 1
         state.update((n, last_us, last_vm, has_vm, str(ws), span))
-        twa = (
-            round(float(ws) / (float(span) * 1_000_000), 6)
-            if span > 0
-            else None
-        )
+        # Round HALF_UP like the batch twin's F.round — NOT python
+        # round() (half-even): an exact tie at the 6th decimal would
+        # break the asserted streaming==batch parity (the documented
+        # c01 round-at-tie hazard). Spark's round(double, 6) is
+        # BigDecimal.valueOf(x).setScale(6, HALF_UP), and
+        # BigDecimal.valueOf uses the shortest decimal repr — exactly
+        # Decimal(repr(x)) in Python.
+        if span > 0:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            exact = float(ws) / (float(span) * 1_000_000)
+            twa = float(
+                Decimal(repr(exact)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
+        else:
+            twa = None
         yield pd.DataFrame(
             {
                 "user_id": pd.array([user_id], dtype="int64"),

@@ -3281,7 +3281,8 @@ def v18_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s06_quantile_two_pass",
     oracle="""
-WITH s AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+WITH s AS (SELECT event_type, count(value) AS n FROM events
+           WHERE value IS NOT NULL GROUP BY 1),
 k AS (SELECT event_type, n,
              (floor((n - 1) * 0.5) + 1)::BIGINT AS k_lo,
              (ceil((n - 1) * 0.5) + 1)::BIGINT AS k_hi
@@ -3289,7 +3290,7 @@ k AS (SELECT event_type, n,
 r AS (SELECT event_type, value,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value) AS rk
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
 SELECT k.event_type, k.n::BIGINT AS n,
        round(max(CASE WHEN rk = k_lo THEN value END), 6) AS v_lo,
        round(max(CASE WHEN rk = k_hi THEN value END), 6) AS v_hi
@@ -3306,7 +3307,10 @@ def s06_quantile_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     value list. Output ranks are pure value selections, so the
     oracle (a literal rank pick over a full sort) matches
     bit-for-bit; correctness is independent of how values distribute
-    over buckets."""
+    over buckets. The oracle mirrors the operator's NULL filter
+    (count(value) + WHERE value IS NOT NULL on both CTEs) so a future
+    testdata regen with NULL event values cannot silently skew the
+    ranks or let DuckDB's NULLS-LAST sort pick a NULL."""
     ev = _events(spark, sf_dir)
     out = sk.quantile_two_pass(
         ev, value_col="value", q=0.5, key_cols=("event_type",)
