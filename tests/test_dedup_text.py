@@ -94,11 +94,11 @@ def test_simhash_near_dups(spark):
     sig = dd.simhash_signatures(_docs(spark))
     rows = {r.id: r.simhash for r in sig.collect()}
     assert rows[0] == rows[2]  # identical normalized text -> same hash
-    pairs = dd.simhash_pairs(sig, max_hamming=10)
+    pairs = dd.simhash_pairs_allpairs(sig, max_hamming=10)
     got = {(r.a_id, r.b_id): r.hamming for r in pairs.collect()}
     assert got[(0, 2)] == 0
     assert (3, 4) in got and got[(3, 4)] == 0
-    banded = dd.simhash_pairs_banded(sig, max_hamming=10)
+    banded = dd.simhash_pairs(sig, max_hamming=10)
     got_b = {(r.a_id, r.b_id): r.hamming for r in banded.collect()}
     assert got == got_b  # banded equi-join == brute pair join
 

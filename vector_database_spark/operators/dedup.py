@@ -10,7 +10,9 @@ Five strategies, each designed scale-first:
   Spark shuffles only signature rows (#docs × #bands), never the
   cross product. All hashes are md5-derived (`functions.hashing`) so
   an external SQL oracle reproduces them bit-for-bit.
-* ``simhash_signatures`` + ``simhash_pairs`` — 60-bit SimHash over
+* ``simhash_signatures`` + ``simhash_pairs`` (banded equi-join by
+  default; ``simhash_pairs_allpairs`` is the quadratic test oracle)
+  — 60-bit SimHash over
   word shingles; near-dup = small Hamming distance.
 * ``ngram_jaccard_pairs`` — exact Jaccard via an inverted-index
   self-join (pairs sharing ≥1 shingle), correct for any threshold
@@ -443,17 +445,13 @@ def simhash_signatures(
     return sums.select("id", sim.alias("simhash"))
 
 
-def simhash_pairs(
+def simhash_pairs_allpairs(
     signatures: DataFrame, *, max_hamming: int = 6
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance between simhashes.
-
-    Locally a pair join; at scale, block on bit-bands of the simhash
-    (split the 60 bits into (max_hamming+1) chunks — any pair within
-    the Hamming budget agrees exactly on ≥1 chunk, pigeonhole) so the
-    join is again an equi-join. Both forms return identical results;
-    the banded form is used when the pair count would explode.
-    """
+    """Quadratic all-pairs form of `simhash_pairs` — a crossJoin kept
+    ONLY as the independent oracle for tests and tiny corpora. The
+    undecorated `simhash_pairs` name is the banded equi-join (the
+    plan that survives 100 TB); reach for this one deliberately."""
     a = signatures.select(
         F.col("id").alias("a_id"), F.col("simhash").alias("ha")
     )
@@ -470,11 +468,17 @@ def simhash_pairs(
     )
 
 
-def simhash_pairs_banded(
+def simhash_pairs(
     signatures: DataFrame, *, max_hamming: int = 6
 ) -> DataFrame:
-    """Equi-join form of `simhash_pairs` (pigeonhole blocking on
-    max_hamming+1 bit chunks) — the 100 TB path."""
+    """Near-dup pairs by Hamming distance between simhashes — the
+    DEFAULT is the scale-safe equi-join: block on bit-bands of the
+    simhash (split the 60 bits into max_hamming+1 chunks — any pair
+    within the Hamming budget agrees exactly on ≥1 chunk, pigeonhole),
+    join on (chunk, key), then filter on exact Hamming distance.
+    Identical results to the all-pairs form
+    (`simhash_pairs_allpairs`, the quadratic test oracle), but the
+    join never materializes the n² candidate space."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks + (1 if SIMHASH_BITS % chunks else 0)
     keys = F.array(
@@ -505,6 +509,10 @@ def simhash_pairs_banded(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# Backwards-compatible name: the banded equi-join IS the default now.
+simhash_pairs_banded = simhash_pairs
 
 
 def connected_components(

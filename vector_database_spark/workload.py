@@ -485,7 +485,7 @@ def d03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager checkpoint materializes the signature pipeline once
     # instead of twice (measured 2.1 s → 1.5 s at sf0.1)
     sig = sig.localCheckpoint(eager=True)
-    pairs = dd.simhash_pairs_banded(sig, max_hamming=SIMHASH_MAX_HAMMING)
+    pairs = dd.simhash_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 
 
