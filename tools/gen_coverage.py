@@ -1,0 +1,82 @@
+"""Regenerate COVERAGE.md's gate-status section from the latest
+ORACLE_TAIL_r{N}.json sweep artifact (round-4 verdict #7: tallies
+were hand-edited and drifted — "Round 2 state" header, 96-vs-101
+footer). The hand-written operator MAP (SURVEY §2.1/§2.2 tables)
+stays authored; everything between the GENERATED markers — the
+per-gate status table and the counts — is emitted from the artifact,
+so the committed file can never disagree with the sweep again.
+
+Usage: python tools/gen_coverage.py [artifact.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- BEGIN GENERATED GATE TALLIES (tools/gen_coverage.py) -->"
+END = "<!-- END GENERATED GATE TALLIES -->"
+
+
+def latest_artifact() -> str:
+    cands = glob.glob(os.path.join(REPO, "ORACLE_TAIL_r*.json"))
+    if not cands:
+        raise SystemExit("no ORACLE_TAIL_r*.json artifact found")
+    return max(
+        cands,
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+
+
+def render(path: str) -> str:
+    art = json.load(open(path))
+    qs = art["queries"]
+    fams: dict[str, list] = {}
+    for name, rec in qs.items():
+        fams.setdefault(name.split("_")[0][0], []).append((name, rec))
+    lines = [
+        BEGIN,
+        "",
+        f"## Gate tallies — generated from `{os.path.basename(path)}`",
+        "",
+        f"**{art['n_pass']} oracle PASS + {art['n_rows_only']} rows-only, "
+        f"{art['n_fail']} fail — {len(qs)} gates** "
+        f"(sweep at `{art['sf_dir']}`). Regenerate with "
+        "`python tools/gen_coverage.py` after every full sweep.",
+        "",
+        "| Gate | Status | Rows |",
+        "|---|---|---|",
+    ]
+    for name, rec in qs.items():
+        status = {
+            "pass": "PASS (exact oracle)",
+            "rows_only": "rows-only (no SQL mirror)",
+        }.get(rec["status"], rec["status"].upper())
+        rows = rec.get("rows", rec.get("spark_rows"))
+        lines.append(f"| {name} | {status} | {rows} |")
+    lines += ["", END]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else latest_artifact()
+    block = render(path)
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    src = open(cov_path).read()
+    if BEGIN in src:
+        pre = src[: src.index(BEGIN)]
+        post = src[src.index(END) + len(END) :]
+        src = pre + block + post
+    else:
+        src = src.rstrip() + "\n\n" + block + "\n"
+    open(cov_path, "w").write(src)
+    print(f"COVERAGE.md regenerated from {os.path.basename(path)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

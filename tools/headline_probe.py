@@ -76,15 +76,25 @@ def main() -> None:
         (int(r.id), [float(x) for x in r.vector])
         for r in vecs.where(F.col("id").isin(panel_ids)).collect()
     ]
-    t0 = time.time()
-    got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
-    t_search = time.time() - t0
-    t0 = time.time()
-    want = {
-        (r.qid, r.id)
-        for r in brute_force_search(vecs, panel, 0.5).collect()
-    }
-    t_brute = time.time() - t0
+    # INTERLEAVE brute and tree-search rounds (brute first): the first
+    # scan of the staged parquet pays the cold page-cache read, and
+    # search(auto) additionally pays a one-time pilot collect — a
+    # single search-then-brute ordering misattributes both to the
+    # tree path (round-5 lesson: 48.9 s vs 23.3 s collapsed to parity
+    # once interleaved).
+    t_search, t_brute = [], []
+    got = want = None
+    for _ in range(2):
+        t0 = time.time()
+        want = {
+            (r.qid, r.id)
+            for r in brute_force_search(vecs, panel, 0.5).collect()
+        }
+        t_brute.append(time.time() - t0)
+        t0 = time.time()
+        got = {(r.qid, r.id) for r in search(idx, vecs, panel, 0.5).collect()}
+        t_search.append(time.time() - t0)
+    t_search, t_brute = min(t_search), min(t_brute)
     assert got == want, (len(got), len(want))
 
     best = min(t_build)
