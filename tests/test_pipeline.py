@@ -175,3 +175,34 @@ def test_full_pipeline_to_tfrecord_shards(spark, tmp_path):
         for r in chunks.collect()
     )
     assert got == want and got
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy packing contract: bins never exceed capacity unless a
+    single oversized doc holds the bin alone; offsets are the exact
+    running token sums; pack ids are dense per shard; output is
+    partitioning-invariant (deterministic order inside the kernel)."""
+    from vector_database_spark.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs, capacity=64, n_shards=8).collect()
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.pack_id), []).append(r)
+    for (shard, pack), rows in by_bin.items():
+        rows.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tok for r in rows)
+        assert total <= 64 or len(rows) == 1, (shard, pack, total)
+        acc = 0
+        for r in rows:
+            assert r.seq_offset == acc, (shard, pack, r.doc_id)
+            acc += r.n_tok
+    packs = sorted({(r.shard, r.pack_id) for r in out})
+    for shard in {s for s, _ in packs}:
+        ids = [p for s, p in packs if s == shard]
+        assert ids == list(range(len(ids))), (shard, ids)
+
+    again = pack_sequences(
+        docs.repartition(13), capacity=64, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

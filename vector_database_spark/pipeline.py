@@ -167,3 +167,84 @@ def shard_training_data(
         F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
         h.alias("sort_key"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    capacity: int = 128,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> DataFrame:
+    """Sequence packing — the LLM-trainer step that concatenates
+    documents into fixed-capacity training sequences (a.k.a. example
+    packing): walk each shard's documents in deterministic order and
+    greedily fill bins of `capacity` tokens; a document that would
+    overflow starts the next bin (an oversized document occupies a
+    bin alone; it is never split).
+
+    Output: ``(doc_id, shard, n_tok, pack_id, seq_offset)`` where
+    `pack_id` is the bin index within the shard and `seq_offset` is
+    the document's token offset inside its bin.
+
+    100 TB shape: the greedy scan is inherently sequential PER SHARD
+    but embarrassingly parallel ACROSS shards — exactly how real
+    trainers pack (per output shard). Token counts are computed as
+    JVM expressions BEFORE the shuffle, so only (id, shard, n_tok)
+    rows — a few bytes each, never the text — move into the
+    per-shard `applyInPandas` kernel; the kernel is O(rows) with O(1)
+    state. Shard assignment is the repo's engine-portable md5 hash,
+    so the whole operator (assignment, order, greedy fill) is
+    replayable bit-for-bit by a SQL engine: the p08 oracle replays
+    the greedy walk with one recursive CTE per shard row-chain.
+    """
+    from vector_database_spark.functions.hashing import h60
+
+    cap = int(capacity)
+    ident = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    n_tok = F.when(
+        F.col(text_col).isNull()
+        | (F.length(F.trim(F.col(text_col))) == 0),
+        F.lit(0),
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(h60(ident), F.lit(int(n_shards))).cast("int").alias("shard"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+
+    def kern(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs, offs = [], []
+        acc, pack = 0, 0
+        for i, tok in enumerate(pdf["n_tok"]):
+            tok = int(tok)
+            if i == 0:
+                acc = tok
+                offs.append(0)
+            elif acc + tok > cap:
+                pack += 1
+                acc = tok
+                offs.append(0)
+            else:
+                offs.append(acc)
+                acc += tok
+            packs.append(pack)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "shard": pdf["shard"].astype("int32"),
+                "n_tok": pdf["n_tok"].astype("int64"),
+                "pack_id": pd.Series(packs, dtype="int64"),
+                "seq_offset": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return slim.groupBy("shard").applyInPandas(
+        kern,
+        "doc_id long, shard int, n_tok long, pack_id long, seq_offset long",
+    )

@@ -4252,6 +4252,63 @@ def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P08_CAPACITY = 128
+_P08_SHARDS = 16
+
+
+@query(
+    "p08_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tok,
+         (('0x' || substr(md5('pack:' || doc_id), 18, 15))::BIGINT
+          % {_P08_SHARDS}) AS shard
+  FROM documents
+),
+r AS (SELECT doc_id, n_tok, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t),
+walk AS (
+  SELECT shard, rn, doc_id, n_tok,
+         n_tok AS acc, 0::BIGINT AS pack_id, 0::BIGINT AS seq_offset
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+         CASE WHEN w.acc + r.n_tok > {_P08_CAPACITY}
+              THEN r.n_tok ELSE w.acc + r.n_tok END,
+         CASE WHEN w.acc + r.n_tok > {_P08_CAPACITY}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.acc + r.n_tok > {_P08_CAPACITY}
+              THEN 0 ELSE w.acc END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+)
+SELECT doc_id::BIGINT AS doc_id,
+       shard::INT AS shard,
+       n_tok::BIGINT AS n_tok,
+       pack_id::BIGINT AS pack_id,
+       seq_offset::BIGINT AS seq_offset
+FROM walk
+""",
+)
+def p08_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (`pipeline.pack_sequences`): greedy
+    fixed-capacity bin fill per deterministic md5 shard — the
+    LLM-trainer example-packing step. The greedy walk is sequential
+    per shard (parallel across shards), and the oracle replays it
+    with one recursive CTE advancing each shard's row chain one step
+    per recursion (JOIN-per-step is fine in DuckDB recursion; only
+    aggregates are banned). All-integer state — hash-exact."""
+    from vector_database_spark.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, capacity=_P08_CAPACITY, n_shards=_P08_SHARDS
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -4327,6 +4384,7 @@ _DRIVER_TAIL = [
     "v18_pca_power",          # vector-stats family: v05/v15 stay
     "a06_kmeans_step",        # ANN-training family: a01 assignment stays
     "t14_bpe_encode",         # tokenizer family: t01/t03 stay in the head
+    "p08_pack_sequences",     # pipeline family: p01-p07 stay
 ]
 
 
