@@ -209,6 +209,30 @@ CHECKS = {
         "aggregate; the physical shuffle happens only at write time "
         "on the shard key",
     ),
+    "p08_pack_sequences": (
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct", "Window", "SortMergeJoin",
+         "BroadcastHashJoin"],
+        "sequence packing: token counts are JVM expressions computed "
+        "BEFORE the shuffle, so the single exchange moves only "
+        "(id, shard, n_tok) rows — never the text — into the "
+        "per-shard greedy kernel",
+    ),
+    "t14_bpe_encode": (
+        ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["CartesianProduct", "Exchange", "Window"],
+        "BPE encoding under a fixed vocab: ONE Arrow kernel pass over "
+        "a column-pruned scan, zero shuffles",
+    ),
+    "m04_image_grid": (
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window", "HashAggregate"],
+        "media featurization: generate -> encode -> decode -> "
+        "feature entirely inside mapInPandas workers; the only "
+        "exchange is the deliberate corpus hash-distribution, and no "
+        "aggregate/join touches the payload bytes",
+    ),
 }
 
 
