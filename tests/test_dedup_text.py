@@ -576,3 +576,39 @@ def test_inverted_index_counts(spark):
     assert out["a"] == (1, 2, "1")
     assert out["b"] == (2, 2, "1,2")
     assert out["c"] == (1, 1, "2")
+
+
+def test_bigram_lm_score_flags_gibberish(spark):
+    """The corpus-frequency score must rank a garbled doc below the
+    natural ones, and the integer statistics must match a local
+    replay exactly."""
+    from collections import Counter
+
+    from vector_database_spark.operators.text import bigram_lm_score
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the lazy dog sleeps over the quick brown fox"),
+        (2, "qzx jkq wvx zzq xqj kqz"),  # gibberish
+        (3, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.id: (r.n_bigrams, r.score_sum) for r in bigram_lm_score(df).collect()}
+
+    corpus = Counter()
+    per_doc = {}
+    for i, t in texts:
+        if t is None:
+            per_doc[i] = []
+        else:
+            per_doc[i] = [t.lower()[j : j + 2] for j in range(len(t) - 1)]
+        corpus.update(per_doc[i])
+    for i, bgs in per_doc.items():
+        assert got[i] == (len(bgs), sum(corpus[b] for b in bgs)), i
+    # ranking signal: gibberish mean frequency strictly below natural
+    def mean(i):
+        n, s = got[i]
+        return s / n if n else 0.0
+
+    assert mean(2) < mean(0) and mean(2) < mean(1)
+    assert got[3] == (0, 0)

@@ -692,3 +692,96 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def bigram_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-bigram counts ``(id, bigram, k)`` —
+    the corpus-statistics primitive behind `bigram_lm_score`.
+
+    Arrow kernel (per-token/char work is exactly where the array-HOF
+    expression path is 8x too slow — the documented trade-off), with
+    in-kernel per-doc aggregation: output rows per doc are bounded by
+    the alphabet squared (≤ a few hundred for natural text), NOT by
+    document length, so the downstream shuffles move counts, never
+    characters. Bigrams are over ``lower(text)`` verbatim (spaces
+    included — word boundaries carry signal); NULL/short texts emit
+    no rows."""
+
+    def kern(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bgs, ks = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                s = t.lower()
+                if len(s) < 2:
+                    continue
+                c = Counter(s[j : j + 2] for j in range(len(s) - 1))
+                for bg, k in c.items():
+                    ids.append(i)
+                    bgs.append(bg)
+                    ks.append(k)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "bigram": pd.Series(bgs, dtype="object"),
+                    "k": pd.array(ks, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kern, "id long, bigram string, k long"
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-statistics quality score — the KenLM-style gibberish
+    filter, INTEGERIZED so it is exact on every engine (the repo's
+    no-libm rule: a log-probability would differ in the last ulp
+    across math libraries; the rational sufficient statistics carry
+    the same ranking signal):
+
+    ``(id, n_bigrams, score_sum)`` where `n_bigrams` counts the doc's
+    character bigrams (with repeats) and `score_sum` is the sum over
+    those bigrams of the CORPUS-WIDE occurrence count. Rare/garbled
+    character sequences drag `score_sum / n_bigrams` down; a consumer
+    thresholds on that ratio (computed at the edge, or compare
+    `score_sum * N > t * n_bigrams` in exact integers like e14).
+
+    Scale shape: one kernel pass emits per-doc bigram counts (rows
+    bounded by alphabet^2 per doc); corpus totals are one map-side-
+    combinable aggregate over those counts; the totals table (a few
+    hundred rows) broadcasts back. Characters never shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    rows = bigram_rows(df, id_col=id_col, text_col=text_col)
+    rows = rows.localCheckpoint(eager=False)
+    totals = rows.groupBy("bigram").agg(F.sum("k").alias("c"))
+    scored = (
+        rows.join(broadcast(totals), "bigram")
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("c")).alias("score_sum"),
+        )
+    )
+    base = df.select(F.col(id_col).cast("long").alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),
+    )

@@ -4309,6 +4309,39 @@ def p08_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t15_bigram_lm",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, substr(lower(text), i, 2) AS bigram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text))) AS i
+        FROM documents WHERE text IS NOT NULL AND length(text) >= 2)
+), totals AS (
+  SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1
+), scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(c)::BIGINT AS score_sum
+  FROM bg JOIN totals USING (bigram) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.score_sum, 0)::BIGINT AS score_sum
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+)
+def t15_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics LM quality score (`tx.bigram_lm_score`):
+    per-doc sum of corpus-wide character-bigram counts — the KenLM-
+    style gibberish filter with integer sufficient statistics instead
+    of a log-probability (no libm; exact on every engine). The oracle
+    unnests each text's character positions; the engine never touches
+    per-character rows outside one Arrow kernel whose output is
+    bounded by alphabet^2 per doc. substr position is 1-based: bigram
+    i covers chars (i, i+1) for i in 1..len-1 == range(1, length)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_lm_score(docs)
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -4385,6 +4418,7 @@ _DRIVER_TAIL = [
     "a06_kmeans_step",        # ANN-training family: a01 assignment stays
     "t14_bpe_encode",         # tokenizer family: t01/t03 stay in the head
     "p08_pack_sequences",     # pipeline family: p01-p07 stay
+    "t15_bigram_lm",          # text/quality family: t05/t08 stay
 ]
 
 
