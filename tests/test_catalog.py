@@ -355,3 +355,44 @@ def test_merge_table_rejects_null_and_duplicate_keys(spark, tmp_path):
     nul = spark.createDataFrame([(None, "x")], "id long, name string")
     with _pt.raises(ValueError, match="NULL keys"):
         merge_table(spark, path, nul, key_cols=("id",))
+
+
+def test_vacuum_table_retention(spark, tmp_path):
+    """Snapshot GC: keep_last newest committed versions survive,
+    expired versions are gone (and read_table on them raises), the
+    current snapshot is untouched, and an uncommitted in-flight
+    directory is left alone."""
+    import os
+
+    from vector_database_spark.operators.catalog import (
+        read_table,
+        vacuum_table,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        df = spark.createDataFrame([(1, i)], "id long, val long")
+        write_table_version(df, path)
+
+    # plant an in-flight (uncommitted) writer directory
+    os.makedirs(f"{path}/v=99")
+    with open(f"{path}/v=99/part-stale.parquet", "w") as f:
+        f.write("partial")
+
+    deleted = vacuum_table(spark, path, keep_last=2)
+    assert deleted == [0, 1]
+    assert read_table(spark, path).first()["val"] == 3
+    assert read_table(spark, path, version=2).first()["val"] == 2
+    try:
+        read_table(spark, path, version=0)
+        raise AssertionError("expired version must not be readable")
+    except ValueError:
+        pass
+    assert not os.path.exists(f"{path}/v=0")
+    assert os.path.exists(f"{path}/v=99/part-stale.parquet")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_table(spark, path, keep_last=0)

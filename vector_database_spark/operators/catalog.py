@@ -450,3 +450,42 @@ def merge_table(
     # read-under-write, and an eager materialization would double the
     # copy-on-write I/O (round-4 review finding)
     return write_table_version(merged, path)
+
+
+def vacuum_table(
+    spark: SparkSession, path: str, *, keep_last: int = 2
+) -> list[int]:
+    """Expire old snapshots of a versioned table — the retention GC
+    every snapshot-isolated format ships (Iceberg expire_snapshots /
+    Delta VACUUM): keep the newest ``keep_last`` committed versions,
+    delete the directories of the rest, and return the deleted
+    version numbers.
+
+    Safety rules (mirrors the rollup LSM's `retain_history`):
+    * `keep_last >= 1` — the current snapshot is never deletable;
+    * only COMMITTED (`_SUCCESS`-gated) versions count toward
+      `keep_last`, and only committed versions are deleted —
+      an in-flight writer's partial `v=N+1` directory is left alone
+      (it is invisible to readers until its commit anyway);
+    * deletion removes the `_SUCCESS` marker FIRST, so a crash
+      mid-vacuum leaves an uncommitted (invisible) directory, never a
+      readable-but-partial snapshot;
+    * `read_table(version=expired)` raises afterwards — time travel
+      is bounded by retention, the contract time-travel consumers
+      must already handle (same as the rollup's pruned as-of reads).
+    """
+    if int(keep_last) < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(spark, path)
+    victims = vs[: -int(keep_last)] if len(vs) > int(keep_last) else []
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for v in victims:
+        vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}")
+        ok = jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS")
+        if fs.exists(ok):
+            fs.delete(ok, False)
+        fs.delete(vdir, True)
+    return victims
