@@ -105,3 +105,77 @@ def test_pii_scrub_idempotent_and_counts(spark, texts):
     for i in once:
         assert twice[i].scrubbed == once[i].scrubbed
         assert (twice[i].n_email, twice[i].n_ip, twice[i].n_phone) == (0, 0, 0)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(texts=_corpus)
+def test_bpe_encode_fixed_vocab_matches_greedy_replay(spark, texts):
+    """t14's contract, property-tested: for ANY corpus, the Arrow
+    kernel under the pinned vocab equals a local single-pass greedy
+    replay (the same semantics the SQL oracle's wrapped-symbol
+    replace implements), and reconstruction always holds."""
+    from vector_database_spark.workload import _T14_MERGES
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_words, r.n_bpe_tokens, r.reconstruction_ok)
+        for r in tx.bpe_encode(df, _T14_MERGES).collect()
+    }
+
+    def enc(word):
+        sym = list(word) + ["</w>"]
+        for a, b in _T14_MERGES:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        want_tokens = sum(len(enc(w)) for w in words)
+        assert got[i] == (len(words), want_tokens, True), (i, t)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    cap=st.integers(8, 24),
+)
+def test_pack_sequences_greedy_property(spark, toks, cap):
+    """For ANY token-length sequence and capacity: bins never exceed
+    capacity unless single-doc, offsets are exact running sums, and
+    the packing equals a local greedy replay on each shard's
+    id-ordered rows."""
+    from vector_database_spark.pipeline import pack_sequences
+
+    texts = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = pack_sequences(df, capacity=cap, n_shards=4).collect()
+    assert len(out) == len(toks)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        acc = pack = None
+        for r in rows:
+            if acc is None:
+                want = (0, 0)
+                acc, pack = r.n_tok, 0
+            elif acc + r.n_tok > cap:
+                pack += 1
+                want = (pack, 0)
+                acc = r.n_tok
+            else:
+                want = (pack, acc)
+                acc += r.n_tok
+            assert (r.pack_id, r.seq_offset) == want, (shard, r.doc_id)
+            assert toks[r.doc_id] == r.n_tok
