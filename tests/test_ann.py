@@ -432,3 +432,23 @@ def test_pca_power_fixedpoint_aligns_with_numpy(spark, embeddings):
     top = eig_vecs[:, -1]
     cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
     assert cos > 0.99, cos
+
+
+def test_filtered_knn_equals_filtered_brute_at_full_probe(spark, embeddings):
+    """ivf_knn(where=...) is filter-then-rank: with nprobe = all
+    cells it must EQUAL brute-force kNN over the predicate-filtered
+    corpus, and every returned id must satisfy the predicate."""
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    assigned, cents = ivf_build(vecs, n_cells=8, iters=2)
+    qids = [3, 99]
+    qdf = _queries_df(spark, vecs, qids)
+    got = ivf_knn(
+        assigned, cents, qdf, k=10, nprobe=8, where="id % 4 = 1"
+    ).collect()
+    assert got and all(r.id % 4 == 1 for r in got)
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    exact = knn(vecs.where(F.col("id") % 4 == 1), panel, k=10)
+    want = {(r.qid, r.id) for r in exact.collect()}
+    assert {(r.qid, r.id) for r in got} == want

@@ -323,11 +323,27 @@ def ivf_knn(
     k: int,
     *,
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, rank candidates
     exactly: (qid, id, dist, rank). At scale the assigned table is
     partitioned by `cell`, so each query reads nprobe partitions —
-    partition pruning does the fan-out reduction."""
+    partition pruning does the fan-out reduction.
+
+    ``where`` (optional Column or SQL string) makes this FILTERED
+    vector search — the metadata-predicate + kNN combination every
+    modern vector database exposes: the predicate is applied to the
+    assigned table BEFORE the candidate join, so at scale Catalyst
+    pushes it into the per-cell parquet scan (partition pruning picks
+    the nprobe cells, the pushed filter prunes rows inside them) and
+    the distance expression only ever runs on qualifying rows.
+    Semantics are filter-then-rank: exact top-k among rows satisfying
+    the predicate within the probed cells (the same probe-recall
+    contract as unfiltered IVF; a highly selective predicate warrants
+    a larger nprobe, the standard filtered-ANN trade-off)."""
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        assigned_df = assigned_df.where(pred)
     spark = assigned_df.sparkSession
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, cvec array<double>"

@@ -1366,6 +1366,78 @@ def a01_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A07_PRED_SQL = "(id % 3 = 0 OR id % 5 = 0)"
+
+
+@query(
+    "a07_filtered_knn",
+    oracle=f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':a01'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_IVF_GATE_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c),
+a AS (SELECT id, cell FROM
+        (SELECT id, cell,
+                row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+         FROM ad)
+      WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY {_l2_sql('q.qv', 'c.cvec')}, c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cand AS (SELECT p.qid, a.id FROM pc p JOIN a ON a.cell = p.cell
+         WHERE p.pr <= {_IVF_GATE_NPROBE} AND {_A07_PRED_SQL}),
+d AS (SELECT c.qid, c.id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+      JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= 10
+""",
+)
+def a07_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate + kNN combo
+    every modern vector database exposes — on the a01 exact-oracle
+    rig: same seeded-md5 centroids and expression-path assignment,
+    with a selective SQL predicate pushed into the candidate scan
+    (`ivf_knn(where=...)` filters the assigned table BEFORE the
+    probe join, so at scale the predicate reaches the per-cell
+    parquet scan). Semantics are filter-then-rank: exact top-10 among
+    qualifying rows in the probed cells, hash-matched against the
+    identical SQL replay."""
+    from vector_database_spark.operators.ann import ivf_assign_expr, ivf_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "a01", _IVF_GATE_CELLS)
+    assigned = ivf_assign_expr(vecs, cents)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = ivf_knn(
+        assigned,
+        cents,
+        qdf,
+        k=10,
+        nprobe=_IVF_GATE_NPROBE,
+        where="id % 3 = 0 OR id % 5 = 0",
+    )
+    return res.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
 def _lsh_planes_sql() -> str:
     """VALUES rows (tbl, bit, plane) for a02's hyperplanes. The planes
     are DATA-INDEPENDENT constants (random.Random(11).gauss), so they
@@ -4419,6 +4491,7 @@ _DRIVER_TAIL = [
     "t14_bpe_encode",         # tokenizer family: t01/t03 stay in the head
     "p08_pack_sequences",     # pipeline family: p01-p07 stay
     "t15_bigram_lm",          # text/quality family: t05/t08 stay
+    "a07_filtered_knn",       # ANN family: a01 IVF stays in the head
 ]
 
 
