@@ -4414,6 +4414,81 @@ def t15_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_score(docs)
 
 
+_R27_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+@query(
+    "r27_pivot",
+    oracle="""
+SELECT o_orderstatus AS status,
+"""
+    + ",\n".join(
+        "       coalesce(sum(CASE WHEN o_orderpriority = '{p}' THEN "
+        "o_totalprice END), 0)::DECIMAL(18,2) AS \"{a}\"".format(
+            p=p, a=p.lower().replace("-", "_").replace(" ", "_")
+        )
+        for p in _R27_PRIORITIES
+    )
+    + """
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def r27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the wide-format reporting aggregate the §2.2 surface
+    was missing: revenue by order status pivoted over the 5 priority
+    classes. Spark's `groupBy().pivot(col, values)` with EXPLICIT
+    values (never let pivot scan for distinct values at 100 TB — the
+    value list is schema knowledge) compiles to exactly the
+    conditional aggregation the oracle writes out; decimal sums are
+    exact, and empty cells coalesce to 0 on both sides so a future
+    regen that drops a (status, priority) pair cannot break the
+    hash."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _R27_PRIORITIES)
+        .sum("o_totalprice")
+    )
+    for p in _R27_PRIORITIES:
+        alias = p.lower().replace("-", "_").replace(" ", "_")
+        out = out.withColumnRenamed(p, alias).withColumn(
+            alias,
+            F.coalesce(F.col(alias), F.lit(0)).cast("decimal(18,2)"),
+        )
+    return out
+
+
+@query(
+    "r28_unpivot",
+    oracle="""
+SELECT p_partkey AS partkey, 'p_size' AS attr,
+       p_size::DECIMAL(18,2) AS val
+FROM part
+UNION ALL
+SELECT p_partkey AS partkey, 'p_retailprice' AS attr,
+       p_retailprice::DECIMAL(18,2) AS val
+FROM part
+""",
+)
+def r28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide-to-long reshaping (the inverse of r27's
+    pivot): part's numeric attributes become (partkey, attr, val)
+    rows via the native `DataFrame.unpivot` (Spark's one-pass
+    Expand, no self-union re-scan of the table — the oracle's UNION
+    ALL reads the table once per attribute, the engine reads it
+    once total)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("decimal(18,2)").alias("p_size"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("p_retailprice"),
+    ).unpivot(
+        "partkey", ["p_size", "p_retailprice"], "attr", "val"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -4492,6 +4567,8 @@ _DRIVER_TAIL = [
     "p08_pack_sequences",     # pipeline family: p01-p07 stay
     "t15_bigram_lm",          # text/quality family: t05/t08 stay
     "a07_filtered_knn",       # ANN family: a01 IVF stays in the head
+    "r27_pivot",              # relational family: r05/r14/r21 cover agg shapes
+    "r28_unpivot",            # relational family: reshaping twin of r27
 ]
 
 
