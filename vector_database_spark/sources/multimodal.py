@@ -809,3 +809,241 @@ def image_grid_sums(media_df: DataFrame, *, grid: int = 2) -> DataFrame:
         "media_id long, gy int, gx int, c int, psum long, npix long, "
         "n_bytes long",
     )
+
+
+def seeded_wav_media(spark, n: int = 32, rate: int = 8000) -> DataFrame:
+    """Deterministic RIFF/WAVE PCM corpus — the m04 seeded-md5 trick
+    applied to audio: sample ``k`` of clip ``m`` is the little-endian
+    int16 at bytes (2k, 2k+1) of the md5("a{m}:{chunk}") digest
+    stream, with ``ns = 256 + 64*(m%3)`` samples, so a SQL oracle
+    reconstructs every sample arithmetically while the Spark side
+    goes through the REAL ``encode_wav`` -> binary -> ``decode_wav``
+    path."""
+    m = int(n)
+    base = spark.range(m).select(F.col("id").alias("media_id"))
+    sr = int(rate)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ns = 256 + 64 * (mid % 3)
+                raw = b"".join(
+                    hashlib.md5(f"a{mid}:{c}".encode()).digest()
+                    for c in range((2 * ns + 15) // 16)
+                )[: 2 * ns]
+                samples = np.frombuffer(raw, dtype="<i2")
+                rows.append(
+                    (
+                        mid,
+                        "audio",
+                        "audio/wav",
+                        encode_wav(samples, sr),
+                        None,
+                        None,
+                        int(1000 * ns / sr),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return base.repartition(8, "media_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def audio_block_sums(media_df: DataFrame, *, block: int = 64) -> DataFrame:
+    """REAL-decode audio statistics with EXACT integer output: parse
+    each RIFF/WAVE payload (`decode_wav`, pure struct+numpy), split
+    the PCM stream into ``block``-sample windows, and emit per-window
+    int64 sample sums plus the decoded sample rate and payload
+    length. The integer block sums are the oracle-able face of the
+    audio featurizer (the FFT band energies in `audio_features` stay
+    rows-only — libm physics); the decoded `rate` column proves the
+    header parse.
+
+    Output: (media_id, block, ssum, n_samp, n_bytes, rate)."""
+    bl = int(block)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "block", "ssum", "n_samp", "n_bytes", "rate"
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                samples, rate = decode_wav(raw)
+                flat = np.asarray(samples, dtype=np.int64).reshape(-1)
+                for b in range(0, len(flat), bl):
+                    w = flat[b : b + bl]
+                    cols["media_id"].append(int(mid))
+                    cols["block"].append(b // bl)
+                    cols["ssum"].append(int(w.sum()))
+                    cols["n_samp"].append(int(len(w)))
+                    cols["n_bytes"].append(len(raw))
+                    cols["rate"].append(int(rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "block": pd.Series(cols["block"], dtype="int32"),
+                    "ssum": pd.Series(cols["ssum"], dtype="int64"),
+                    "n_samp": pd.Series(cols["n_samp"], dtype="int64"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                    "rate": pd.Series(cols["rate"], dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        run,
+        "media_id long, block int, ssum long, n_samp long, "
+        "n_bytes long, rate int",
+    )
+
+
+def y4m_plane_stats(payload: bytes):
+    """Parse a YUV4MPEG2 container and return
+    ``(width, height, [(frame, plane, sum, npix), ...])`` over the
+    RAW plane bytes — the container-level decode (header tokens,
+    FRAME markers, planar layout) without the BT.601 float matrix,
+    so every statistic is an exact integer. C444 only (the gate's
+    corpus); `decode_y4m` remains the full RGB path."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and tok != b"C444":
+            raise ValueError("y4m_plane_stats supports C444 only")
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    wh = w * h
+    pos = nl + 1
+    out = []
+    frame = 0
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = fnl + 1
+        for plane in range(3):
+            buf = np.frombuffer(payload, dtype=np.uint8, count=wh, offset=pos)
+            out.append((frame, plane, int(buf.sum(dtype=np.int64)), wh))
+            pos += wh
+        frame += 1
+    return w, h, out
+
+
+def seeded_y4m_media(spark, n: int = 18, *, width: int = 16,
+                     height: int = 12, fps: int = 10) -> DataFrame:
+    """Deterministic YUV4MPEG2 corpus (the m04/m05 seeded-md5 trick,
+    third modality): plane byte ``j`` of video ``m`` — planar C444
+    layout, ``j = frame*3*wh + plane*wh + pixel`` — is byte ``j%16``
+    of ``md5("v{m}:{j//16}")``, with ``nf = 3 + m%3`` frames. The
+    planes go through the REAL container framing (header + FRAME
+    markers), and a SQL oracle reconstructs every byte."""
+    m = int(n)
+    w, h, f = int(width), int(height), int(fps)
+    base = spark.range(m).select(F.col("id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nf = 3 + mid % 3
+                nb = nf * 3 * w * h
+                raw = b"".join(
+                    hashlib.md5(f"v{mid}:{c}".encode()).digest()
+                    for c in range((nb + 15) // 16)
+                )[:nb]
+                parts = [
+                    b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, f)
+                ]
+                wh = w * h
+                for fr in range(nf):
+                    parts.append(b"FRAME\n")
+                    parts.append(raw[fr * 3 * wh : (fr + 1) * 3 * wh])
+                rows.append(
+                    (
+                        mid,
+                        "video",
+                        "video/x-yuv4mpeg",
+                        b"".join(parts),
+                        w,
+                        h,
+                        int(1000 * nf / f),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[fl.name for fl in MEDIA_SCHEMA.fields]
+            )
+
+    return base.repartition(6, "media_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def video_plane_sums(media_df: DataFrame) -> DataFrame:
+    """REAL container decode with EXACT integer output for video:
+    `y4m_plane_stats` per payload inside `mapInPandas`. Output:
+    (media_id, frame, plane, psum, npix, n_frames, width, height,
+    n_bytes). The BT.601 RGB path (`decode_y4m` -> `video_features`)
+    stays rows-only in m01/m02/m03 — float colorspace physics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame", "plane", "psum", "npix",
+                    "n_frames", "width", "height", "n_bytes",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, stats = y4m_plane_stats(raw)
+                nf = 1 + max(fr for fr, _, _, _ in stats)
+                for fr, plane, s, npix in stats:
+                    cols["media_id"].append(int(mid))
+                    cols["frame"].append(fr)
+                    cols["plane"].append(plane)
+                    cols["psum"].append(s)
+                    cols["npix"].append(npix)
+                    cols["n_frames"].append(nf)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["n_bytes"].append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "frame": pd.Series(cols["frame"], dtype="int32"),
+                    "plane": pd.Series(cols["plane"], dtype="int32"),
+                    "psum": pd.Series(cols["psum"], dtype="int64"),
+                    "npix": pd.Series(cols["npix"], dtype="int64"),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(
+        run,
+        "media_id long, frame int, plane int, psum long, npix long, "
+        "n_frames long, width int, height int, n_bytes long",
+    )

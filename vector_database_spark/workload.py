@@ -4489,6 +4489,105 @@ def r28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M05_N_MEDIA = 32
+
+
+@query(
+    "m05_audio_blocks",
+    oracle=f"""
+WITH m AS (SELECT unnest(range({_M05_N_MEDIA})) AS media_id),
+d AS (SELECT media_id, (256 + 64 * (media_id % 3)) AS ns FROM m),
+s AS (SELECT media_id, ns, unnest(range(ns)) AS k FROM d),
+b AS (SELECT media_id, ns, k,
+        ('0x' || substr(md5('a' || media_id || ':' || ((2 * k) // 16)),
+                        (((2 * k) % 16) * 2 + 1)::INT, 2))::INT AS lo,
+        ('0x' || substr(md5('a' || media_id || ':' || ((2 * k + 1) // 16)),
+                        (((2 * k + 1) % 16) * 2 + 1)::INT, 2))::INT AS hi
+      FROM s),
+v AS (SELECT media_id, ns, (k // 64) AS block,
+             CASE WHEN lo + 256 * hi >= 32768
+                  THEN lo + 256 * hi - 65536
+                  ELSE lo + 256 * hi END AS val
+      FROM b)
+SELECT media_id::BIGINT AS media_id,
+       block::INT AS block,
+       sum(val)::BIGINT AS ssum,
+       count(*)::BIGINT AS n_samp,
+       (44 + 2 * ns)::BIGINT AS n_bytes,
+       8000::INT AS rate
+FROM v GROUP BY media_id, block, ns
+""",
+)
+def m05_audio_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle AUDIO gate (m04's seeded-md5 trick for the second
+    modality): md5-derived int16 PCM goes through the REAL
+    `encode_wav` -> RIFF/WAVE binary -> `decode_wav` path in
+    `mapInPandas`, and per-64-sample block sums come out as exact
+    integers. The oracle reconstructs every sample as the
+    little-endian int16 of two md5 bytes (sign via the >= 32768
+    branch) and replays the block aggregation; `rate` proves the
+    header parse and `n_bytes` the 44-byte RIFF framing. The FFT
+    band-energy featurizer stays rows-only in m01 — libm physics."""
+    from vector_database_spark.sources.multimodal import (
+        audio_block_sums,
+        seeded_wav_media,
+    )
+
+    media = seeded_wav_media(spark, n=_M05_N_MEDIA)
+    return audio_block_sums(media, block=64)
+
+
+_M06_N_MEDIA = 18
+
+
+@query(
+    "m06_video_planes",
+    oracle=f"""
+WITH m AS (SELECT unnest(range({_M06_N_MEDIA})) AS media_id),
+d AS (SELECT media_id, (3 + media_id % 3) AS nf, 16 AS w, 12 AS h FROM m),
+j AS (SELECT media_id, nf, w, h,
+             unnest(range(nf * 3 * w * h)) AS jj
+      FROM d),
+b AS (SELECT media_id, nf, w, h, jj,
+        ('0x' || substr(md5('v' || media_id || ':' || (jj // 16)),
+                        ((jj % 16) * 2 + 1)::INT, 2))::INT AS byte
+      FROM j),
+v AS (SELECT media_id, nf, w, h, byte,
+             (jj // (3 * w * h)) AS frame,
+             ((jj % (3 * w * h)) // (w * h)) AS plane
+      FROM b)
+SELECT media_id::BIGINT AS media_id,
+       frame::INT AS frame,
+       plane::INT AS plane,
+       sum(byte)::BIGINT AS psum,
+       (w * h)::BIGINT AS npix,
+       nf::BIGINT AS n_frames,
+       w::INT AS width,
+       h::INT AS height,
+       (length('YUV4MPEG2 W16 H12 F10:1 Ip A1:1 C444') + 1
+        + nf * (6 + 3 * w * h))::BIGINT AS n_bytes
+FROM v GROUP BY media_id, frame, plane, nf, w, h
+""",
+)
+def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle VIDEO gate — the third modality joins m04/m05:
+    md5-derived C444 planes go through the REAL YUV4MPEG2 container
+    framing (`seeded_y4m_media` writes header + FRAME markers,
+    `y4m_plane_stats` parses them back), and per-frame per-plane
+    byte sums come out as exact integers. The oracle reconstructs
+    every plane byte arithmetically and replays the framing math:
+    `n_bytes` = the literal header length + nf * (len('FRAME\\n') +
+    3*w*h). The BT.601 float RGB conversion stays rows-only in
+    m01/m02/m03 — colorspace physics, not container truth."""
+    from vector_database_spark.sources.multimodal import (
+        seeded_y4m_media,
+        video_plane_sums,
+    )
+
+    media = seeded_y4m_media(spark, n=_M06_N_MEDIA)
+    return video_plane_sums(media)
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -4569,6 +4668,8 @@ _DRIVER_TAIL = [
     "a07_filtered_knn",       # ANN family: a01 IVF stays in the head
     "r27_pivot",              # relational family: r05/r14/r21 cover agg shapes
     "r28_unpivot",            # relational family: reshaping twin of r27
+    "m05_audio_blocks",       # multimodal family: m04 stays in the head
+    "m06_video_planes",       # multimodal family: m04 stays in the head
 ]
 
 
