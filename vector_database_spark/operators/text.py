@@ -550,7 +550,19 @@ def bpe_encode(
     rules = [(str(a), str(b)) for a, b in merges]
 
     def kern(batches):
+        import re
+
         import pandas as pd
+
+        # Tokenize on the RE2/Java/python-re COMMON whitespace subset
+        # (the PII-pattern rule): an explicit ASCII class, never
+        # str.split() — Python's str.split treats \x1c-\x1f, \x85 and
+        # NBSP as separators while DuckDB's RE2 \s+ does not, so the
+        # two sides would diverge the day a regen emits such bytes.
+        # chr(31) is ALSO a separator here because the SQL replay
+        # wraps symbols in chr(31); a literal \x1f inside a word would
+        # corrupt the oracle's separator-count token counting.
+        ws = re.compile("[\t\n\f\r \x1f]+")
 
         memo: dict = {}
 
@@ -585,7 +597,11 @@ def bpe_encode(
                 # NULL text: zero words, vacuously reconstructed
                 # (the expression-based gates tolerate NULLs; the
                 # kernels must not crash the job on one bad row)
-                words = [] if t is None else [w for w in t.lower().split() if w]
+                words = (
+                    []
+                    if t is None
+                    else [w for w in ws.split(t.lower()) if w]
+                )
                 total = 0
                 good = True
                 for w in words:

@@ -1017,6 +1017,12 @@ def video_plane_sums(media_df: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 w, h, stats = y4m_plane_stats(raw)
+                if not stats:
+                    # header-only Y4M (zero frames): emit no rows for
+                    # this payload — one degenerate row must never
+                    # abort the job (the kernels' null-guard rule);
+                    # max() over the empty frame list would raise.
+                    continue
                 nf = 1 + max(fr for fr, _, _, _ in stats)
                 for fr, plane, s, npix in stats:
                     cols["media_id"].append(int(mid))

@@ -4290,7 +4290,8 @@ def _t14_oracle() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         unnest(regexp_split_to_array(lower(text),
+                                      '[\\t\\n\\f\\r \\x1f]+')) AS w
   FROM documents
 ), ww AS (SELECT doc_id, w FROM words WHERE w <> ''),
 dw AS (SELECT DISTINCT w FROM ww),
@@ -4384,11 +4385,14 @@ def p08_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t15_bigram_lm",
     oracle="""
-WITH bg AS (
-  SELECT doc_id, substr(lower(text), i, 2) AS bigram
-  FROM (SELECT doc_id, text,
-               unnest(range(1, length(text))) AS i
-        FROM documents WHERE text IS NOT NULL AND length(text) >= 2)
+WITH lo AS (
+  SELECT doc_id, lower(text) AS l
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, substr(l, i, 2) AS bigram
+  FROM (SELECT doc_id, l,
+               unnest(range(1, length(l))) AS i
+        FROM lo WHERE length(l) >= 2)
 ), totals AS (
   SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1
 ), scored AS (
@@ -4409,7 +4413,15 @@ def t15_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnests each text's character positions; the engine never touches
     per-character rows outside one Arrow kernel whose output is
     bounded by alphabet^2 per doc. substr position is 1-based: bigram
-    i covers chars (i, i+1) for i in 1..len-1 == range(1, length)."""
+    i covers chars (i, i+1) for i in 1..len-1 == range(1, length).
+    Positions, the length guard and the substr all read the SAME
+    pre-lowered column `l` (the kernel's `s = t.lower(); len(s)`
+    order) — Python str.lower() can change string LENGTH for some
+    Unicode ('İ' -> 2 chars) so deriving positions from the original
+    text while substr-ing the lowered one would silently diverge on
+    such a regen. Caveat that remains: DuckDB lower() and Python
+    str.lower() may still disagree on locale-special characters
+    themselves; the corpus is ASCII today."""
     docs = _t(spark, sf_dir, "documents")
     return tx.bigram_lm_score(docs)
 
