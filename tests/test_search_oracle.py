@@ -55,6 +55,68 @@ def test_iterative_shuffle_join_regime(spark):
         assert got.get(qid, set()) == want.get(qid, set()), f"qid={qid}"
 
 
+@pytest.mark.parametrize("strategy", ["brute", "broadcast", "iterative"])
+def test_filtered_search_matches_filtered_brute(spark, embeddings, strategy):
+    """search(where=) is EXACT filter-then-refine under every
+    strategy: identical to brute force over the predicate-qualified
+    corpus (the tree candidate set is a superset of the ball for any
+    row subset), and every hit satisfies the predicate."""
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    idx = build_index(vecs, local_threshold=64)
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin([3, 99])).collect()
+    ]
+    got = search(
+        idx, vecs, panel, 1.4, strategy=strategy, where="id % 3 = 0"
+    )
+    rows = got.collect()
+    assert rows and all(r.id % 3 == 0 for r in rows)
+    want = _id_sets(
+        brute_force_search(vecs.where(F.col("id") % 3 == 0), panel, 1.4)
+    )
+    assert _id_sets(got) == want
+
+
+def test_filtered_cosine_search_matches_filtered_brute(spark, embeddings):
+    """cosine_search(where=) with a SHARED index built over the
+    UNFILTERED corpus: non-qualifying candidates drop at the
+    refinement join, result == raw-cosine filter over qualifying
+    rows."""
+    from vector_database_spark.functions.vector import cosine_similarity
+    from vector_database_spark.operators.search import cosine_search
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    from vector_database_spark.functions.vector import normalize
+
+    idx = build_index(
+        vecs.select("id", normalize(F.col("vector")).alias("vector")),
+        local_threshold=64,
+    )
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin([3, 99])).collect()
+    ]
+    got = cosine_search(
+        vecs, panel, 0.35, index_df=idx, where="id % 3 = 0"
+    ).collect()
+    assert got and all(r.id % 3 == 0 for r in got)
+    qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+    want = {
+        (r.qid, r.id)
+        for r in vecs.where(F.col("id") % 3 == 0)
+        .crossJoin(F.broadcast(qdf))
+        .where(cosine_similarity(F.col("vector"), F.col("qvec")) >= 0.35)
+        .select("qid", "id")
+        .collect()
+    }
+    assert {(r.qid, r.id) for r in got} == want
+
+
 def test_embeddings_search_matches_oracle(spark, embeddings):
     vecs = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     idx = build_index(vecs, local_threshold=64)

@@ -324,6 +324,7 @@ def ivf_knn(
     *,
     nprobe: int = 4,
     where=None,
+    ensure_k: bool = False,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, rank candidates
     exactly: (qid, id, dist, rank). At scale the assigned table is
@@ -340,7 +341,20 @@ def ivf_knn(
     Semantics are filter-then-rank: exact top-k among rows satisfying
     the predicate within the probed cells (the same probe-recall
     contract as unfiltered IVF; a highly selective predicate warrants
-    a larger nprobe, the standard filtered-ANN trade-off)."""
+    a larger nprobe, the standard filtered-ANN trade-off).
+
+    ``ensure_k=True`` adds the recall CONTRACT a selective predicate
+    needs: queries that come back with fewer than k rows are retried
+    with a doubled nprobe (their probe list is a strict superset, so
+    satisfied queries' results are untouched) until every query has k
+    rows or all cells are probed — at which point the result is the
+    EXACT filtered top-k (all-cells probe == brute force over
+    qualifying rows). The reference's `Find` predicate never loses
+    tree candidates (MemoryVectorIndex.cs:237-345); this restores the
+    same no-loss guarantee on the IVF path. Escalation needs one
+    small per-query count per round (bounded by the query panel, a
+    driver-side collect of len(queries) longs; rounds are
+    log2(n_cells/nprobe))."""
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
         assigned_df = assigned_df.where(pred)
@@ -348,24 +362,59 @@ def ivf_knn(
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, cvec array<double>"
     )
-    qc = (
-        queries_df.crossJoin(F.broadcast(cents))
-        .withColumn("cdist", euclidean(F.col("qvec"), F.col("cvec")))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cdist").asc(), F.col("cell").asc())
-    probes = (
-        qc.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= nprobe)
-        .select("qid", "qvec", "cell")
-    )
-    cand = assigned_df.join(F.broadcast(probes), "cell")
-    wk = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
-        cand.withColumn("dist", euclidean(F.col("vector"), F.col("qvec")))
-        .withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-        .select("qid", "id", "dist", "rank")
-    )
+    n_cells = len(centroids)
+
+    def ranked(qdf: DataFrame, np_: int) -> DataFrame:
+        qc = (
+            qdf.crossJoin(F.broadcast(cents))
+            .withColumn("cdist", euclidean(F.col("qvec"), F.col("cvec")))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cdist").asc(), F.col("cell").asc()
+        )
+        probes = (
+            qc.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= np_)
+            .select("qid", "qvec", "cell")
+        )
+        cand = assigned_df.join(F.broadcast(probes), "cell")
+        wk = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            cand.withColumn("dist", euclidean(F.col("vector"), F.col("qvec")))
+            .withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("qid", "id", "dist", "rank")
+        )
+
+    out = ranked(queries_df, nprobe)
+    if not ensure_k or nprobe >= n_cells:
+        return out
+    cur = int(nprobe)
+    while cur < n_cells:
+        counts = {
+            r["qid"]: r["n"]
+            for r in out.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        short = [
+            r["qid"]
+            for r in queries_df.select("qid").collect()
+            if counts.get(r["qid"], 0) < k
+        ]
+        if not short:
+            break
+        cur = min(cur * 2, n_cells)
+        retry_q = queries_df.where(F.col("qid").isin(short))
+        out = out.where(~F.col("qid").isin(short)).unionByName(
+            ranked(retry_q, cur)
+        )
+        # truncate lineage so each escalation round's count doesn't
+        # recompute all prior rounds' probe joins
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def ivf_write(

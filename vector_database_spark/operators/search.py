@@ -755,6 +755,7 @@ def search(
     doc_id: int | None = None,
     metric: str = "euclidean",
     strategy: str = "auto",
+    where=None,
     **kwargs,
 ) -> DataFrame:
     """Exact vicinity search: tree candidates + exact distance filter.
@@ -767,7 +768,22 @@ def search(
     (identical refined output either way); otherwise the cogroup
     walker for small indexes, the iterative frontier join beyond.
     Explicit 'brute' | 'broadcast' | 'iterative' override the model.
-    """
+
+    ``where`` (optional Column or SQL string over `vectors_df`'s
+    columns) makes this FILTERED vicinity search — the reference's
+    own `Find` takes a caller predicate that filters leaf buckets
+    (MemoryVectorIndex/MemoryVectorIndex.cs:237-345); here the leaf-
+    bucket check IS the refinement join, so applying the predicate to
+    the vector table before refinement (and before the brute scan)
+    yields the identical contract. Unlike the IVF path's
+    filter-then-rank (`ann.ivf_knn(where=)`), this is EXACT: the
+    tree's candidate set is a superset of the ball for ANY subset of
+    rows, so no qualifying match can be lost. The filter sits
+    directly on the table scan, where Catalyst pushes it into the
+    parquet reader."""
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        vectors_df = vectors_df.where(pred)
     if strategy == "auto":
         est = estimate_candidate_frac(index_df, queries, domain, doc_id=doc_id)
         n_q = queries.count() if isinstance(queries, DataFrame) else len(queries)
@@ -987,8 +1003,17 @@ def knn(
     id_col: str = "id",
     vector_col: str = "vector",
     metric: str = "euclidean",
+    where=None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors per query: ``(qid, id, dist, rank)``.
+
+    ``where`` (optional Column or SQL string over `vectors_df`'s
+    columns) makes this exact FILTERED kNN: top-k among rows
+    satisfying the predicate — applied before the scan, so Catalyst
+    pushes it into the parquet reader and distances are only computed
+    for qualifying rows. Exact for any selectivity (full-scan
+    semantics; the recall-bounded scale path is
+    `ann.ivf_knn(where=, ensure_k=True)`).
 
     Two-phase top-k, no full shuffle: distances are computed JVM-side
     (map-side, inside the scan stage), then an Arrow kernel pre-reduces
@@ -1001,6 +1026,9 @@ def knn(
     shuffles at all and the only exchange carries the survivors. For
     the billion-row path use `ann.ivf_knn` / LSH instead.
     """
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        vectors_df = vectors_df.where(pred)
     qdf = _as_queries_df(vectors_df, queries)
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
@@ -1054,9 +1082,18 @@ def cosine_search(
     vector_col: str = "vector",
     index_df: DataFrame | None = None,
     local_threshold: int = 20_000,
+    where=None,
 ) -> DataFrame:
     """Cosine vicinity search through the L2 BSP tree: all vectors
     with ``cos(v, q) >= min_cos``, returned as ``(qid, id, cos_sim)``.
+
+    ``where`` (optional Column or SQL string over `vecs`' columns)
+    filters the corpus before the search — exact filtered semantics
+    for the same reason as `search(where=)`: candidates are a
+    superset for any row subset, and the final cosine filter runs on
+    the predicate-qualified raw vectors only. With a shared
+    `index_df` built over the UNFILTERED corpus, non-qualifying
+    candidates simply drop at the refinement join.
 
     The reference's tree prunes Euclidean boxes only; cosine reduces
     to it exactly: for unit vectors ‖â−b̂‖² = 2−2·cos(a,b), so a
@@ -1083,6 +1120,9 @@ def cosine_search(
         raise ValueError("min_cos must be in [-1, 1]")
     from vector_database_spark.functions.vector import normalize
 
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        vecs = vecs.where(pred)
     src = vecs.select(F.col(id_col).alias("id"), F.col(vector_col).alias("vector"))
     norm = l2_norm(F.col("vector"))
     normed = src.where(norm > 0).select(

@@ -3351,6 +3351,42 @@ def v18_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v19_filtered_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL}))
+SELECT qid, vec_id, round(d, 4) AS dist
+FROM (SELECT q.qid, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id % 3 = 0 OR e.vec_id % 5 = 0)
+WHERE d <= {SEARCH_DOMAIN}
+""",
+)
+def v19_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vicinity search on the FLAGSHIP tree path (the round-5
+    verdict's top item): the v01 rig with a07's metadata predicate
+    pushed through `search(where=)`. Unlike the IVF gate's
+    filter-then-rank, this is EXACT filter-then-refine — the BSP
+    candidate set is a superset of the ball for any row subset
+    (reference contract: `Find`'s caller predicate filters leaf
+    buckets without losing tree candidates,
+    MemoryVectorIndex/MemoryVectorIndex.cs:237-345) — so the oracle
+    is simply brute force over the predicate-qualified corpus."""
+    idx = embeddings_index(spark, sf_dir)
+    vecs = _embeddings(spark, sf_dir)
+    res = search(
+        idx,
+        vecs,
+        _panel(spark, sf_dir),
+        SEARCH_DOMAIN,
+        where="id % 3 = 0 OR id % 5 = 0",
+    )
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), F.round("dist", 4).alias("dist")
+    )
+
+
+@query(
     "s06_quantile_two_pass",
     oracle="""
 WITH s AS (SELECT event_type, count(value) AS n FROM events
@@ -4682,6 +4718,7 @@ _DRIVER_TAIL = [
     "r28_unpivot",            # relational family: reshaping twin of r27
     "m05_audio_blocks",       # multimodal family: m04 stays in the head
     "m06_video_planes",       # multimodal family: m04 stays in the head
+    "v19_filtered_search",    # tree-search family: v01 stays in the head
 ]
 
 
