@@ -224,6 +224,16 @@ CHECKS = {
         "BPE encoding under a fixed vocab: ONE Arrow kernel pass over "
         "a column-pruned scan, zero shuffles",
     ),
+    "v19_filtered_search": (
+        ["% 3) = 0",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        ["SortMergeJoin"],
+        "filtered flagship search: the metadata predicate sits as a "
+        "Filter directly on the column-pruned vectors scan — applied "
+        "before any distance work, under every routing strategy "
+        "(mod-arithmetic predicates aren't parquet-pushable, so the "
+        "scan-adjacent Filter IS the pushed position)",
+    ),
     "m04_image_grid": (
         ["MapInPandas"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
