@@ -454,6 +454,91 @@ def test_filtered_knn_equals_filtered_brute_at_full_probe(spark, embeddings):
     assert {(r.qid, r.id) for r in got} == want
 
 
+def test_ivf_append_equals_reassign_build(spark, embeddings, tmp_path):
+    """Incremental IVF ingest (round-5 verdict item 5): appending a
+    batch assigns it to the EXISTING centroids and extends the
+    per-cell layout, so append-then-search must EQUAL assigning the
+    whole corpus under those centroids in one shot — same cells for
+    same rows, no rows lost or duplicated, identical kNN output."""
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_append,
+        ivf_read,
+        ivf_write,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base = vecs.where(F.col("id") % 4 != 0)
+    batch = vecs.where(F.col("id") % 4 == 0)
+    assigned, cents = ivf_build(base, n_cells=8, iters=2)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, cents, path)
+    info = ivf_append(spark, path, batch, retrain="never")
+    assert info["appended"] == batch.count() and not info["retrained"]
+
+    stored, cents2 = ivf_read(spark, path)
+    assert cents2 == cents
+    want_assign = {
+        (r.id, r.cell) for r in _assign_cells(vecs, cents).collect()
+    }
+    got_assign = {(r.id, r.cell) for r in stored.collect()}
+    assert got_assign == want_assign  # exact layout, no loss/dup
+
+    qids = [3, 99, 250]
+    qdf = _queries_df(spark, vecs, qids)
+    got = {
+        (r.qid, r.id, r.rank)
+        for r in ivf_knn(stored, cents, qdf, k=10, nprobe=4).collect()
+    }
+    want = {
+        (r.qid, r.id, r.rank)
+        for r in ivf_knn(
+            _assign_cells(vecs, cents), cents, qdf, k=10, nprobe=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_drift_triggers_retrain(spark, embeddings, tmp_path):
+    """A batch from a shifted distribution must raise the drift metric
+    past the threshold and (under retrain='auto') trigger a full
+    centroid rebuild; retrain='never' reports the same drift without
+    rebuilding."""
+    from vector_database_spark.operators.ann import ivf_append, ivf_read, ivf_write
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base = vecs.where(F.col("id") % 4 != 0)
+    shifted = (
+        vecs.where(F.col("id") % 4 == 0)
+        .select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.transform(
+                F.col("vector"), lambda x: x * F.lit(5.0) + F.lit(7.0)
+            ).alias("vector"),
+        )
+    )
+    assigned, cents = ivf_build(base, n_cells=8, iters=2)
+    p1 = str(tmp_path / "ivf_never")
+    ivf_write(assigned, cents, p1)
+    info1 = ivf_append(spark, p1, shifted, retrain="never")
+    assert info1["drift"] > 0.25 and not info1["retrained"]
+    _, c1 = ivf_read(spark, p1)
+    assert c1 == cents  # untouched
+
+    p2 = str(tmp_path / "ivf_auto")
+    ivf_write(assigned, cents, p2)
+    info2 = ivf_append(spark, p2, shifted, retrain="auto")
+    assert info2["retrained"]
+    stored2, c2 = ivf_read(spark, p2)
+    assert c2 != cents  # rebuilt over the merged corpus
+    # the rebuilt layout still holds exactly base + batch
+    assert stored2.count() == base.count() + shifted.count()
+
+
 def test_filtered_knn_ensure_k_recall_on_selective_predicate(spark, embeddings):
     """The filtered-ANN recall CONTRACT (round-5 verdict item 4): a
     ~1%-selective predicate with nprobe=1 would starve most queries;

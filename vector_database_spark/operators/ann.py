@@ -442,6 +442,142 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return assigned, cents
 
 
+def _ivf_err_stats(assigned: DataFrame, centroids: list[list[float]]):
+    """(sum of distance-to-own-centroid, row count) — the running
+    quantization-error sufficient statistics behind drift detection.
+    One broadcast join + one aggregate; the per-row distance is the
+    interpreted HOF fold (fine for per-row vector math — the measured
+    rule)."""
+    spark = assigned.sparkSession
+    cmap = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    row = (
+        assigned.join(F.broadcast(cmap), "cell")
+        .agg(
+            F.sum(euclidean(F.col("vector"), F.col("cvec"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return (float(row["s"] or 0.0), int(row["n"]))
+
+
+def _ivf_stats_write(spark, path: str, err_sum: float, n: int) -> None:
+    spark.createDataFrame(
+        [(float(err_sum), int(n))], "err_sum double, n long"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _ivf_stats_read(spark, path: str):
+    try:
+        r = spark.read.parquet(f"{path}/stats").first()
+        return (float(r["err_sum"]), int(r["n"]))
+    except Exception:
+        return None
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    drift_threshold: float = 0.25,
+    retrain: str = "auto",
+    n_cells: int | None = None,
+    iters: int = 3,
+) -> dict:
+    """Incremental ingest for the IVF family (round-5 verdict item 5
+    — `add_documents`' LSM covers the BSP tree; this is the
+    assign-on-append story for the inverted file): new rows are
+    assigned to the EXISTING centroids (`_assign_cells`, one dgemm
+    pass) and appended to the per-cell parquet layout, so
+    append-then-search is IDENTICAL to re-assigning the whole corpus
+    under those centroids — no search-time merge logic, the layout
+    stays the layout.
+
+    Drift contract: the batch's mean quantization error is compared
+    to the running mean recorded in `{path}/stats` (updated as
+    running sums — never a full-table repass per append). When the
+    batch mean exceeds ``(1 + drift_threshold) ×`` the base mean, the
+    distribution has moved away from the trained centroids and
+    ``retrain='auto'`` rebuilds centroids over the FULL stored corpus
+    (`ivf_build`) and rewrites the layout; ``'never'`` only reports
+    the drift flag (recall of future appends degrades gracefully —
+    cells just get wider); ``'always'`` rebuilds unconditionally.
+
+    Returns {'appended', 'batch_err', 'base_err', 'drift',
+    'retrained'} — `drift` is batch_mean/base_mean − 1 (0.0 when the
+    base is empty or stats are missing).
+    """
+    if retrain not in ("auto", "never", "always"):
+        raise ValueError(f"retrain must be auto|never|always, got {retrain!r}")
+    stored, centroids = ivf_read(spark, path)
+    # conform the batch to the STORED layout's physical types — a
+    # double-typed batch appended into a float layout leaves mixed
+    # parquet files the reader refuses (PARQUET_COLUMN_DATA_TYPE_
+    # MISMATCH); the storage precision is the layout's contract
+    vecs = new_df.select(
+        F.col(id_col)
+        .cast(stored.schema["id"].dataType)
+        .alias("id"),
+        F.col(vector_col)
+        .cast(stored.schema["vector"].dataType)
+        .alias("vector"),
+    )
+    assigned = _assign_cells(vecs, centroids)
+    # stabilize the kernel output: written rows and the stats pass
+    # must see the SAME assignment (lineage would otherwise recompute)
+    assigned = assigned.localCheckpoint()
+    batch_sum, batch_n = _ivf_err_stats(assigned, centroids)
+    if batch_n == 0:
+        return {
+            "appended": 0, "batch_err": 0.0, "base_err": 0.0,
+            "drift": 0.0, "retrained": False,
+        }
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+
+    base = _ivf_stats_read(spark, path)
+    if base is None:
+        # legacy layout written before stats existed: derive the base
+        # from everything on disk EXCEPT this batch (one catch-up
+        # pass, then running sums take over)
+        all_sum, all_n = _ivf_err_stats(
+            spark.read.parquet(f"{path}/vectors"), centroids
+        )
+        base = (all_sum - batch_sum, all_n - batch_n)
+    base_sum, base_n = base
+    batch_err = batch_sum / batch_n
+    base_err = (base_sum / base_n) if base_n > 0 else 0.0
+    drift = (batch_err / base_err - 1.0) if base_err > 0 else 0.0
+    _ivf_stats_write(spark, path, base_sum + batch_sum, base_n + batch_n)
+
+    do_retrain = retrain == "always" or (
+        retrain == "auto" and drift > drift_threshold
+    )
+    if do_retrain:
+        full = spark.read.parquet(f"{path}/vectors").select("id", "vector")
+        # break lineage from the files about to be overwritten
+        full = full.localCheckpoint()
+        k = n_cells if n_cells is not None else len(centroids)
+        re_assigned, re_cents = ivf_build(full, n_cells=k, iters=iters)
+        ivf_write(re_assigned, re_cents, path)
+        s, n = _ivf_err_stats(spark.read.parquet(f"{path}/vectors"), re_cents)
+        _ivf_stats_write(spark, path, s, n)
+    return {
+        "appended": batch_n,
+        "batch_err": round(batch_err, 6),
+        "base_err": round(base_err, 6),
+        "drift": round(drift, 6),
+        "retrained": bool(do_retrain),
+    }
+
+
 def ivfadc_write(
     codes_df: DataFrame,
     centroids: list[list[float]],
