@@ -1771,41 +1771,93 @@ def m03_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m02_frame_sample")  # video payloads: rows-only check
+_M02_N_MEDIA = 24
+_M02_W, _M02_H = 16, 12
+
+
+@query(
+    "m02_frame_sample",
+    oracle=f"""
+WITH d AS (SELECT m AS media_id, (3 + m % 3) AS nf
+           FROM (SELECT unnest(range({_M02_N_MEDIA})) AS m)),
+f AS (SELECT media_id, unnest(range(0, nf, 2)) AS fi FROM d),
+j AS (SELECT media_id, unnest(range(nf * 3 * {_M02_W * _M02_H})) AS jj
+      FROM d),
+b AS (SELECT media_id,
+        ('0x' || substr(md5('v' || media_id || ':' || (jj // 16)),
+                        ((jj % 16) * 2 + 1)::INT, 2))::INT AS byte,
+        (jj // (3 * {_M02_W * _M02_H})) AS frame,
+        ((jj % (3 * {_M02_W * _M02_H})) // {_M02_W * _M02_H}) AS plane
+      FROM j),
+ps AS (SELECT media_id, frame,
+         sum(CASE WHEN plane = 0 THEN byte END) AS y_sum,
+         sum(CASE WHEN plane = 1 THEN byte END) AS u_sum,
+         sum(CASE WHEN plane = 2 THEN byte END) AS v_sum
+       FROM b WHERE frame % 2 = 0 GROUP BY media_id, frame)
+SELECT f.media_id::BIGINT AS media_id, f.fi::INT AS frame_idx,
+       (f.fi * 100)::BIGINT AS ts_ms,
+       {_M02_W}::INT AS width, {_M02_H}::INT AS height,
+       (length('P6' || chr(10) || '{_M02_W} {_M02_H}' || chr(10)
+               || '255' || chr(10)) + 3 * {_M02_W * _M02_H})::BIGINT
+         AS n_bytes,
+       ps.y_sum::BIGINT AS y_sum, ps.u_sum::BIGINT AS u_sum,
+       ps.v_sum::BIGINT AS v_sum
+FROM f JOIN ps ON ps.media_id = f.media_id AND ps.frame = f.fi
+""",
+)
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: decode YUV4MPEG2 videos in `mapInPandas`, emit
-    every 2nd frame re-encoded as P6 PPM, then run the sampled frames
-    through the IMAGE featurizer — the compose-with-image-operators
-    contract the training pipeline needs. Rows-only gate (no media
-    decode in DuckDB)."""
+    """Frame sampling with an EXACT oracle (round-5 verdict item 8 —
+    the m06 seeded-md5 pattern applied to the SAMPLED subset): the
+    REAL `sample_frames` kernel decodes every 2nd frame of the seeded
+    Y4M corpus and re-encodes it as P6 PPM; the gate outputs pure
+    container math — sampled frame indices, exact timestamps
+    (fps=10 ⇒ ts_ms = 100·fi, exact in float), P6 payload size
+    (header + 3wh bytes), and the container plane sums of exactly
+    those frames (`video_plane_sums` joined on the sampled index —
+    the inner join proves the sampler's indices align with the
+    container's FRAME layout). The BT.601 float pixel CONTENT stays
+    rows-only in m01 (colorspace physics); every number here is an
+    integer both engines reconstruct. Compose-with-image-operators
+    (image_features over sampled frames) remains covered by m01 and
+    tests/test_sources.py."""
     from vector_database_spark.sources.multimodal import (
-        image_features,
         sample_frames,
-        sample_media,
+        seeded_y4m_media,
+        video_plane_sums,
     )
 
-    media = sample_media(spark, n=24)
-    frames = sample_frames(media, every=2)
-
-    def feat(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "frame_idx": pdf["frame_idx"].astype("int32"),
-                    "ts_ms": pdf["ts_ms"].astype("int64"),
-                    "f0": [
-                        round(image_features(bytes(p))[0], 4)
-                        for p in pdf["payload"]
-                    ],
-                }
-            )
-
-    return (
-        frames.mapInPandas(feat, "media_id long, frame_idx int, ts_ms long, f0 double")
-        .orderBy("media_id", "frame_idx")
+    media = seeded_y4m_media(spark, n=_M02_N_MEDIA)
+    frames = sample_frames(media, every=2).select(
+        "media_id",
+        "frame_idx",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    ps = (
+        video_plane_sums(media)
+        .where(F.col("frame") % 2 == 0)
+        .groupBy("media_id", "frame")
+        .agg(
+            F.sum(F.when(F.col("plane") == 0, F.col("psum"))).alias("y_sum"),
+            F.sum(F.when(F.col("plane") == 1, F.col("psum"))).alias("u_sum"),
+            F.sum(F.when(F.col("plane") == 2, F.col("psum"))).alias("v_sum"),
+        )
+    )
+    return frames.join(
+        ps,
+        (frames.media_id == ps.media_id) & (frames.frame_idx == ps.frame),
+    ).select(
+        frames.media_id,
+        "frame_idx",
+        "ts_ms",
+        "width",
+        "height",
+        "n_bytes",
+        F.col("y_sum").cast("long").alias("y_sum"),
+        F.col("u_sum").cast("long").alias("u_sum"),
+        F.col("v_sum").cast("long").alias("v_sum"),
     )
 
 
