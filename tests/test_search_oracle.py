@@ -297,3 +297,50 @@ def test_cosine_search_equals_brute(spark, embeddings):
     assert got == want and got
     # the query point itself always matches at cos = 1
     assert (3, 3) in got and (99, 99) in got
+
+
+def test_maxsim_matches_numpy_and_candidate_refine(spark, embeddings):
+    """maxsim_topk == a numpy MaxSim replay (sum over query tokens of
+    the max dot product per doc), and restricting to a candidate set
+    that contains the true top-k (the ANN-front refine contract)
+    returns the identical ranking."""
+    import numpy as np
+
+    from vector_database_spark.operators.search import maxsim_topk
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("vec_id") < 256)
+    docs = vecs.select(
+        F.expr("id div 8").alias("doc_id"), "id", "vector"
+    )
+    queries = docs.where(F.col("doc_id") == 3).select(
+        F.col("doc_id").alias("qid"),
+        F.col("id").alias("qtok"),
+        F.col("vector").cast("array<double>").alias("qvec"),
+    )
+    got = maxsim_topk(docs, queries, k=4, metric="dot").collect()
+
+    rows = docs.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            np.asarray(r.vector, dtype=np.float64)
+        )
+    Q = [np.asarray(r.qvec) for r in sorted(queries.collect(), key=lambda r: r.qtok)]
+    scores = {
+        d: sum(max(float(q @ v) for v in vs) for q in Q)
+        for d, vs in by_doc.items()
+    }
+    want = sorted(scores, key=lambda d: (-scores[d], d))[:4]
+    assert [r.doc for r in sorted(got, key=lambda r: r.rank)] == want
+    for r in got:
+        assert abs(r.score - scores[r.doc]) < 1e-6
+
+    cand = spark.createDataFrame([(d,) for d in want], "doc_id long")
+    refined = maxsim_topk(
+        docs, queries, k=4, metric="dot", candidate_docs=cand
+    ).collect()
+    assert {(r.qid, r.doc, r.rank) for r in refined} == {
+        (r.qid, r.doc, r.rank) for r in got
+    }

@@ -1148,3 +1148,86 @@ def cosine_search(
         .where(F.col("cos_sim") >= F.lit(t))
         .select("qid", "id", "cos_sim")
     )
+
+
+def maxsim_topk(
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    doc_col: str = "doc_id",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    metric: str = "dot",
+    where=None,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-vector (late-interaction / ColBERT-style) retrieval:
+    documents are BAGS of vectors, queries are bags of token vectors
+    (``queries_df``: (qid, qtok, qvec)), and
+    ``score(q, d) = Σ_qtok max_dvec sim(qvec, dvec)`` (MaxSim).
+    Returns ``(qid, doc, score, rank)`` — the exact top-k docs per
+    query under `metric` ('dot' | 'cosine').
+
+    Shape: one crossJoin against the BROADCAST query-token panel
+    (distances inside the scan stage, same regime as `knn`), a
+    (qid, qtok, doc) max — map-side combinable, buffers are one
+    double — then a (qid, doc) fold. The cross-token sum is computed
+    as a left-to-right fold over the qtok-SORTED collected list
+    (bounded by the query's token count), NOT a float sum aggregate:
+    float addition is order-sensitive and an unordered sum would not
+    be replayable by an external engine — the same determinism rule
+    every exact-oracle gate here follows.
+
+    Scale paths: `where` filters the vector table before scoring
+    (filter-then-rank, pushed to the scan); `candidate_docs` (a
+    DataFrame of `doc_col`) restricts exact scoring to a candidate
+    set — the refine stage behind a per-token ANN front (probe each
+    query token via `ann.ivf_knn`, union the hit docs, refine here),
+    which is how late-interaction engines scale past brute force.
+    """
+    from vector_database_spark.functions.vector import dot
+
+    if metric not in ("dot", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        vectors_df = vectors_df.where(pred)
+    vecs = vectors_df.select(
+        F.col(doc_col).cast("long").alias("doc"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).alias("_vec"),
+    )
+    if candidate_docs is not None:
+        cands = candidate_docs.select(
+            F.col(doc_col).cast("long").alias("doc")
+        ).distinct()
+        vecs = vecs.join(F.broadcast(cands), "doc", "left_semi")
+    sim = (
+        dot(F.col("_vec"), F.col("qvec"))
+        if metric == "dot"
+        else cosine_similarity(F.col("_vec"), F.col("qvec"))
+    )
+    per_tok = (
+        vecs.crossJoin(F.broadcast(queries_df))
+        .groupBy("qid", "qtok", "doc")
+        .agg(F.max(sim).alias("ms"))
+    )
+    scored = per_tok.groupBy("qid", "doc").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qtok", "ms"))),
+                lambda s: s["ms"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "doc", "score", "rank")
+    )

@@ -204,11 +204,16 @@ def pack_sequences(
 
     cap = int(capacity)
     ident = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    # explicit ASCII whitespace class, not \s+: Java regex \s includes
+    # \x0B while RE2 (the DuckDB oracle) does not — the t14 hazard
+    # class; the explicit class is identical in Java/RE2/python-re
     n_tok = F.when(
         F.col(text_col).isNull()
         | (F.length(F.trim(F.col(text_col))) == 0),
         F.lit(0),
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    ).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), "[\\t\\n\\f\\r ]+"))
+    )
     slim = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(h60(ident), F.lit(int(n_shards))).cast("int").alias("shard"),

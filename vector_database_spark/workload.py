@@ -3438,6 +3438,71 @@ def v19_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V20_QDOCS = "0, 7"
+_V20_TOKS_PER_DOC = 8
+_V20_K = 5
+
+
+@query(
+    "v20_maxsim",
+    oracle=f"""
+WITH v AS (SELECT vec_id // {_V20_TOKS_PER_DOC} AS doc, vec_id, embedding
+           FROM embeddings),
+q AS (SELECT vec_id // {_V20_TOKS_PER_DOC} AS qid, vec_id AS qtok,
+             embedding AS qv
+      FROM embeddings
+      WHERE vec_id // {_V20_TOKS_PER_DOC} IN ({_V20_QDOCS})),
+s AS (SELECT q.qid, q.qtok, v.doc,
+             max({_dot_sql('v.embedding', 'q.qv')}) AS ms
+      FROM v CROSS JOIN q GROUP BY 1, 2, 3),
+t AS (SELECT qid, doc, list_sum(list(ms ORDER BY qtok)) AS score
+      FROM s GROUP BY 1, 2),
+r AS (SELECT qid, doc, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc) AS rank
+      FROM t)
+SELECT qid::BIGINT AS qid, doc::BIGINT AS doc, rank::BIGINT AS rank,
+       round(score, 4) AS score
+FROM r WHERE rank <= {_V20_K}
+""",
+)
+def v20_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (`search.maxsim_topk`)
+    — the ColBERT-style MaxSim scoring a modern retrieval stack runs
+    over per-token document embeddings: docs are 8-vector bags carved
+    from the embeddings table (vec_id div 8), two docs serve as the
+    query panel, score = Σ over query tokens of the max dot product
+    over the doc's vectors. Exact oracle: per-pair dot products are
+    the bit-exact left-to-right fold both engines share, the per-
+    (qid, qtok, doc) max is order-free, and the cross-token sum folds
+    in qtok-SORTED order on BOTH sides (Spark array_sort(collect_
+    list)→aggregate == DuckDB list(ms ORDER BY qtok)→list_sum) —
+    float addition is order-sensitive, so an unordered SUM() would
+    not be oracle-able. Ranks use the full-precision score with a
+    doc tie-break before any rounding."""
+    from vector_database_spark.operators.search import maxsim_topk
+
+    vecs = _embeddings(spark, sf_dir)
+    docs = vecs.select(
+        F.expr(f"id div {_V20_TOKS_PER_DOC}").alias("doc_id"),
+        "id",
+        "vector",
+    )
+    qdocs = [int(x) for x in _V20_QDOCS.split(",")]
+    queries = docs.where(F.col("doc_id").isin(qdocs)).select(
+        F.col("doc_id").alias("qid"),
+        F.col("id").alias("qtok"),
+        F.col("vector").cast("array<double>").alias("qvec"),
+    )
+    res = maxsim_topk(docs, queries, k=_V20_K, metric="dot")
+    return res.select(
+        "qid",
+        "doc",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 @query(
     "s06_quantile_two_pass",
     oracle="""
@@ -4423,7 +4488,8 @@ _P08_SHARDS = 16
 WITH RECURSIVE t AS (
   SELECT doc_id,
          CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE length(regexp_split_to_array(trim(text),
+                                                '[\\t\\n\\f\\r ]+'))
          END AS n_tok,
          (('0x' || substr(md5('pack:' || doc_id), 18, 15))::BIGINT
           % {_P08_SHARDS}) AS shard
@@ -4771,6 +4837,7 @@ _DRIVER_TAIL = [
     "m05_audio_blocks",       # multimodal family: m04 stays in the head
     "m06_video_planes",       # multimodal family: m04 stays in the head
     "v19_filtered_search",    # tree-search family: v01 stays in the head
+    "v20_maxsim",             # similarity family: v03/v04 kNN stay in the head
 ]
 
 
