@@ -1231,3 +1231,62 @@ def maxsim_topk(
         .where(F.col("rank") <= int(k))
         .select("qid", "doc", "score", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int,
+    *,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid-retrieval fusion: Reciprocal Rank Fusion of N retriever
+    rankings (each ``(qid, id, rank)`` — e.g. dense kNN + BM25).
+    ``score(d) = Σ_lists 1/(k0 + rank_list(d))`` over the lists that
+    returned d; returns the fused ``(qid, id, n_lists, score, rank)``
+    top-k per query. RRF (Cormack et al.) is the standard way modern
+    vector databases combine lexical and vector hits without score
+    calibration — only ranks enter the formula.
+
+    Determinism: each reciprocal term is one exact-rounded double
+    division, and the cross-list sum folds in retriever-index order
+    (the v20 rule), so fused scores — and therefore ranks, tie-broken
+    by id — are bit-identical on any engine. Shape: one union of the
+    slim rank lists, one map-side-combinable aggregate, one per-qid
+    top-k window; input lists are already top-k-bounded, so the whole
+    fusion moves O(queries × k × lists) rows."""
+    from functools import reduce
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        df.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("id").cast("long").alias("id"),
+            F.lit(int(i)).alias("src"),
+            F.col("rank").cast("long").alias("r"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    u = u.withColumn(
+        "c", F.lit(1.0) / (F.lit(float(k0)) + F.col("r"))
+    )
+    scored = u.groupBy("qid", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "id", "n_lists", "score", "rank")
+    )

@@ -801,3 +801,91 @@ def bigram_lm_score(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Sparse lexical retrieval — BM25 with the RATIONAL idf
+    (the t07 trade: ``(N - df + 0.5)/(df + 0.5) + 1`` instead of its
+    log, a monotone per-term transform that keeps every value inside
+    exact-rounded double arithmetic so an external SQL engine can
+    replay scores bit-for-bit; libm log is not cross-engine stable).
+    Returns ``(id, n_matched, score, rank)`` for documents matching
+    at least one query term, ranked by (score desc, id).
+
+    Okapi term saturation is standard: ``tf·(k1+1) / (tf + k1·(1 − b
+    + b·dl/avgdl))``; ``avgdl`` is Σdl/N over the WHOLE corpus
+    (empty/null docs count in N with dl 0). The cross-term sum folds
+    in term-SORTED order (the v20 rule — float addition is
+    order-sensitive), so ranks are deterministic everywhere.
+
+    Scale shape: tokens explode once, the tf aggregate is restricted
+    to the broadcast query-term set before any shuffle, df/dl are
+    map-side-combinable aggregates, and nothing collects beyond two
+    scalar corpus stats. Pair with `inverted_index` for a persisted
+    posting-list layout, and fuse with dense kNN via
+    `search.rrf_fuse` for hybrid retrieval.
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted({str(t) for t in query_terms})
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[\\t\\n\\f\\r ]+")
+    ex = (
+        df.select(F.col(id_col).cast("long").alias("id"), toks.alias("_t"))
+        .select("id", F.explode("_t").alias("term"))
+        .where(F.col("term") != "")
+    )
+    ex = ex.localCheckpoint(eager=False)
+    dl = ex.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("s")).first()
+    n_docs = df.count()
+    total_toks = int(stats["s"] or 0)
+    avgdl = total_toks / n_docs if n_docs else 1.0
+
+    qx = ex.where(F.col("term").isin(terms))
+    tf = qx.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        qx.select("id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    ) + F.lit(1.0)
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0)
+        - F.lit(float(b))
+        + F.lit(float(b)) * (F.col("dl") / F.lit(float(avgdl)))
+    )
+    contrib = idf * ((F.col("tf") * F.lit(float(k1) + 1.0)) / denom)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .withColumn("contrib", contrib)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    lambda s: s["contrib"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= int(k))
+    return out.select("id", "n_matched", "score", "rank")

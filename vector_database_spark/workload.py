@@ -3503,6 +3503,130 @@ def v20_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T16_TERMS = ["filter", "hash", "join", "merge"]
+_T16_IN = "(" + ", ".join(f"'{t}'" for t in _T16_TERMS) + ")"
+# float literals inlined via repr (the a02 exact round-trip rule):
+# the engine computes k1+1 in Python; the oracle must see the SAME
+# double, not a re-parsed decimal that could round the other way
+_T16_K1, _T16_B, _T16_K1P1 = repr(1.2), repr(0.75), repr(1.2 + 1.0)
+
+# shared CTE chain: BM25 with rational idf over `documents`, replayed
+# term-for-term (used by both t16 and v21's sparse leg)
+_T16_CTES = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)),
+                                      '[\\t\\n\\f\\r ]+')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t2 GROUP BY 1),
+st AS (SELECT (SELECT sum(dl)::DOUBLE FROM dl)
+                / (SELECT count(*) FROM documents) AS avgdl,
+              (SELECT count(*) FROM documents)::DOUBLE AS n),
+qx AS (SELECT doc_id, term FROM t2 WHERE term IN {_T16_IN}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM qx GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM qx GROUP BY 1),
+bc AS (SELECT tf.doc_id, tf.term,
+         ((st.n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         * ((tf * {_T16_K1P1}::DOUBLE)
+            / (tf + {_T16_K1}::DOUBLE
+                 * (1.0::DOUBLE - {_T16_B}::DOUBLE
+                    + {_T16_B}::DOUBLE * (dl.dl / st.avgdl)))) AS contrib
+       FROM tf JOIN dfq USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id, st),
+bs AS (SELECT doc_id, count(*)::BIGINT AS n_matched,
+              list_sum(list(contrib ORDER BY term)) AS score
+       FROM bc GROUP BY 1),
+br AS (SELECT doc_id, n_matched, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       FROM bs)"""
+
+
+@query(
+    "t16_bm25",
+    oracle=f"""
+WITH {_T16_CTES}
+SELECT doc_id::BIGINT AS id, n_matched, score, rank::BIGINT AS rank
+FROM br WHERE rank <= 20
+""",
+)
+def t16_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (`tx.bm25_scores`): Okapi BM25 with
+    the RATIONAL idf — t07's no-log trade applied to the full BM25
+    term-saturation formula, so every score is a chain of
+    exact-rounded double ops both engines replay bit-for-bit (the
+    cross-term sum folds in term-sorted order; scores ship UNROUNDED
+    because they are bit-identical). Completes the retrieval triangle:
+    dense kNN (v03/v04), late interaction (v20), lexical (t16) —
+    fused in v21."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_scores(docs, _T16_TERMS, k=20).select(
+        "id", "n_matched", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "v21_hybrid_rrf",
+    oracle=f"""
+WITH {_T16_CTES},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id = 3),
+dd AS (SELECT q.qid, e.vec_id AS id,
+              1.0 - {_cos_sql('e.embedding', 'q.qv')} AS d
+       FROM embeddings e CROSS JOIN q WHERE e.vec_id < 500),
+dr AS (SELECT qid, id,
+              row_number() OVER (PARTITION BY qid ORDER BY d, id) AS r
+       FROM dd),
+u AS (SELECT qid, id, 0 AS src, r FROM dr WHERE r <= 20
+      UNION ALL
+      SELECT 3 AS qid, doc_id AS id, 1 AS src, rank AS r
+      FROM br WHERE rank <= 20),
+f AS (SELECT qid, id, count(*)::BIGINT AS n_lists,
+             list_sum(list(1.0::DOUBLE / (60.0::DOUBLE + r)
+                           ORDER BY src)) AS score
+      FROM u GROUP BY 1, 2),
+fr AS (SELECT qid, id, n_lists, score,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, id) AS rank
+       FROM f)
+SELECT qid::BIGINT AS qid, id::BIGINT AS id, n_lists, score,
+       rank::BIGINT AS rank
+FROM fr WHERE rank <= 10
+""",
+)
+def v21_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (`search.rrf_fuse`): dense cosine kNN over the
+    embedding table (doc universe vec_id < 500) fused with t16's BM25
+    lexical ranking by Reciprocal Rank Fusion — the
+    calibration-free dense+sparse combination modern vector databases
+    ship as their hybrid mode. Only RANKS enter the fusion, each
+    reciprocal term is one exact-rounded division, and the cross-list
+    sum folds in retriever order, so the fused scores hash-match the
+    full SQL replay of both retrievers plus the fusion."""
+    from vector_database_spark.operators.search import knn, rrf_fuse
+
+    vecs = _embeddings(spark, sf_dir).where(F.col("id") < 500)
+    qvec = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id") == 3).collect()
+    ]
+    dense = knn(vecs, qvec, 20, metric="cosine").select("qid", "id", "rank")
+    docs = _t(spark, sf_dir, "documents")
+    sparse = tx.bm25_scores(docs, _T16_TERMS, k=20).select(
+        F.lit(3).cast("long").alias("qid"), "id", "rank"
+    )
+    fused = rrf_fuse([dense, sparse], k=10)
+    return fused.select(
+        "qid",
+        "id",
+        "n_lists",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @query(
     "s06_quantile_two_pass",
     oracle="""
@@ -4838,6 +4962,8 @@ _DRIVER_TAIL = [
     "m06_video_planes",       # multimodal family: m04 stays in the head
     "v19_filtered_search",    # tree-search family: v01 stays in the head
     "v20_maxsim",             # similarity family: v03/v04 kNN stay in the head
+    "t16_bm25",               # text/retrieval family: t07 tf-idf stays
+    "v21_hybrid_rrf",         # retrieval-fusion family: v03/v04 + t16 stay
 ]
 
 
