@@ -224,6 +224,28 @@ CHECKS = {
         "BPE encoding under a fixed vocab: ONE Arrow kernel pass over "
         "a column-pruned scan, zero shuffles",
     ),
+    "t16_bm25": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "BM25: one token explode into map-side-combinable tf/df/dl "
+        "aggregates, df broadcast back, JVM-only expressions — no "
+        "quadratic step, no Python eval",
+    ),
+    "d10_containment": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "containment pairs: inverted-index equi-join candidates, one "
+        "intersection count per unordered pair — never an all-pairs "
+        "product",
+    ),
+    "v21_hybrid_rrf": (
+        [],
+        ["CartesianProduct", "SortMergeJoin"],
+        "RRF fusion: union of two slim top-k rank lists + one "
+        "aggregate + one per-qid window (the dense leg's broadcast "
+        "panel cross join is the deliberate knn scan shape)",
+    ),
     "v19_filtered_search": (
         ["% 3) = 0",
          "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],

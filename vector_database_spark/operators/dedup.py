@@ -374,6 +374,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 5000,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs: ``(src_id, dst_id,
+    containment)`` with ``C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥
+    threshold`` — the asymmetric companion to d04's Jaccard. Jaccard
+    misses subset duplication (a short doc fully quoted inside a long
+    one scores |a|/|b| ≈ 0), which is exactly the quote/boilerplate-
+    expansion case a training-data pipeline wants to catch;
+    containment scores it 1.0 regardless of the size ratio.
+
+    Same scale shape as `ngram_jaccard_pairs`: any pair with C ≥ t >
+    0 shares a shingle, so candidates come from the inverted-index
+    equi-join (with the same `max_shingle_df` hot-shingle cap, same
+    exactness caveat), intersections are counted once per UNORDERED
+    pair, and both directions are emitted from that single count
+    divided by the respective source size."""
+    inv = shingles if shingles is not None else shingle_rows(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).persist()
+    join_inv = inv
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(int(max_shingle_df)))
+            .select("shingle")
+        )
+        join_inv = inv.join(hot, "shingle", "left_anti")
+    cand = (
+        join_inv.alias("a")
+        .join(join_inv.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.select(F.col("id").alias("a_id"), "shingle")
+    b = inv.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"),
+            "b_id",
+        )
+    )
+    both = j.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        (F.col("inter").cast("double") / F.col("sa").cast("double")).alias(
+            "containment"
+        ),
+    ).unionByName(
+        j.select(
+            F.col("b_id").alias("src_id"),
+            F.col("a_id").alias("dst_id"),
+            (F.col("inter").cast("double") / F.col("sb").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+    return both.where(F.col("containment") >= F.lit(float(threshold)))
+
+
 # SWAR lane geometry for the packed simhash aggregate: 3 bit-counters
 # of 20 bits per long. A lane overflows only past 2^20 distinct
 # shingles in ONE document (~a 4 MB single doc) — beyond the operating

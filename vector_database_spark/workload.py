@@ -498,6 +498,45 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
 
+_D10_CONTAIN_T = 0.5
+
+
+@query(
+    "d10_containment",
+    oracle=f"""
+WITH {{_SHINGLES_CTE}},
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+             len(a.s)::BIGINT AS sa, len(b.s)::BIGINT AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+d AS (SELECT a_id AS src_id, b_id AS dst_id,
+             inter::DOUBLE / sa::DOUBLE AS containment
+      FROM p
+      UNION ALL
+      SELECT b_id AS src_id, a_id AS dst_id,
+             inter::DOUBLE / sb::DOUBLE AS containment
+      FROM p)
+SELECT src_id, dst_id, round(containment, 4) AS containment
+FROM d WHERE containment >= {_D10_CONTAIN_T}
+""".format(_SHINGLES_CTE=_SHINGLES_CTE),
+)
+def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dup pairs
+    (`dedup.containment_pairs`): the asymmetric dedup signal Jaccard
+    misses — a short doc fully quoted inside a long one scores
+    C = 1.0 here but |a|/|b| ≈ 0 in d04. Same inverted-index
+    candidate shape as d04 (never quadratic), intersections counted
+    once per unordered pair, both directions divided out of that one
+    count. Exact integer-ratio oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.containment_pairs(
+        docs, threshold=_D10_CONTAIN_T, shingles=_doc_shingles(spark, sf_dir)
+    )
+    return pairs.select(
+        "src_id", "dst_id", F.round("containment", 4).alias("containment")
+    )
+
+
 @query(
     "d05_embedding_neardup",
     oracle=f"""
@@ -4964,6 +5003,7 @@ _DRIVER_TAIL = [
     "v20_maxsim",             # similarity family: v03/v04 kNN stay in the head
     "t16_bm25",               # text/retrieval family: t07 tf-idf stays
     "v21_hybrid_rrf",         # retrieval-fusion family: v03/v04 + t16 stay
+    "d10_containment",        # dedup family: d01-d08 stay in the head
 ]
 
 
