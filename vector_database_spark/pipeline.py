@@ -253,3 +253,58 @@ def pack_sequences(
         kern,
         "doc_id long, shard int, n_tok long, pack_id long, seq_offset long",
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    alpha: float = 0.5,
+    target_total: int = 200,
+) -> DataFrame:
+    """Temperature-scaled source-mixing quotas — the multilingual /
+    multi-domain data-mixing rule (UniMax-style): stratum s gets
+    ``quota_s = min(floor(T · n_s^α / Σ_t n_t^α), n_s)``. α = 1
+    is proportional sampling, α = 0 uniform; α = 0.5 (the default)
+    is the square-root temperature that upweights small sources
+    without flooding the mix — and is also the cross-engine-exact
+    choice: sqrt is IEEE exact-rounded everywhere, while a general
+    pow() goes through libm (engine-only; don't gate other alphas).
+
+    The per-stratum counts are a tiny driver-side collect (one row
+    per source — the bounded-smallness rule centroids follow); the
+    normalizer folds in SORTED strata order so an external SQL
+    replay (`list_sum(list(sqrt(n) ORDER BY source))`) is
+    bit-identical. Feed the result straight into
+    `sketch.stratified_sample` for the deterministic hash-rank draw.
+    """
+    import math
+
+    a = float(alpha)
+    rows = sorted(
+        df.groupBy(*strata_cols).count().collect(),
+        key=lambda r: tuple(r[c] for c in strata_cols),
+    )
+    if not rows:
+        raise ValueError("temperature_quotas: empty input")
+
+    def w(n: int) -> float:
+        if a == 0.5:
+            return math.sqrt(float(n))
+        if a == 1.0:
+            return float(n)
+        if a == 0.0:
+            return 1.0
+        return math.pow(float(n), a)
+
+    z = 0.0
+    for r in rows:  # sorted-strata fold order — the oracle's list_sum
+        z += w(int(r["count"]))
+    t = float(int(target_total))
+    out = [
+        tuple(r[c] for c in strata_cols)
+        + (min(int(math.floor(t * w(int(r["count"])) / z)), int(r["count"])),)
+        for r in rows
+    ]
+    schema = ", ".join(f"{c} string" for c in strata_cols) + ", quota long"
+    return df.sparkSession.createDataFrame(out, schema)

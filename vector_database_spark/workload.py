@@ -2906,6 +2906,48 @@ def p03_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P09_TARGET = 200
+_P09_QUOTA_SQL = """
+SELECT source,
+       least(floor(200.0::DOUBLE * sqrt(n::DOUBLE) / z)::BIGINT, n) AS quota
+FROM (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1) qs,
+     (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY source)) AS z
+      FROM (SELECT source, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1)) tot
+"""
+
+
+@query(
+    "p09_temperature_mix",
+    oracle=(
+        "SELECT source, doc_id, rank::BIGINT AS rank FROM ("
+        + sk.stratified_sample_sql(
+            "documents", ["source"], "doc_id", _P09_QUOTA_SQL
+        )
+        + ")"
+    ),
+)
+def p09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (`pipeline.temperature_quotas`
+    + the p03 hash-rank draw): quota_s = min(floor(T·√n_s / Σ√n_t),
+    n_s) — the UniMax-style α=0.5 temperature that upweights small
+    sources without flooding the mix. α=0.5 is deliberately the
+    cross-engine-exact temperature (sqrt is IEEE exact-rounded; a
+    general pow() is libm — engine-only); the normalizer folds in
+    sorted-source order on both sides, so quota computation AND the
+    draw hash-match the SQL replay."""
+    from vector_database_spark.pipeline import temperature_quotas
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = temperature_quotas(
+        docs, ["source"], alpha=0.5, target_total=_P09_TARGET
+    )
+    out = sk.stratified_sample(docs, ["source"], "doc_id", quotas)
+    return out.select(
+        "source", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @query(
     "p04_chunk_documents",
     oracle="""
@@ -5004,6 +5046,7 @@ _DRIVER_TAIL = [
     "t16_bm25",               # text/retrieval family: t07 tf-idf stays
     "v21_hybrid_rrf",         # retrieval-fusion family: v03/v04 + t16 stay
     "d10_containment",        # dedup family: d01-d08 stay in the head
+    "p09_temperature_mix",    # sampling family: p03 quota draw stays
 ]
 
 
