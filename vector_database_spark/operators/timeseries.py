@@ -755,3 +755,61 @@ def finalize_rollup(level: DataFrame) -> DataFrame:
         "max_value",
         *tail,
     )
+
+
+def seasonal_count_anomalies(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    period_s: int = 86_400,
+    flag_factor: int = 2,
+) -> DataFrame:
+    """Volume anomalies against the seasonal baseline — e14's
+    companion on the COUNT axis: every concrete (keys, bucket) cell is
+    compared to its phase's average volume ("did THIS Tuesday 15:00
+    see more than ``flag_factor``× the usual 15:00 event count").
+    Returns every bucket: ``(keys…, bucket_s, phase, c, n_buckets,
+    total, anomaly)`` where ``anomaly ⇔ c · n_buckets > flag_factor ·
+    total`` — an all-integer cross-multiplication (DECIMAL(38,0)
+    buffers: the i64 product of two counts can overflow at 100 TB), so
+    no float division is ever compared and any engine replays the
+    flags bit-for-bit. Bucketing and phasing are the repo's floor-safe
+    integer forms (pre-epoch timestamps bucket and phase correctly).
+
+    Shape: two map-side-combinable hash aggregates (per-bucket counts,
+    then per-phase baselines over the ALREADY-bucketed rows — the raw
+    table is scanned once) + one broadcast join of the tiny baseline
+    table. No windows, no big-side shuffle joins."""
+    kp = [str(k) for k in key_cols]
+    n_phases = int(period_s) // int(bucket_s)
+    prepared = events.select(
+        *kp, time_bucket_s(events, ts_col, int(bucket_s)).alias("bucket_s")
+    )
+    per_bucket = prepared.groupBy(*kp, "bucket_s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_bucket = per_bucket.withColumn(
+        "phase",
+        F.pmod(
+            (F.col("bucket_s") / F.lit(int(bucket_s))).cast("long"),
+            F.lit(n_phases),
+        ),
+    )
+    base = per_bucket.groupBy(*kp, "phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    return per_bucket.join(F.broadcast(base), [*kp, "phase"]).select(
+        *kp,
+        "bucket_s",
+        "phase",
+        "c",
+        "n_buckets",
+        "total",
+        (
+            F.col("c").cast("decimal(38,0)") * F.col("n_buckets")
+            > F.lit(int(flag_factor)) * F.col("total").cast("decimal(38,0)")
+        ).alias("anomaly"),
+    )

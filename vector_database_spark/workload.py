@@ -4270,6 +4270,51 @@ def e14_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e16_seasonal_anomaly",
+    oracle="""
+WITH b AS (SELECT event_type,
+             ((epoch_us(ts) - (((epoch_us(ts) % 3600000000) + 3600000000)
+                               % 3600000000)) // 3600000000) * 3600
+               AS bucket_s
+           FROM events),
+cb AS (SELECT event_type, bucket_s, count(*)::BIGINT AS c
+       FROM b GROUP BY 1, 2),
+cp AS (SELECT event_type, bucket_s, c,
+              ((((bucket_s % 86400) + 86400) % 86400) // 3600) AS phase
+       FROM cb),
+base AS (SELECT event_type, phase, count(*)::BIGINT AS n_buckets,
+                sum(c)::BIGINT AS total
+         FROM cp GROUP BY 1, 2)
+SELECT cp.event_type, cp.bucket_s::BIGINT AS bucket_s,
+       cp.phase::BIGINT AS phase, cp.c, base.n_buckets, base.total,
+       (cp.c::HUGEINT * base.n_buckets > 2 * base.total::HUGEINT)
+         AS anomaly
+FROM cp JOIN base USING (event_type, phase)
+""",
+)
+def e16_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket VOLUME anomalies vs the seasonal baseline
+    (`ts.seasonal_count_anomalies`) — e14's companion on the count
+    axis: every concrete (type, hour-bucket) cell vs its hour-of-day
+    average volume, flag ⇔ c·n_buckets > 2·total in all-integer
+    DECIMAL/HUGEINT cross-multiplication (the e14 rule: never compare
+    float division). Bucketing/phasing use the floor-mod forms that
+    survive pre-1970 regens. Two hash aggregates + one broadcast
+    join; the raw table is scanned once."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.seasonal_count_anomalies(ev)
+    return out.select(
+        "event_type",
+        "bucket_s",
+        F.col("phase").cast("long").alias("phase"),
+        "c",
+        "n_buckets",
+        "total",
+        "anomaly",
+    )
+
+
+@query(
     "r26_scd2_intervals",
     oracle="""
 SELECT user_id, event_id,
@@ -5047,6 +5092,7 @@ _DRIVER_TAIL = [
     "v21_hybrid_rrf",         # retrieval-fusion family: v03/v04 + t16 stay
     "d10_containment",        # dedup family: d01-d08 stay in the head
     "p09_temperature_mix",    # sampling family: p03 quota draw stays
+    "e16_seasonal_anomaly",   # events family: e01/e14 stay in the head
 ]
 
 
