@@ -567,3 +567,63 @@ def test_filtered_knn_ensure_k_recall_on_selective_predicate(spark, embeddings):
     for q in qids:  # every query fully satisfied
         assert sum(1 for r in got if r.qid == q) == k
     assigned.unpersist()
+
+
+def test_ivfadc_append_equals_oneshot_encode(spark, embeddings, tmp_path):
+    """Compressed-layout ingest: appending a batch through the stored
+    centroids/codebooks must equal one-shot encoding of the whole
+    corpus under that model — same cell AND same 8-byte code per row,
+    identical IVFADC search — and retrain on a codes-only layout must
+    refuse (the vectors needed to retrain are not stored)."""
+    import pytest as _pytest
+
+    from vector_database_spark.operators.ann import (
+        ivfadc_append,
+        ivfadc_build,
+        ivfadc_encode,
+        ivfadc_knn,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base = vecs.where(F.col("id") % 4 != 0)
+    batch = vecs.where(F.col("id") % 4 == 0)
+    codes, cents, books = ivfadc_build(base, n_cells=8, m=8, iters=2)
+    path = str(tmp_path / "ivfadc")
+    ivfadc_write(codes, cents, books, path)
+    info = ivfadc_append(spark, path, batch, retrain="never")
+    assert info["appended"] == batch.count() and not info["retrained"]
+
+    stored, c2, b2 = ivfadc_read(spark, path)
+    assert c2 == cents and b2 == books
+    want = {
+        (r.id, r.cell, bytes(r.code))
+        for r in ivfadc_encode(
+            vecs.select("id", F.col("vector").cast("array<float>").alias("vector")),
+            cents, books,
+        ).collect()
+    }
+    got = {(r.id, r.cell, bytes(r.code)) for r in stored.collect()}
+    assert got == want
+
+    qids = [3, 99]
+    qdf = _queries_df(spark, vecs, qids)
+    gk = {
+        (r.qid, r.id, r.rank)
+        for r in ivfadc_knn(stored, cents, books, qdf, k=10, nprobe=8).collect()
+    }
+    wk = {
+        (r.qid, r.id, r.rank)
+        for r in ivfadc_knn(
+            ivfadc_encode(vecs, cents, books), cents, books, qdf, k=10, nprobe=8
+        ).collect()
+    }
+    assert gk == wk
+
+    p2 = str(tmp_path / "ivfadc_codesonly")
+    ivfadc_write(codes, cents, books, p2, keep_vectors=False)
+    with _pytest.raises(ValueError, match="keep_vectors=False"):
+        ivfadc_append(spark, p2, batch, retrain="always")

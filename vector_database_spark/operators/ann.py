@@ -970,8 +970,25 @@ def ivfadc_build(
     ]
     cents = [[float(v) for v in c] for c in C]
 
+    return ivfadc_encode(vecs, cents, books), cents, books
+
+
+def ivfadc_encode(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """The fused assign+residual+PQ-encode pass under GIVEN
+    centroids/codebooks (one Arrow-batched dgemm chain per batch —
+    extracted from `ivfadc_build` so `ivfadc_append` can encode new
+    batches against a stored layout). Appends (cell, code) to the
+    input columns."""
     from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
+    cents = [[float(x) for x in c] for c in centroids]
+    books = [[[float(v) for v in c] for c in b] for b in codebooks]
+    dims = len(cents[0])
+    bounds = _subspace_bounds(dims, len(books))
     out_schema = StructType(
         list(vecs.schema.fields)
         + [StructField("cell", IntegerType()), StructField("code", BinaryType())]
@@ -1000,7 +1017,111 @@ def ivfadc_build(
             out["code"] = [c.tobytes() for c in codes]
             yield out
 
-    return vecs.mapInPandas(fused, out_schema), cents, books
+    return vecs.mapInPandas(fused, out_schema)
+
+
+def ivfadc_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    drift_threshold: float = 0.25,
+    retrain: str = "auto",
+    n_cells: int | None = None,
+    m: int | None = None,
+    iters: int = 4,
+) -> dict:
+    """Incremental ingest for the COMPRESSED layout — `ivf_append`'s
+    contract extended to IVFADC: new rows run the fused
+    assign+residual+encode pass under the STORED centroids/codebooks
+    and append into the per-cell codes layout, so append-then-search
+    is identical to one-shot encoding the whole corpus under that
+    model. Drift uses the same running coarse-quantization-error
+    stats as `ivf_append` ({path}/stats, running sums — O(batch) per
+    append); past the threshold with ``retrain='auto'`` the full
+    corpus re-trains via `ivfadc_build` — which requires the layout
+    to have kept the raw vectors (``keep_vectors=True``; a
+    codes-only layout raises, because the vectors needed to retrain
+    don't exist there)."""
+    if retrain not in ("auto", "never", "always"):
+        raise ValueError(f"retrain must be auto|never|always, got {retrain!r}")
+    stored, cents, books = ivfadc_read(spark, path)
+    keep_vec = "vector" in stored.columns
+    vcast = (
+        F.col(vector_col).cast(stored.schema["vector"].dataType)
+        if keep_vec
+        else F.col(vector_col)
+    )
+    vecs = new_df.select(
+        F.col(id_col).cast(stored.schema["id"].dataType).alias("id"),
+        vcast.alias("vector"),
+    )
+    # stats need the vectors, so checkpoint BEFORE any drop — written
+    # rows, the stats pass and the error join all see one assignment
+    coded_full = ivfadc_encode(vecs, cents, books).localCheckpoint()
+    batch_sum, batch_n = _ivf_err_stats(
+        coded_full.select("cell", "vector"), cents
+    )
+    coded = coded_full if keep_vec else coded_full.drop("vector")
+    if batch_n == 0:
+        return {
+            "appended": 0, "batch_err": 0.0, "base_err": 0.0,
+            "drift": 0.0, "retrained": False,
+        }
+    coded.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+
+    base = _ivf_stats_read(spark, path)
+    if base is None:
+        if "vector" in stored.columns:
+            all_sum, all_n = _ivf_err_stats(
+                spark.read.parquet(f"{path}/codes").select("cell", "vector"),
+                cents,
+            )
+            base = (all_sum - batch_sum, all_n - batch_n)
+        else:
+            base = (0.0, 0)
+    base_sum, base_n = base
+    batch_err = batch_sum / batch_n
+    base_err = (base_sum / base_n) if base_n > 0 else 0.0
+    drift = (batch_err / base_err - 1.0) if base_err > 0 else 0.0
+    _ivf_stats_write(spark, path, base_sum + batch_sum, base_n + batch_n)
+
+    do_retrain = retrain == "always" or (
+        retrain == "auto" and drift > drift_threshold
+    )
+    if do_retrain:
+        if "vector" not in stored.columns:
+            raise ValueError(
+                "ivfadc_append: retrain requested but the layout was "
+                "written with keep_vectors=False — the raw vectors "
+                "needed to retrain are not stored; re-ingest from the "
+                "source table or use retrain='never'"
+            )
+        full = spark.read.parquet(f"{path}/codes").select("id", "vector")
+        full = full.localCheckpoint()
+        codes2, c2_, b2 = ivfadc_build(
+            full,
+            n_cells=n_cells if n_cells is not None else len(cents),
+            m=m if m is not None else len(books),
+            n_centroids=len(books[0]),
+            iters=iters,
+        )
+        ivfadc_write(codes2, c2_, b2, path)
+        s, n = _ivf_err_stats(
+            spark.read.parquet(f"{path}/codes").select("cell", "vector"), c2_
+        )
+        _ivf_stats_write(spark, path, s, n)
+    return {
+        "appended": batch_n,
+        "batch_err": round(batch_err, 6),
+        "base_err": round(base_err, 6),
+        "drift": round(drift, 6),
+        "retrained": bool(do_retrain),
+    }
 
 
 def ivfadc_knn(
