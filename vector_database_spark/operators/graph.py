@@ -234,3 +234,126 @@ def pagerank_fixedpoint(
         if (i + 1) % int(checkpoint_every) == 0 or i == int(iters) - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def knn_graph(
+    vecs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH construction — the foundation every
+    graph-based ANN index (HNSW/NSG/DiskANN families) builds on: for
+    each vector, its k nearest OTHER vectors as directed edges
+    ``(src, dst, dist, rank)``. Same two-phase top-k shape as
+    `search.knn` (distances map-side inside the scan stage, Arrow
+    per-batch pre-reduction, one slim survivor window) with the self
+    edge excluded BEFORE ranking, so ranks are 1..k over true
+    neighbors.
+
+    Scale: the panel here is the whole corpus, so the broadcast side
+    grows with n — fine to ~10⁵ nodes (a dims×8·n byte broadcast);
+    past that, build the graph blockwise with the d05 block-pair
+    kernel or IVF-bucketed candidates and refine per block. This
+    operator is the exact small-to-mid-scale primitive and the
+    refinement stage for those fronts."""
+    from pyspark.sql.window import Window
+
+    from vector_database_spark.functions.vector import (
+        cosine_similarity,
+        euclidean,
+    )
+
+    src = vecs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    qdf = vecs.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vector_col).cast("array<double>").alias("qvec"),
+    )
+    crossed = src.crossJoin(F.broadcast(qdf)).where(F.col("id") != F.col("qid"))
+    if metric == "euclidean":
+        dist = euclidean(F.col("_vec"), F.col("qvec"))
+    elif metric == "cosine":
+        dist = F.lit(1.0) - cosine_similarity(F.col("_vec"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    narrow = crossed.select(
+        F.col("qid").alias("src"), F.col("id").alias("dst"), dist.alias("dist")
+    )
+    kk = int(k)
+
+    def topk_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            s = pdf["src"].to_numpy(np.int64)
+            d = pdf["dst"].to_numpy(np.int64)
+            dv = pdf["dist"].to_numpy(np.float64)
+            order = np.lexsort((d, dv, s))
+            ss, dds, dss = s[order], dv[order], d[order]
+            starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+            cnts = np.diff(np.r_[starts, len(ss)])
+            rank = np.arange(len(ss)) - np.repeat(starts, cnts)
+            keep = rank < kk
+            yield pd.DataFrame(
+                {"src": ss[keep], "dst": dss[keep], "dist": dds[keep]}
+            )
+
+    local = narrow.mapInPandas(topk_batches, "src long, dst long, dist double")
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("src", "dst", "dist", "rank")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph —
+    the clustering-structure primitive (a kNN graph's triangle
+    density is exactly what graph-ANN navigability and community
+    detection read). ``edges``: any (src, dst) pairs; they are
+    symmetrized and deduplicated here. Returns ``(node, n_tri)`` for
+    every node incident to ≥1 edge (0 when in no triangle).
+
+    Shape: the node-iterator join on the a<b<c canonical orientation
+    — each triangle is enumerated exactly once as (a<b), (b<c), (a<c)
+    edge triples, via two equi-joins over the oriented edge list.
+    All-integer — exact on any engine. At scale the standard
+    degree-orientation refinement (orient low-degree → high-degree)
+    bounds the join fan-out; the canonical orientation here is its
+    id-ordered special case."""
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])  # x < y < z by construction
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+    )

@@ -4511,6 +4511,79 @@ r{i} AS (SELECT nodes.node,
     )
 
 
+_G04_N, _G04_K = 500, 3
+_G04_CTES = f"""
+gv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_G04_N}),
+gd AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+              {_l2_sql('a.embedding', 'b.embedding')} AS dist
+       FROM gv a JOIN gv b ON a.vec_id <> b.vec_id),
+gr AS (SELECT src, dst, dist,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY dist, dst) AS rank
+       FROM gd)"""
+
+
+@query(
+    "g04_knn_graph",
+    oracle=f"""
+WITH {_G04_CTES}
+SELECT src, dst, round(dist, 4) AS dist, rank::BIGINT AS rank
+FROM gr WHERE rank <= {_G04_K}
+""",
+)
+def g04_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (`graph.knn_graph`) — the primitive
+    every graph-based ANN index (HNSW/NSG/DiskANN) is built from:
+    each vector's {_G04_K} nearest OTHER vectors as directed edges,
+    over the {_G04_N}-vector subset. Same two-phase top-k shape as
+    v03 with the self edge excluded before ranking; distances are the
+    bit-exact L2 folds, so the full n² replay hash-matches."""
+    from vector_database_spark.operators.graph import knn_graph
+
+    vecs = _embeddings(spark, sf_dir).where(F.col("id") < _G04_N)
+    out = knn_graph(vecs, _G04_K)
+    return out.select(
+        "src",
+        "dst",
+        F.round("dist", 4).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "g05_triangles",
+    oracle=f"""
+WITH {_G04_CTES},
+ge AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM gr WHERE rank <= {_G04_K} GROUP BY 1, 2),
+gt AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM ge e1
+       JOIN ge e2 ON e2.a = e1.b
+       JOIN ge e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (SELECT node, count(*)::BIGINT AS n_tri
+       FROM (SELECT x AS node FROM gt
+             UNION ALL SELECT y FROM gt
+             UNION ALL SELECT z FROM gt)
+       GROUP BY 1),
+nodes AS (SELECT a AS node FROM ge UNION SELECT b AS node FROM ge)
+SELECT node::BIGINT AS node, coalesce(n_tri, 0)::BIGINT AS n_tri
+FROM nodes LEFT JOIN pn USING (node)
+""",
+)
+def g05_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (`graph.triangle_counts`) over g04's
+    kNN graph — clustering structure, all-integer: the canonical
+    a<b<c node-iterator join enumerates each triangle exactly once;
+    at scale the degree-orientation refinement bounds fan-out (the
+    id-ordering here is its special case). Exact oracle replays the
+    symmetrize → orient → double-equi-join pipeline."""
+    from vector_database_spark.operators.graph import knn_graph, triangle_counts
+
+    vecs = _embeddings(spark, sf_dir).where(F.col("id") < _G04_N)
+    edges = knn_graph(vecs, _G04_K).select("src", "dst")
+    return triangle_counts(edges)
+
+
 @query("g03_pagerank_exact", oracle=_pagerank_exact_oracle())
 def g03_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (10 iterations, 17/20 damping,
@@ -5093,6 +5166,8 @@ _DRIVER_TAIL = [
     "d10_containment",        # dedup family: d01-d08 stay in the head
     "p09_temperature_mix",    # sampling family: p03 quota draw stays
     "e16_seasonal_anomaly",   # events family: e01/e14 stay in the head
+    "g04_knn_graph",          # graph family: g02 stays in the head
+    "g05_triangles",          # graph family: g02 stays in the head
 ]
 
 
