@@ -224,6 +224,21 @@ CHECKS = {
         "BPE encoding under a fixed vocab: ONE Arrow kernel pass over "
         "a column-pruned scan, zero shuffles",
     ),
+    "e16_seasonal_anomaly": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "seasonal volume anomalies: two map-side-combinable hash "
+        "aggregates + the tiny baseline broadcast back — no windows, "
+        "raw table scanned once",
+    ),
+    "p09_temperature_mix": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+        "temperature mixing: one per-source hash-rank window + the "
+        "tiny quota table broadcast — the draw is the only shuffle",
+    ),
     "t16_bm25": (
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
