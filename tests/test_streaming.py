@@ -435,3 +435,56 @@ def test_streaming_neardup_ingest_accumulates_state(spark):
     assert got == want and (0, 10) in got and (1, 11) in got
     # state grew to one signature row per doc
     assert spark.read.parquet(f"{state}/signatures").count() == 4
+
+
+def test_foreach_batch_ivf_ingest_matches_batch_appends(spark):
+    """Streaming IVF ingest == the batch ivf_append chain: after two
+    micro-batches the layout equals one-shot assignment of all rows
+    under the stored centroids, and a REDELIVERED batch (same files,
+    fresh checkpoint) appends nothing — the at-least-once guard."""
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_database_spark.streaming.ingest import foreach_batch_ivf_ingest
+
+    tmp = tempfile.mkdtemp()
+    src, path = f"{tmp}/src", f"{tmp}/ivf"
+    allv = random_uniform(spark, 90, 4, seed=3)
+    base = allv.where(F.col("id") < 50)
+    assigned, cents = ivf_build(base, n_cells=4, iters=2)
+    ivf_write(assigned, cents, path)
+
+    allv.where((F.col("id") >= 50) & (F.col("id") < 70)).write.parquet(src)
+    stream = spark.readStream.schema("id long, vector array<float>").parquet(src)
+    q = foreach_batch_ivf_ingest(
+        stream, path, f"{tmp}/ckpt1", trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    allv.where(F.col("id") >= 70).write.mode("append").parquet(src)
+    q2 = foreach_batch_ivf_ingest(
+        spark.readStream.schema("id long, vector array<float>").parquet(src),
+        path,
+        f"{tmp}/ckpt1",
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+
+    stored, cents2 = ivf_read(spark, path)
+    assert cents2 == cents
+    want = {(r.id, r.cell) for r in _assign_cells(allv, cents).collect()}
+    assert {(r.id, r.cell) for r in stored.collect()} == want
+
+    # redelivery: same source, FRESH checkpoint -> anti-join eats it all
+    q3 = foreach_batch_ivf_ingest(
+        spark.readStream.schema("id long, vector array<float>").parquet(src),
+        path,
+        f"{tmp}/ckpt_redeliver",
+        trigger_once=True,
+    )
+    q3.awaitTermination(120)
+    stored2, _ = ivf_read(spark, path)
+    assert stored2.count() == 90

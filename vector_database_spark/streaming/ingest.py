@@ -168,3 +168,59 @@ def foreach_batch_reindex(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_ivf_ingest(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    drift_threshold: float = 0.25,
+    retrain: str = "never",
+    trigger_once: bool = False,
+):
+    """foreachBatch sink for the IVF inverted file: each micro-batch
+    runs `ann.ivf_append` (assign-on-append under the stored
+    centroids + running drift stats; see its contract for the retrain
+    policy — streaming defaults to ``'never'`` so a poison batch
+    can't trigger an unbounded rebuild inside the stream; run the
+    retrain as an explicit maintenance job instead).
+
+    Idempotence under foreachBatch's at-least-once redelivery: rows
+    whose id already landed in the layout are anti-joined away before
+    the append — a redelivered batch appends nothing, so the layout
+    equals the batch-mode `ivf_append` chain exactly (the
+    foreach_batch_reindex rule applied to the per-cell layout)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from vector_database_spark.operators.ann import ivf_append
+
+        existing = spark.read.parquet(f"{path}/vectors").select(
+            F.col("id").alias(id_col)
+        )
+        fresh = batch_df.join(
+            existing, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        ivf_append(
+            spark,
+            path,
+            fresh,
+            id_col=id_col,
+            vector_col=vector_col,
+            drift_threshold=drift_threshold,
+            retrain=retrain,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
