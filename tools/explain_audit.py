@@ -240,7 +240,7 @@ CHECKS = {
         "tiny quota table broadcast — the draw is the only shuffle",
     ),
     "t16_bm25": (
-        ["BroadcastHashJoin", "HashAggregate"],
+        ["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
         "BM25: one token explode into map-side-combinable tf/df/dl "

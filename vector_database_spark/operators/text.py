@@ -885,7 +885,18 @@ def bm25_scores(
         )
     )
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-    out = scored.withColumn("rank", F.row_number().over(w))
     if k is not None:
-        out = out.where(F.col("rank") <= int(k))
-    return out.select("id", "n_matched", "score", "rank")
+        # top-k FIRST via orderBy+limit (plans as a distributed
+        # TakeOrdered — per-partition heaps, no single-partition
+        # shuffle of every matched doc), THEN the rank window over
+        # only k rows. A bare global row_number window would funnel
+        # the whole matched set through one task at 100 TB.
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        ).limit(int(k))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "id", "n_matched", "score", "rank"
+        )
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "id", "n_matched", "score", "rank"
+    )
