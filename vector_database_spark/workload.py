@@ -3519,6 +3519,38 @@ def v19_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "v22_filtered_knn",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL})),
+d AS (SELECT q.qid, e.vec_id, {_l2_sql('e.embedding', 'q.qv')} AS d
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id % 3 = 0),
+r AS (SELECT qid, vec_id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, vec_id)
+               AS rank
+      FROM d)
+SELECT qid, vec_id, rank::BIGINT AS rank, round(d, 4) AS dist
+FROM r WHERE rank <= {KNN_K}
+""",
+)
+def v22_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FILTERED kNN (`knn(where=)`) — v03 with a metadata
+    predicate applied before the scan: top-k among qualifying rows,
+    exact for any selectivity (full-scan semantics; v19 covers the
+    tree path, a07 the probe-bounded IVF path). Completes the gate
+    coverage of the three filtered-search entry points."""
+    vecs = _embeddings(spark, sf_dir)
+    res = knn(vecs, _panel(spark, sf_dir), KNN_K, where="id % 3 = 0")
+    return res.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
 _V20_QDOCS = "0, 7"
 _V20_TOKS_PER_DOC = 8
 _V20_K = 5
@@ -5168,6 +5200,7 @@ _DRIVER_TAIL = [
     "e16_seasonal_anomaly",   # events family: e01/e14 stay in the head
     "g04_knn_graph",          # graph family: g02 stays in the head
     "g05_triangles",          # graph family: g02 stays in the head
+    "v22_filtered_knn",       # kNN family: v03/v04 stay in the head
 ]
 
 
