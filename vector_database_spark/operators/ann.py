@@ -343,18 +343,23 @@ def ivf_knn(
     contract as unfiltered IVF; a highly selective predicate warrants
     a larger nprobe, the standard filtered-ANN trade-off).
 
-    ``ensure_k=True`` adds the recall CONTRACT a selective predicate
-    needs: queries that come back with fewer than k rows are retried
-    with a doubled nprobe (their probe list is a strict superset, so
-    satisfied queries' results are untouched) until every query has k
-    rows or all cells are probed — at which point the result is the
-    EXACT filtered top-k (all-cells probe == brute force over
-    qualifying rows). The reference's `Find` predicate never loses
-    tree candidates (MemoryVectorIndex.cs:237-345); this restores the
-    same no-loss guarantee on the IVF path. Escalation needs one
-    small per-query count per round (bounded by the query panel, a
-    driver-side collect of len(queries) longs; rounds are
-    log2(n_cells/nprobe))."""
+    ``ensure_k=True`` adds the RESULT-COUNT contract a selective
+    predicate needs: queries that come back with fewer than k rows
+    are retried with a doubled nprobe (their probe list is a strict
+    superset, so satisfied queries' results are untouched) until
+    every query has k rows or all cells are probed. Semantics remain
+    probe-bounded IVF: a query that reaches k rows at nprobe=p keeps
+    p-probe results — a closer qualifying row in an unprobed cell is
+    NOT fetched (the standard filtered-ANN trade; only an all-cells
+    probe equals brute force over qualifying rows, and escalation
+    does terminate there when the predicate is starving). Two cases
+    ARE exact by construction: escalation exhausted the cells, or k
+    ≥ the total number of qualifying rows (every proper probe subset
+    is then short, so the loop runs to full probe). For the tree
+    path's genuinely lossless filtered contract (the reference
+    `Find` analog) use `search(where=)`/`knn(where=)`. Escalation
+    needs one small per-query count per round (driver-side collect
+    of len(queries) longs; rounds are log2(n_cells/nprobe))."""
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
         assigned_df = assigned_df.where(pred)
@@ -424,9 +429,13 @@ def ivf_write(
     physical layout that makes nprobe search touch nprobe partitions),
     plus the centroid table alongside."""
     spark = assigned_df.sparkSession
-    assigned_df.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    # STATIC overwrite: the session default is dynamic, which cannot
+    # DROP partitions (the repo's documented hazard) — a retrain that
+    # shrinks or renumbers cells would otherwise leave stale cell dirs
+    # whose rows are ALSO rewritten under the new centroids
+    assigned_df.repartition("cell").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cvec array<double>",
@@ -593,9 +602,10 @@ def ivfadc_write(
     exact re-ranking then needs the original table joined back."""
     spark = codes_df.sparkSession
     out = codes_df if keep_vectors else codes_df.drop("vector")
-    out.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
+    # static overwrite — same stale-partition hazard as ivf_write
+    out.repartition("cell").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cvec array<double>",

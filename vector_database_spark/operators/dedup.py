@@ -347,6 +347,23 @@ def ngram_jaccard_pairs(
     inv = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
     )
+    cand = _inverted_candidates(inv, max_shingle_df)
+    return jaccard_pairs(
+        df,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        shingles=shingles,
+    )
+
+
+def _inverted_candidates(inv: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Unordered candidate pairs (a_id < b_id) from the inverted-index
+    self-join, with the hot-shingle df cap — the ONE candidate
+    generator `ngram_jaccard_pairs` and `containment_pairs` share
+    (extracted so a cap/exactness fix can never drift between them)."""
     join_inv = inv
     if max_shingle_df is not None:
         hot = (
@@ -356,21 +373,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         join_inv = inv.join(hot, "shingle", "left_anti")
-    cand = (
+    return (
         join_inv.alias("a")
         .join(join_inv.alias("b"), "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
-    )
-    return jaccard_pairs(
-        df,
-        cand,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        threshold=threshold,
-        shingles=shingles,
     )
 
 
@@ -392,31 +400,24 @@ def containment_pairs(
     expansion case a training-data pipeline wants to catch;
     containment scores it 1.0 regardless of the size ratio.
 
-    Same scale shape as `ngram_jaccard_pairs`: any pair with C ≥ t >
-    0 shares a shingle, so candidates come from the inverted-index
-    equi-join (with the same `max_shingle_df` hot-shingle cap, same
-    exactness caveat), intersections are counted once per UNORDERED
-    pair, and both directions are emitted from that single count
-    divided by the respective source size."""
+    Same scale shape as `ngram_jaccard_pairs` (the candidate
+    generator is literally shared — `_inverted_candidates`): any pair
+    with C ≥ t > 0 shares a shingle, so candidates come from the
+    inverted-index equi-join (same `max_shingle_df` hot-shingle cap,
+    same exactness caveat), intersections are counted once per
+    UNORDERED pair, and both directions are emitted from that single
+    count divided by the respective source size. Output carries the
+    EXACT integers (`inter`, `src_sz`) alongside the ratio — gates
+    hash on the integers (the c01 round-tie rule: never emit a
+    rounded ratio when its numerator/denominator are available).
+
+    ``shingles=None`` builds the pass ad hoc WITHOUT persisting (the
+    lineage is consumed by one result tree); pass a persisted
+    `shingle_rows` frame to share the pass across operators."""
     inv = shingles if shingles is not None else shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).persist()
-    join_inv = inv
-    if max_shingle_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > F.lit(int(max_shingle_df)))
-            .select("shingle")
-        )
-        join_inv = inv.join(hot, "shingle", "left_anti")
-    cand = (
-        join_inv.alias("a")
-        .join(join_inv.alias("b"), "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
-    )
+    ).localCheckpoint(eager=False)
+    cand = _inverted_candidates(inv, max_shingle_df)
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = inv.select(F.col("id").alias("a_id"), "shingle")
     b = inv.select(F.col("id").alias("b_id"), "shingle")
@@ -439,6 +440,8 @@ def containment_pairs(
     both = j.select(
         F.col("a_id").alias("src_id"),
         F.col("b_id").alias("dst_id"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sa").cast("long").alias("src_sz"),
         (F.col("inter").cast("double") / F.col("sa").cast("double")).alias(
             "containment"
         ),
@@ -446,6 +449,8 @@ def containment_pairs(
         j.select(
             F.col("b_id").alias("src_id"),
             F.col("a_id").alias("dst_id"),
+            F.col("inter").cast("long").alias("inter"),
+            F.col("sb").cast("long").alias("src_sz"),
             (F.col("inter").cast("double") / F.col("sb").cast("double")).alias(
                 "containment"
             ),

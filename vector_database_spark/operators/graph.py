@@ -283,33 +283,13 @@ def knn_graph(
     narrow = crossed.select(
         F.col("qid").alias("src"), F.col("id").alias("dst"), dist.alias("dist")
     )
-    kk = int(k)
+    from vector_database_spark.operators.search import _grouped_topk
 
-    def topk_batches(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            s = pdf["src"].to_numpy(np.int64)
-            d = pdf["dst"].to_numpy(np.int64)
-            dv = pdf["dist"].to_numpy(np.float64)
-            order = np.lexsort((d, dv, s))
-            ss, dds, dss = s[order], dv[order], d[order]
-            starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-            cnts = np.diff(np.r_[starts, len(ss)])
-            rank = np.arange(len(ss)) - np.repeat(starts, cnts)
-            keep = rank < kk
-            yield pd.DataFrame(
-                {"src": ss[keep], "dst": dss[keep], "dist": dds[keep]}
-            )
-
-    local = narrow.mapInPandas(topk_batches, "src long, dst long, dist double")
+    local = _grouped_topk(narrow, k, "src", "dst")
     w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
     return (
         local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= kk)
+        .where(F.col("rank") <= int(k))
         .select("src", "dst", "dist", "rank")
     )
 

@@ -995,6 +995,47 @@ def brute_force_search(
     )
 
 
+def _grouped_topk(
+    narrow: DataFrame, k: int, group_col: str, item_col: str
+) -> DataFrame:
+    """The shared Arrow pre-reduction behind `knn` and
+    `graph.knn_graph`: each input batch is cut to its local top-k
+    rows per group by (dist, item) — pure row SELECTION (distances
+    are never recomputed, so values stay bit-identical to the
+    single-window form), bounding the only shuffle to
+    batches × groups × k survivor rows. One kernel, two call sites —
+    a tie-break or empty-batch fix can't drift between them. The
+    kernel is a nested closure (the repo's pickling rule)."""
+    kk = int(k)
+    g, i = str(group_col), str(item_col)
+
+    def topk_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            gv = pdf[g].to_numpy(np.int64)
+            iv = pdf[i].to_numpy(np.int64)
+            dv = pdf["dist"].to_numpy(np.float64)
+            # lexsort: primary group, then (dist, item) — the
+            # window's deterministic ordering
+            order = np.lexsort((iv, dv, gv))
+            gs, ds, is_ = gv[order], dv[order], iv[order]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            cnts = np.diff(np.r_[starts, len(gs)])
+            rank = np.arange(len(gs)) - np.repeat(starts, cnts)
+            keep = rank < kk
+            yield pd.DataFrame(
+                {g: gs[keep], i: is_[keep], "dist": ds[keep]}
+            )
+
+    return narrow.mapInPandas(
+        topk_batches, f"{g} long, {i} long, dist double"
+    )
+
+
 def knn(
     vectors_df: DataFrame,
     queries: DataFrame | list,
@@ -1041,30 +1082,7 @@ def knn(
     else:
         raise ValueError(f"unknown metric {metric!r}")
     narrow = crossed.select("qid", "id", dist.alias("dist"))
-
-    kk = int(k)
-
-    def topk_batches(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            qid = pdf["qid"].to_numpy(np.int64)
-            ids = pdf["id"].to_numpy(np.int64)
-            dv = pdf["dist"].to_numpy(np.float64)
-            # lexsort: primary qid, then (dist, id) — the window's
-            # deterministic ordering
-            order = np.lexsort((ids, dv, qid))
-            qs, ds, is_ = qid[order], dv[order], ids[order]
-            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-            cnts = np.diff(np.r_[starts, len(qs)])
-            rank = np.arange(len(qs)) - np.repeat(starts, cnts)
-            keep = rank < kk
-            yield pd.DataFrame({"qid": qs[keep], "id": is_[keep], "dist": ds[keep]})
-
-    local = narrow.mapInPandas(topk_batches, "qid long, id long, dist double")
+    local = _grouped_topk(narrow, k, "qid", "id")
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
         local.withColumn("rank", F.row_number().over(w))

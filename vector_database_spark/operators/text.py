@@ -456,7 +456,12 @@ def bpe_train(
     Returns the ordered merge list [(left, right), ...] consumed by
     `bpe_encode`.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # SAME word segmentation as bpe_encode's kernel (the explicit
+    # ASCII class + chr(31)): training and encoding MUST split
+    # identically or merges learned over one segmentation mis-apply
+    # under the other (Java \s includes \x0B and excludes nothing the
+    # kernel's class has; a corpus byte like \x0B would diverge them)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[\\t\\n\\f\\r \\x1f]+")
     wc = (
         df.select(F.explode(toks).alias("w"))
         .where(F.col("w") != "")

@@ -283,7 +283,13 @@ def temperature_quotas(
     a = float(alpha)
     rows = sorted(
         df.groupBy(*strata_cols).count().collect(),
-        key=lambda r: tuple(r[c] for c in strata_cols),
+        # stringify for ordering: NULL strata and non-string strata
+        # types must not crash the sorted-fold (the VALUES pass
+        # through untouched; only the fold order needs a total order,
+        # and the oracle's ORDER BY must use the same key form)
+        key=lambda r: tuple(
+            (r[c] is None, str(r[c])) for c in strata_cols
+        ),
     )
     if not rows:
         raise ValueError("temperature_quotas: empty input")
@@ -306,5 +312,15 @@ def temperature_quotas(
         + (min(int(math.floor(t * w(int(r["count"])) / z)), int(r["count"])),)
         for r in rows
     ]
-    schema = ", ".join(f"{c} string" for c in strata_cols) + ", quota long"
+    # derive strata types from the INPUT schema — hardcoding string
+    # would crash createDataFrame for integer strata columns
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(c, df.schema[c].dataType, True)
+            for c in strata_cols
+        ]
+        + [StructField("quota", LongType(), False)]
+    )
     return df.sparkSession.createDataFrame(out, schema)

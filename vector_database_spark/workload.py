@@ -509,14 +509,14 @@ p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              len(list_intersect(a.s, b.s))::BIGINT AS inter,
              len(a.s)::BIGINT AS sa, len(b.s)::BIGINT AS sb
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-d AS (SELECT a_id AS src_id, b_id AS dst_id,
+d AS (SELECT a_id AS src_id, b_id AS dst_id, inter, sa AS src_sz,
              inter::DOUBLE / sa::DOUBLE AS containment
       FROM p
       UNION ALL
-      SELECT b_id AS src_id, a_id AS dst_id,
+      SELECT b_id AS src_id, a_id AS dst_id, inter, sb AS src_sz,
              inter::DOUBLE / sb::DOUBLE AS containment
       FROM p)
-SELECT src_id, dst_id, round(containment, 4) AS containment
+SELECT src_id, dst_id, inter, src_sz
 FROM d WHERE containment >= {_D10_CONTAIN_T}
 """.format(_SHINGLES_CTE=_SHINGLES_CTE),
 )
@@ -527,14 +527,16 @@ def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = 1.0 here but |a|/|b| ≈ 0 in d04. Same inverted-index
     candidate shape as d04 (never quadratic), intersections counted
     once per unordered pair, both directions divided out of that one
-    count. Exact integer-ratio oracle."""
+    count. The gate hashes the EXACT integers (inter, src_sz) — the
+    c01 round-tie rule: never emit a rounded ratio when its
+    numerator/denominator are available (a 4-dp tie would flip
+    between engines); the threshold compare itself is one
+    exact-rounded division, identical on both sides."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.containment_pairs(
         docs, threshold=_D10_CONTAIN_T, shingles=_doc_shingles(spark, sf_dir)
     )
-    return pairs.select(
-        "src_id", "dst_id", F.round("containment", 4).alias("containment")
-    )
+    return pairs.select("src_id", "dst_id", "inter", "src_sz")
 
 
 @query(
