@@ -575,3 +575,116 @@ def quantile_two_pass(
         F.col("lo").alias("v_lo"),
         F.col("hi").alias("v_hi"),
     )
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """ANALYZE-style column statistics — the stats pass a cost-based
+    optimizer (or a data-quality dashboard) runs over a table: one row
+    per profiled column with ``(col_name, n, n_null, est_distinct,
+    vmin, vmax, len_min, len_max)``. `vmin`/`vmax` are populated for
+    numeric columns (as doubles), `len_min`/`len_max` for strings;
+    `est_distinct` is the k-minimum-values estimate — md5-based and
+    therefore DETERMINISTIC and cross-engine reproducible, unlike
+    HLL (the s01 contract).
+
+    Scale shape: ALL per-column min/max/null counts come from ONE
+    map-side-combined aggregate over a single scan (never one job
+    per column); the distinct sketches share ONE exploded
+    (col_idx, hash) pass — early `distinct` prunes to unique hashes
+    per column, then a k-bounded window — so the whole profile is two
+    scans and one shuffle regardless of how many columns are
+    profiled. The profile itself is n_cols rows, assembled
+    driver-side (bounded smallness).
+
+    Hash rendering caveat (documented, not hidden): doubles are
+    hashed via their string cast; Spark and DuckDB both emit the
+    shortest round-trip decimal, which agrees for |v| < 1e7 — above
+    that Java switches to scientific notation and an external SQL
+    replay diverges. Profile monetary/measure columns (bounded
+    magnitude) freely; canonicalize astronomically-scaled doubles
+    before profiling.
+    """
+    from pyspark.sql.types import NumericType, StringType
+
+    kinds = {c: df.schema[c].dataType for c in cols}
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nn_{c}")
+        )
+        if isinstance(kinds[c], NumericType):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+        elif isinstance(kinds[c], StringType):
+            aggs.append(
+                F.min(F.length(F.col(c))).cast("long").alias(f"_lmn_{c}")
+            )
+            aggs.append(
+                F.max(F.length(F.col(c))).cast("long").alias(f"_lmx_{c}")
+            )
+    stats = df.agg(*aggs).first()
+
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("string") for c in cols])
+        ).alias("ci", "v")
+    )
+    hashed = (
+        pairs.select("ci", h60(F.col("v")).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("ci").orderBy("hv")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("ci")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth"))
+    )
+    est_expr = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("kth") + F.lit(1)).cast("double") / F.lit(H60_SPAN))
+    )
+    ests = {
+        r["ci"]: float(r["est"])
+        for r in kept.select("ci", est_expr.alias("est")).collect()
+    }
+
+    rows = []
+    for i, c in enumerate(cols):
+        rows.append(
+            (
+                c,
+                int(stats["_n"]),
+                int(stats[f"_nn_{c}"]),
+                float(ests.get(i, 0.0)),
+                float(stats[f"_mn_{c}"])
+                if isinstance(kinds[c], NumericType)
+                and stats[f"_mn_{c}"] is not None
+                else None,
+                float(stats[f"_mx_{c}"])
+                if isinstance(kinds[c], NumericType)
+                and stats[f"_mx_{c}"] is not None
+                else None,
+                int(stats[f"_lmn_{c}"])
+                if isinstance(kinds[c], StringType)
+                and stats[f"_lmn_{c}"] is not None
+                else None,
+                int(stats[f"_lmx_{c}"])
+                if isinstance(kinds[c], StringType)
+                and stats[f"_lmx_{c}"] is not None
+                else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "col_name string, n long, n_null long, est_distinct double, "
+        "vmin double, vmax double, len_min long, len_max long",
+    )

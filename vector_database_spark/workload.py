@@ -2549,6 +2549,64 @@ def s01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S07_COLS = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+]
+
+
+def _s07_oracle() -> str:
+    """Per-column UNION ALL replay of `sketch.table_profile` over
+    lineitem: exact n/n_null/min/max plus the deterministic KMV
+    distinct estimate (k smallest md5 hashes via ORDER BY + LIMIT —
+    equivalent to the engine's k-bounded window). Doubles hash via
+    their string cast — shortest-round-trip rendering agrees between
+    engines for |v| < 1e7 (documented in the operator)."""
+    from vector_database_spark.functions.hashing import h60_sql
+    from vector_database_spark.operators.sketch import H60_SPAN
+
+    parts = []
+    for c, kind in _S07_COLS:
+        hv = h60_sql(f"CAST({c} AS VARCHAR)")
+        if kind == "num":
+            vmin, vmax = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+            lmn = lmx = "NULL::BIGINT"
+        else:
+            vmin = vmax = "NULL::DOUBLE"
+            lmn, lmx = f"min(length({c}))::BIGINT", f"max(length({c}))::BIGINT"
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
+       (count(*) FILTER (WHERE {c} IS NULL))::BIGINT AS n_null,
+       (SELECT CASE WHEN count(*) < {_S01_K} THEN count(*)::DOUBLE
+               ELSE {float(_S01_K - 1)}
+                    / (CAST(max(hv) + 1 AS DOUBLE) / {H60_SPAN}) END
+        FROM (SELECT hv
+              FROM (SELECT DISTINCT {hv} AS hv FROM lineitem
+                    WHERE {hv} IS NOT NULL)
+              ORDER BY hv LIMIT {_S01_K})) AS est_distinct,
+       {vmin} AS vmin, {vmax} AS vmax,
+       {lmn} AS len_min, {lmx} AS len_max
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("s07_table_profile", oracle=_s07_oracle())
+def s07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics (`sketch.table_profile`) — the
+    per-column stats pass a cost-based optimizer or data-quality
+    dashboard runs: exact n/n_null/min/max/length bounds from ONE
+    map-side-combined aggregate over a single scan, plus the
+    deterministic md5 KMV distinct estimate from ONE shared exploded
+    (col_idx, hash) pass — two scans and one shuffle total no matter
+    how many columns. The estimate itself hash-matches (the s01
+    contract: KMV is reproducible where HLL is not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sk.table_profile(li, [c for c, _ in _S07_COLS], k=_S01_K)
+
+
 _S02_FRACTION = 0.05
 
 @query(
@@ -5203,6 +5261,7 @@ _DRIVER_TAIL = [
     "g04_knn_graph",          # graph family: g02 stays in the head
     "g05_triangles",          # graph family: g02 stays in the head
     "v22_filtered_knn",       # kNN family: v03/v04 stay in the head
+    "s07_table_profile",      # sketch family: s01/s03 stay in the head
 ]
 
 
