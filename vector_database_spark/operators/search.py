@@ -1308,3 +1308,88 @@ def rrf_fuse(
         .where(F.col("rank") <= int(k))
         .select("qid", "id", "n_lists", "score", "rank")
     )
+
+
+def mmr_rerank(
+    candidates_df: DataFrame,
+    k: int,
+    *,
+    lam: float = 0.5,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversified-top-k
+    stage of a retrieval stack (Carbonell & Goldstein '98): from each
+    query's candidate pool greedily pick k items maximizing
+    ``λ·rel_i − (1−λ)·max_{j∈picked} cos(v_i, v_j)`` (ties by id), so
+    near-duplicate hits don't crowd the result page. Input:
+    ``(qid, id, vector, rel)`` — a BOUNDED pool per query (rerank the
+    top-N of a first-stage retriever; N ≲ a few hundred). Returns
+    ``(qid, id, rank, score)`` — `score` is the pick-time marginal
+    score.
+
+    Shape: the greedy loop is inherently sequential PER QUERY but
+    embarrassingly parallel ACROSS queries — one `applyInPandas`
+    group per qid, O(N²) pair similarities inside a pool that is
+    small by contract; nothing collects to the driver. Determinism:
+    similarities fold left-to-right in pure-Python doubles with the
+    exact expression shape of the SQL cosine (dot / (sqrt(na)·
+    sqrt(nb))), and every marginal score is a fixed chain of
+    exact-rounded ops — so an external engine replays picks, scores
+    and tie-breaks bit-for-bit (λ must be binary-exact: 0.5, 0.25…).
+    """
+    lam_f = float(lam)
+    kk = int(k)
+
+    def kern(pdf):
+        import pandas as pd
+
+        ids = [int(x) for x in pdf[id_col]]
+        rels = [float(x) for x in pdf[rel_col]]
+        vecs = [[float(v) for v in row] for row in pdf[vector_col]]
+        qid = int(pdf["qid"].iloc[0])
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        import math
+
+        norms = [math.sqrt(dot(v, v)) for v in vecs]
+
+        def cos(i, j):
+            return dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+
+        n = len(ids)
+        remaining = list(range(n))
+        picked: list[int] = []
+        out = []
+        while remaining and len(picked) < kk:
+            best = None
+            best_key = None
+            for i in remaining:
+                ms = max((cos(i, j) for j in picked), default=0.0)
+                score = lam_f * rels[i] - (1.0 - lam_f) * ms
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key, best_score = i, key, score
+            picked.append(best)
+            remaining.remove(best)
+            out.append((qid, ids[best], len(picked), best_score))
+        return pd.DataFrame(
+            out, columns=["qid", "id", "rank", "score"]
+        )
+
+    return (
+        candidates_df.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vector_col).alias(vector_col),
+            F.col(rel_col).cast("double").alias(rel_col),
+        )
+        .groupBy("qid")
+        .applyInPandas(kern, "qid long, id long, rank long, score double")
+    )

@@ -3611,6 +3611,102 @@ def v22_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V23_POOL, _V23_K = 20, 5
+
+
+def _v23_oracle() -> str:
+    """Unrolled greedy MMR replay (the g03/v18 unroll pattern —
+    recursive CTEs can't aggregate, so each of the 5 picks is its own
+    CTE chain): pool = top-20 by cosine per panel query, step t picks
+    argmax of 0.5·rel − 0.5·max-sim-to-picked (ties by id). `pool`
+    and `sim` are AS MATERIALIZED — referenced many times, and DuckDB
+    would otherwise inline the 64-term cosine folds per reference
+    (the v18 lesson)."""
+    steps = []
+    finals = ["SELECT qid, id, 1::BIGINT AS rank, score FROM p1"]
+    for t in range(2, _V23_K + 1):
+        prev = t - 1
+        steps.append(f"""
+m{t} AS (SELECT s.qid, s.ai AS id, max(s.s) AS mx
+        FROM sim s JOIN pk{prev} p ON p.qid = s.qid AND p.id = s.bi
+        GROUP BY 1, 2),
+c{t} AS (SELECT c.qid, c.id,
+               0.5::DOUBLE * c.rel - 0.5::DOUBLE * m.mx AS score
+        FROM pool c JOIN m{t} m ON m.qid = c.qid AND m.id = c.id
+        WHERE NOT EXISTS (SELECT 1 FROM pk{prev} p
+                          WHERE p.qid = c.qid AND p.id = c.id)),
+p{t} AS (SELECT qid, id, score FROM
+          (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, id) AS rn
+           FROM c{t}) WHERE rn = 1),
+pk{t} AS (SELECT qid, id FROM pk{prev}
+         UNION ALL SELECT qid, id FROM p{t})""")
+        finals.append(
+            f"SELECT qid, id, {t}::BIGINT AS rank, score FROM p{t}"
+        )
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL})),
+pool AS MATERIALIZED (
+  SELECT qid, vec_id AS id, embedding AS vec, rel FROM (
+    SELECT q.qid, e.vec_id, e.embedding,
+           {_cos_sql('e.embedding', 'q.qv')} AS rel,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id)
+             AS rn
+    FROM embeddings e CROSS JOIN q) WHERE rn <= {_V23_POOL}),
+sim AS MATERIALIZED (
+  SELECT a.qid, a.id AS ai, b.id AS bi, {_cos_sql('a.vec', 'b.vec')} AS s
+  FROM pool a JOIN pool b ON a.qid = b.qid AND a.id <> b.id),
+c1 AS (SELECT qid, id, 0.5::DOUBLE * rel - 0.5::DOUBLE * 0.0::DOUBLE
+                AS score
+       FROM pool),
+p1 AS (SELECT qid, id, score FROM
+        (SELECT qid, id, score,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, id) AS rn
+         FROM c1) WHERE rn = 1),
+pk1 AS (SELECT qid, id FROM p1),
+{','.join(steps)}
+{' UNION ALL '.join(finals)}
+"""
+
+
+@query("v23_mmr_rerank", oracle=_v23_oracle())
+def v23_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified re-ranking (`search.mmr_rerank`): Maximal Marginal
+    Relevance over each panel query's top-{_V23_POOL} cosine pool —
+    the result-page stage that stops near-duplicate hits from
+    crowding the top-k. The greedy loop is sequential per query
+    (bounded pool, one applyInPandas group) and parallel across
+    queries; all similarities fold left-to-right in pure-Python
+    doubles with the SQL cosine's exact expression shape, so the
+    5-step unrolled oracle replays every pick, tie-break and
+    pick-time score bit-for-bit."""
+    from vector_database_spark.operators.search import mmr_rerank
+
+    vecs = _embeddings(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    rel = cosine_similarity(F.col("vector"), F.col("qvec"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("id").asc()
+    )
+    pool = (
+        vecs.crossJoin(F.broadcast(qdf))
+        .withColumn("rel", rel)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _V23_POOL)
+        .select("qid", "id", "vector", "rel")
+    )
+    out = mmr_rerank(pool, _V23_K, lam=0.5)
+    return out.select(
+        "qid", "id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
 _V20_QDOCS = "0, 7"
 _V20_TOKS_PER_DOC = 8
 _V20_K = 5
@@ -5262,6 +5358,7 @@ _DRIVER_TAIL = [
     "g05_triangles",          # graph family: g02 stays in the head
     "v22_filtered_knn",       # kNN family: v03/v04 stay in the head
     "s07_table_profile",      # sketch family: s01/s03 stay in the head
+    "v23_mmr_rerank",         # retrieval/rerank family: v03/v04 stay
 ]
 
 
