@@ -106,3 +106,41 @@ def test_pagerank_fixedpoint_tracks_double(spark):
         for r in pagerank_fixedpoint(df, iters=ITERS, scale=S).collect()
     }
     assert fx2 == {k: round(v * S) for k, v in fx.items()}
+
+
+def test_graph_beam_search_monotone_and_deterministic(spark, embeddings):
+    """Beam search over the kNN graph: more hops never worsen the
+    best distance (the beam keeps its ef closest visited nodes, and
+    the visited set only grows), two runs are identical, and the beam
+    only ever contains graph nodes."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.graph import (
+        graph_beam_search,
+        knn_graph,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 200)
+    edges = knn_graph(vecs, 3).select("src", "dst").localCheckpoint()
+    qdf = vecs.where(F.col("id").isin([7, 150])).select(
+        F.col("id").alias("qid"),
+        F.col("vector").cast("array<double>").alias("qvec"),
+    )
+    nodes = {r.id for r in vecs.select("id").collect()}
+    best = {}
+    for hops in (1, 2, 4):
+        rows = graph_beam_search(
+            edges, vecs, qdf, ef=4, hops=hops
+        ).collect()
+        assert all(r.id in nodes for r in rows)
+        for qid in (7, 150):
+            d = min(r.dist for r in rows if r.qid == qid)
+            assert d <= best.get(qid, float("inf")) + 1e-12
+            best[qid] = min(best.get(qid, float("inf")), d)
+    again = graph_beam_search(edges, vecs, qdf, ef=4, hops=4).collect()
+    four = graph_beam_search(edges, vecs, qdf, ef=4, hops=4).collect()
+    assert {(r.qid, r.id, r.rank) for r in again} == {
+        (r.qid, r.id, r.rank) for r in four
+    }

@@ -4772,6 +4772,79 @@ def g05_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+_G06_EF, _G06_HOPS = 4, 4
+
+
+def _g06_oracle() -> str:
+    """Hop-unrolled replay of the batch-synchronous beam search over
+    g04's kNN graph: f0 = the min-id entry per query; each hop
+    expands along out-edges, re-ranks the distinct visited set by the
+    bit-exact L2 fold, keeps ef. gv/gr/ge AS MATERIALIZED — each is
+    referenced once per hop and DuckDB would inline the 64-term
+    distance folds otherwise (the v18 lesson)."""
+    steps = []
+    for t in range(1, _G06_HOPS + 1):
+        prev = f"f{t - 1}"
+        steps.append(f"""
+nb{t} AS (SELECT f.qid, e.dst AS id FROM {prev} f
+         JOIN ge e ON e.src = f.id),
+u{t} AS (SELECT qid, id FROM {prev}
+        UNION SELECT qid, id FROM nb{t}),
+f{t} AS (SELECT qid, id FROM (
+          SELECT u.qid, u.id,
+                 row_number() OVER (PARTITION BY u.qid
+                   ORDER BY {_l2_sql('v.embedding', 'q.qv')}, u.id) AS rn
+          FROM u{t} u JOIN gv v ON v.vec_id = u.id
+          JOIN q ON q.qid = u.qid) WHERE rn <= {_G06_EF})""")
+    return f"""
+WITH {_G04_CTES.replace('gv AS (', 'gv AS MATERIALIZED (').replace('gr AS (', 'gr AS MATERIALIZED (')},
+ge AS MATERIALIZED (SELECT src, dst FROM gr WHERE rank <= {_G04_K}),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+f0 AS (SELECT q.qid, (SELECT min(vec_id) FROM gv) AS id FROM q),
+{','.join(steps)}
+SELECT qid, id, rank::BIGINT AS rank, round(d, 4) AS dist FROM (
+  SELECT f.qid, f.id, {_l2_sql('v.embedding', 'q.qv')} AS d,
+         row_number() OVER (PARTITION BY f.qid
+           ORDER BY {_l2_sql('v.embedding', 'q.qv')}, f.id) AS rank
+  FROM f{_G06_HOPS} f JOIN gv v ON v.vec_id = f.id
+  JOIN q ON q.qid = f.qid)
+"""
+
+
+@query("g06_beam_search", oracle=_g06_oracle())
+def g06_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN SEARCH (`graph.graph_beam_search`) — the
+    navigable-graph paradigm (HNSW/NSG) batch-synchronously over
+    g04's kNN graph: fixed-hop beam expansion from the min-id entry,
+    all queries walking together (one edge join + one distance
+    projection + one top-ef window per hop — the BSP-search driver-
+    loop shape). Every distance is the bit-exact L2 fold and every
+    beam cut is (dist, id)-deterministic, so the hop-unrolled SQL
+    replay matches the final beam node-for-node. Together with g04
+    (construction) and g05 (structure) this closes the graph-ANN
+    primitive set."""
+    from vector_database_spark.operators.graph import (
+        graph_beam_search,
+        knn_graph,
+    )
+
+    vecs = _embeddings(spark, sf_dir).where(F.col("id") < _G04_N)
+    edges = knn_graph(vecs, _G04_K).select("src", "dst")
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    out = graph_beam_search(
+        edges, vecs, qdf, ef=_G06_EF, hops=_G06_HOPS
+    )
+    return out.select(
+        "qid",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
 @query("g03_pagerank_exact", oracle=_pagerank_exact_oracle())
 def g03_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (10 iterations, 17/20 damping,
@@ -5359,6 +5432,7 @@ _DRIVER_TAIL = [
     "v22_filtered_knn",       # kNN family: v03/v04 stay in the head
     "s07_table_profile",      # sketch family: s01/s03 stay in the head
     "v23_mmr_rerank",         # retrieval/rerank family: v03/v04 stay
+    "g06_beam_search",        # graph-ANN family: g02 stays in the head
 ]
 
 
