@@ -688,3 +688,86 @@ def table_profile(
         "col_name string, n long, n_null long, est_distinct double, "
         "vmin double, vmax double, len_min long, len_max long",
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Distribution drift between two snapshots — the training-data
+    monitoring pass that answers "did this feed's value distribution
+    move since the last crawl": per group, the symmetric chi-square
+    distance ``χ² = Σ_bins (p_i − q_i)² / (p_i + q_i)`` between the
+    two snapshots' normalized fixed-width histograms. Chi-square is
+    deliberately the NO-LOG drift measure (PSI/KL need ln — libm,
+    engine-unstable; χ² carries the same alarm signal in pure
+    exact-rounded rational arithmetic), and the cross-bin sum folds
+    in bin order, so the statistic itself is oracle-replayable.
+    Returns ``(group…, n_a, n_b, bins_used, chi2)`` for groups
+    populated in BOTH snapshots.
+
+    Shape: one `fixed_histogram`-style map-side-combined aggregate
+    per snapshot (n_bins rows per group regardless of input size),
+    one coalescing outer join on (group, bin), tiny per-group totals
+    joined back, one ordered fold. NaN/NULL dropped, out-of-range
+    clamped to edge bins — the s05 conventions."""
+    gp = [str(c) for c in group_cols]
+    if not (float(hi) > float(lo)) or int(n_bins) <= 0:
+        raise ValueError("distribution_drift requires hi > lo and n_bins > 0")
+    width = (float(hi) - float(lo)) / int(n_bins)
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        val = F.col(value_col).cast("double")
+        b = F.floor((val - F.lit(float(lo))) / F.lit(width)).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+        return (
+            df.where(val.isNotNull() & ~F.isnan(val))
+            .select(*gp, b.alias("bin"))
+            .groupBy(*gp, "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    ha, hb = hist(df_a, "a"), hist(df_b, "b")
+    j = (
+        ha.join(hb, [*gp, "bin"], "full_outer")
+        .select(
+            *gp,
+            "bin",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("long").alias("b"),
+        )
+    )
+    totals = j.groupBy(*gp).agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    jt = j.join(F.broadcast(totals), gp).where(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    )
+    pa = F.col("a") / F.col("n_a").cast("double")
+    pb = F.col("b") / F.col("n_b").cast("double")
+    term = ((pa - pb) * (pa - pb)) / (pa + pb)
+    return (
+        jt.where(F.col("a") + F.col("b") > 0)
+        .withColumn("term", term)
+        .groupBy(*gp)
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("bins_used"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2"),
+        )
+    )

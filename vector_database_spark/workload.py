@@ -2607,6 +2607,61 @@ def s07_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.table_profile(li, [c for c, _ in _S07_COLS], k=_S01_K)
 
 
+_S08_LO, _S08_HI, _S08_BINS = -10.0, 10.0, 16
+_S08_W = (_S08_HI - _S08_LO) / _S08_BINS
+
+
+@query(
+    "s08_drift_chi2",
+    oracle=f"""
+WITH src AS (SELECT event_type, event_id % 2 AS half,
+                    CAST(value AS DOUBLE) AS v
+             FROM events
+             WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+h AS (SELECT event_type, half,
+             LEAST(GREATEST(CAST(floor((v - {_S08_LO!r}) / {_S08_W!r})
+                                 AS BIGINT), 0), {_S08_BINS - 1}) AS bin,
+             count(*)::BIGINT AS c
+      FROM src GROUP BY 1, 2, 3),
+w AS (SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN c ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN half = 1 THEN c ELSE 0 END)::BIGINT AS b
+      FROM h GROUP BY 1, 2),
+t AS (SELECT event_type, sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b
+      FROM w GROUP BY 1),
+terms AS (SELECT w.event_type, w.bin, t.n_a, t.n_b,
+            ((a / CAST(n_a AS DOUBLE) - b / CAST(n_b AS DOUBLE))
+             * (a / CAST(n_a AS DOUBLE) - b / CAST(n_b AS DOUBLE)))
+            / (a / CAST(n_a AS DOUBLE) + b / CAST(n_b AS DOUBLE)) AS term
+          FROM w JOIN t USING (event_type)
+          WHERE a + b > 0 AND n_a > 0 AND n_b > 0)
+SELECT event_type, n_a, n_b, count(*)::BIGINT AS bins_used,
+       list_sum(list(term ORDER BY bin)) AS chi2
+FROM terms GROUP BY event_type, n_a, n_b
+""",
+)
+def s08_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (`sketch.distribution_drift`):
+    chi-square distance between two snapshots' value histograms per
+    event type — here the even/odd event-id halves as the two
+    "crawls" (a deterministic split; a real pipeline passes two
+    snapshot tables). Chi-square is the NO-LOG drift measure (PSI/KL
+    need libm ln); every per-bin term is a fixed chain of
+    exact-rounded double ops and the cross-bin sum folds in bin
+    order, so the statistic hash-matches unrounded."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    out = sk.distribution_drift(
+        a, b, "value",
+        lo=_S08_LO, hi=_S08_HI, n_bins=_S08_BINS,
+        group_cols=["event_type"],
+    )
+    return out.select(
+        "event_type", "n_a", "n_b", "bins_used", "chi2"
+    )
+
+
 _S02_FRACTION = 0.05
 
 @query(
@@ -5433,6 +5488,7 @@ _DRIVER_TAIL = [
     "s07_table_profile",      # sketch family: s01/s03 stay in the head
     "v23_mmr_rerank",         # retrieval/rerank family: v03/v04 stay
     "g06_beam_search",        # graph-ANN family: g02 stays in the head
+    "s08_drift_chi2",         # sketch/monitoring family: s01/s05 stay
 ]
 
 
