@@ -224,6 +224,24 @@ CHECKS = {
         "BPE encoding under a fixed vocab: ONE Arrow kernel pass over "
         "a column-pruned scan, zero shuffles",
     ),
+    "v23_mmr_rerank": (
+        ["FlatMapGroupsInPandas"],
+        ["SortMergeJoin"],
+        "MMR re-rank: one applyInPandas group per query over a "
+        "bounded pool (the greedy loop is sequential per query, "
+        "parallel across queries); the pool's broadcast-panel cross "
+        "join is the deliberate knn scan shape",
+    ),
+    "s08_drift_chi2": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "Window",
+         "BatchEvalPython", "ArrowEvalPython"],
+        "drift: two map-side histogram aggregates, totals broadcast "
+        "back, ordered fold — no windows, nothing quadratic (the one "
+        "sort-merge join is the FULL OUTER bin-coalesce over two "
+        "ALREADY-AGGREGATED n_bins×groups tables — bounded rows, "
+        "full-outer can't broadcast)",
+    ),
     "e16_seasonal_anomaly": (
         ["HashAggregate", "BroadcastHashJoin"],
         ["Window", "CartesianProduct", "SortMergeJoin",
