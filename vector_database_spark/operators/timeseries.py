@@ -813,3 +813,59 @@ def seasonal_count_anomalies(
             > F.lit(int(flag_factor)) * F.col("total").cast("decimal(38,0)")
         ).alias("anomaly"),
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k_micro: int = 0,
+    h_micro: int = 5_000_000,
+) -> DataFrame:
+    """Changepoint / level-shift detection — one-sided upper CUSUM
+    per key: ``S_t = max(0, S_{t-1} + (x_t − k))`` with an alarm when
+    ``S_t > h`` (Page 1954), in exact integer micro-units (the e12
+    fixed-point rule — no float ever enters the recursion). Returns
+    per key: ``(keys…, n_events, n_alarms, max_s, first_alarm_us)``.
+
+    The sequential-looking recursion has a CLOSED WINDOW FORM:
+    unrolling gives ``S_t = P_t − min(0, P_1..P_t)`` where ``P`` is
+    the running sum of deviations — so the whole statistic is one
+    running-sum window plus one running-min window over the same
+    (key, ts, id) sort (Spark computes both in one sort pass;
+    window sorts spill, so a 10M-event hot key costs disk, never
+    memory — the e07 hot-key rule without even needing the chunked
+    fold, because max-plus CUSUM linearizes where EWMA's affine
+    recursion does not). Deterministic total order: (ts, id) with a
+    unique id. All-integer, hence bit-exact on any engine."""
+    kp = [str(c) for c in key_cols]
+    d = (
+        F.floor(F.col(value_col) * F.lit(MICROS)).cast("long")
+        - F.lit(int(k_micro))
+    )
+    ts_us = F.expr(_epoch_us(events, ts_col)).cast("long")
+    prepared = events.where(F.col(value_col).isNotNull()).select(
+        *kp, ts_us.alias("_ts_us"), F.col(id_col).alias("_id"), d.alias("_d")
+    )
+    w2 = (
+        Window.partitionBy(*kp)
+        .orderBy(F.col("_ts_us").asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = prepared.withColumn("_p", F.sum("_d").over(w2))
+    s = p.withColumn(
+        "_s",
+        F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(w2)),
+    )
+    alarm = F.col("_s") > F.lit(int(h_micro))
+    return s.groupBy(*kp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(alarm.cast("long")).cast("long").alias("n_alarms"),
+        F.max("_s").cast("long").alias("max_s"),
+        F.min(F.when(alarm, F.col("_ts_us"))).cast("long").alias(
+            "first_alarm_us"
+        ),
+    )

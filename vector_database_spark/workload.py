@@ -4557,6 +4557,54 @@ def e16_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E17_K, _E17_H = 60_000_000, 300_000_000
+
+
+@query(
+    "e17_cusum_changepoints",
+    oracle=f"""
+WITH src AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                    CAST(floor(value * 1000000) AS BIGINT) - {_E17_K} AS d
+             FROM events WHERE value IS NOT NULL),
+p AS (SELECT event_type, ts_us, event_id,
+             sum(d) OVER (PARTITION BY event_type
+                          ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p
+      FROM src),
+s AS (SELECT event_type, ts_us,
+             p - LEAST(0, min(p) OVER (PARTITION BY event_type
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) AS s
+      FROM p)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       (count(*) FILTER (WHERE s > {_E17_H}))::BIGINT AS n_alarms,
+       max(s)::BIGINT AS max_s,
+       min(CASE WHEN s > {_E17_H} THEN ts_us END)::BIGINT
+         AS first_alarm_us
+FROM s GROUP BY event_type
+""",
+)
+def e17_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection (`ts.cusum_alarms`): one-sided upper
+    CUSUM per event type in exact integer micro-units — Page's
+    sequential recursion S_t = max(0, S_{t-1} + (x_t − k))
+    LINEARIZED into its closed window form S_t = P_t − min(0,
+    running-min of P), so the whole statistic is one running-sum +
+    one running-min window over a single (ts, id) sort (spills on a
+    hot key, never OOMs — and unlike EWMA's affine recursion, no
+    chunked fold is even needed). k = 60, h = 300 in value units
+    against the ~49.6-mean corpus, so alarms fire on sustained
+    upward runs, not every row. All-integer — bit-exact on any
+    engine."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.cusum_alarms(ev, k_micro=_E17_K, h_micro=_E17_H)
+    return out.select(
+        "event_type", "n_events", "n_alarms", "max_s", "first_alarm_us"
+    )
+
+
 @query(
     "r26_scd2_intervals",
     oracle="""
@@ -5489,6 +5537,7 @@ _DRIVER_TAIL = [
     "v23_mmr_rerank",         # retrieval/rerank family: v03/v04 stay
     "g06_beam_search",        # graph-ANN family: g02 stays in the head
     "s08_drift_chi2",         # sketch/monitoring family: s01/s05 stay
+    "e17_cusum_changepoints", # events family: e01/e13/e16 stay
 ]
 
 
