@@ -144,3 +144,20 @@ def test_graph_beam_search_monotone_and_deterministic(spark, embeddings):
     assert {(r.qid, r.id, r.rank) for r in again} == {
         (r.qid, r.id, r.rank) for r in four
     }
+
+
+def test_knn_graph_dgemm_matches_expr(spark, embeddings):
+    """The dgemm scale path must agree with the expression (oracle)
+    path edge-for-edge — numpy's pairwise sums differ from the
+    sequential folds only in the last ulp, which can reorder an edge
+    only at an exact distance tie (none in this corpus)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.graph import knn_graph
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).where(F.col("id") < 300)
+    a = {(r.src, r.dst, r.rank) for r in knn_graph(vecs, 4, method="expr").collect()}
+    b = {(r.src, r.dst, r.rank) for r in knn_graph(vecs, 4, method="dgemm").collect()}
+    assert a == b and len(a) == 300 * 4

@@ -244,6 +244,7 @@ def knn_graph(
     id_col: str = "id",
     vector_col: str = "vector",
     metric: str = "euclidean",
+    method: str = "expr",
 ) -> DataFrame:
     """k-nearest-neighbor GRAPH construction — the foundation every
     graph-based ANN index (HNSW/NSG/DiskANN families) builds on: for
@@ -254,12 +255,18 @@ def knn_graph(
     edge excluded BEFORE ranking, so ranks are 1..k over true
     neighbors.
 
-    Scale: the panel here is the whole corpus, so the broadcast side
-    grows with n — fine to ~10⁵ nodes (a dims×8·n byte broadcast);
-    past that, build the graph blockwise with the d05 block-pair
-    kernel or IVF-bucketed candidates and refine per block. This
-    operator is the exact small-to-mid-scale primitive and the
-    refinement stage for those fronts."""
+    ``method='expr'`` (default) computes distances as the bit-exact
+    Catalyst folds — the g04 oracle path; cost is n² interpreted
+    folds (the measured 8×-slow HOF regime — fine for gate-scale and
+    for per-block refinement, wrong for bulk builds).
+    ``method='dgemm'`` is the SCALE path: one Arrow-batched BLAS
+    pass per partition against the corpus matrix closed over as
+    plain lists (the `_assign_cells` shape) — distances agree with
+    the folds to an ulp (numpy sums are pairwise), so edge SETS can
+    differ only at exact distance ties; a pytest pins dgemm == expr
+    on the fixture (the a01 kernel/expr-twin rule). Past driver-
+    memory corpora, build blockwise with the d05 block-pair kernel
+    or IVF-bucketed candidates and refine per block."""
     from pyspark.sql.window import Window
 
     from vector_database_spark.functions.vector import (
@@ -267,9 +274,64 @@ def knn_graph(
         euclidean,
     )
 
+    if method not in ("expr", "dgemm"):
+        raise ValueError(f"method must be expr|dgemm, got {method!r}")
     src = vecs.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
     )
+    if method == "dgemm":
+        if metric != "euclidean":
+            raise ValueError("knn_graph dgemm path supports euclidean only")
+        rows = vecs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).cast("array<double>").alias("v"),
+        ).collect()
+        ids = [int(r["id"]) for r in rows]
+        mat = [list(r["v"]) for r in rows]
+        kk = int(k)
+
+        def kern(batches):
+            import numpy as np
+            import pandas as pd
+
+            Q = np.asarray(mat, dtype=np.float64)
+            qid = np.asarray(ids, dtype=np.int64)
+            q2 = (Q * Q).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                sid = pdf["id"].to_numpy(np.int64)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ Q.T)
+                    + q2[None, :]
+                )
+                np.maximum(d2, 0.0, out=d2)
+                self_mask = sid[:, None] == qid[None, :]
+                d2[self_mask] = np.inf
+                out_src, out_dst, out_d, out_r = [], [], [], []
+                for r in range(len(sid)):
+                    order = np.lexsort((qid, d2[r]))[:kk]
+                    out_src.extend([sid[r]] * len(order))
+                    out_dst.extend(qid[order])
+                    out_d.extend(np.sqrt(d2[r][order]))
+                    out_r.extend(range(1, len(order) + 1))
+                yield pd.DataFrame(
+                    {
+                        "src": pd.array(out_src, dtype="int64"),
+                        "dst": pd.array(out_dst, dtype="int64"),
+                        "dist": pd.array(out_d, dtype="float64"),
+                        "rank": pd.array(out_r, dtype="int64"),
+                    }
+                )
+
+        return vecs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).cast("array<double>").alias("v"),
+        ).mapInPandas(kern, "src long, dst long, dist double, rank long")
     qdf = vecs.select(
         F.col(id_col).cast("long").alias("qid"),
         F.col(vector_col).cast("array<double>").alias("qvec"),
