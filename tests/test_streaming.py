@@ -488,3 +488,79 @@ def test_foreach_batch_ivf_ingest_matches_batch_appends(spark):
     q3.awaitTermination(120)
     stored2, _ = ivf_read(spark, path)
     assert stored2.count() == 90
+
+
+def test_streaming_histogram_drift_equals_batch(spark):
+    """Streamed histogram accumulation == the batch histogram after
+    any number of micro-batches, and chi-square drift of the streamed
+    state vs a reference equals sketch.distribution_drift on the same
+    split — streamed-then-compared is the batch computation exactly."""
+    import math
+
+    from vector_database_spark.operators import sketch as sk
+    from vector_database_spark.streaming.monitor import (
+        drift_vs_reference,
+        read_histogram,
+        streaming_histogram_ingest,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src, state = f"{tmp}/src", f"{tmp}/state"
+    rows = [(i, "t%d" % (i % 3), float((i * 37) % 19) - 3.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    a = df.where(F.col("event_id") % 2 == 0)
+    b = df.where(F.col("event_id") % 2 == 1)
+    a.where(F.col("event_id") < 200).write.parquet(src)
+    q = streaming_histogram_ingest(
+        spark.readStream.schema("event_id long, event_type string, value double").parquet(src),
+        state, f"{tmp}/ckpt", value_col="value", lo=-5.0, hi=15.0,
+        n_bins=8, group_cols=["event_type"], trigger_once=True,
+    )
+    q.awaitTermination(120)
+    a.where(F.col("event_id") >= 200).write.mode("append").parquet(src)
+    q2 = streaming_histogram_ingest(
+        spark.readStream.schema("event_id long, event_type string, value double").parquet(src),
+        state, f"{tmp}/ckpt", value_col="value", lo=-5.0, hi=15.0,
+        n_bins=8, group_cols=["event_type"], trigger_once=True,
+    )
+    q2.awaitTermination(120)
+
+    cur = read_histogram(spark, state, group_cols=["event_type"])
+    # reference = batch histogram of the OTHER half
+    from vector_database_spark.streaming.monitor import _bin_expr
+
+    val, bexp = _bin_expr("value", -5.0, 15.0, 8)
+    ref = (
+        b.where(val.isNotNull())
+        .select("event_type", bexp.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # streamed state == batch histogram of half A
+    want_hist = {
+        (r.event_type, r.bin): r.c
+        for r in a.select("event_type", bexp.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    got_hist = {(r.event_type, r.bin): r.c for r in cur.collect()}
+    assert got_hist == want_hist
+
+    got = {
+        r.event_type: (r.n_a, r.n_b, r.bins_used, r.chi2)
+        for r in drift_vs_reference(
+            cur, ref, group_cols=["event_type"]
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n_a, r.n_b, r.bins_used, r.chi2)
+        for r in sk.distribution_drift(
+            a, b, "value", lo=-5.0, hi=15.0, n_bins=8,
+            group_cols=["event_type"],
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for k in got:
+        assert got[k][:3] == want[k][:3]
+        assert math.isclose(got[k][3], want[k][3], rel_tol=0, abs_tol=0.0)

@@ -1,0 +1,130 @@
+"""Streaming data-quality monitoring: histogram state accumulated per
+micro-batch + chi-square drift against a reference snapshot — the
+streaming twin of `sketch.distribution_drift` (monitoring is naturally
+a streaming concern: the reference histogram is yesterday's crawl, the
+accumulating one is today's feed).
+
+State layout follows the repo's crash-safe parquet-state rule
+(streaming/dedup.py): per-batch counts land in ``batch=<id>`` dirs
+with mode=overwrite — idempotent under foreachBatch's at-least-once
+redelivery (a redelivered batch overwrites its own directory instead
+of double-counting) — and readers aggregate across batch dirs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bin_expr(value_col: str, lo: float, hi: float, n_bins: int):
+    width = (float(hi) - float(lo)) / int(n_bins)
+    val = F.col(value_col).cast("double")
+    b = F.floor((val - F.lit(float(lo))) / F.lit(width)).cast("long")
+    return val, F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+
+
+def streaming_histogram_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    group_cols: list[str] | None = None,
+    trigger_once: bool = False,
+):
+    """foreachBatch sink accumulating per-(group, bin) counts: each
+    micro-batch writes ITS OWN aggregated counts (n_bins × groups
+    rows — the map-side-combined histogram shape, never raw rows)
+    into ``batch=<id>``; `read_histogram` sums across batches. The
+    state is mergeable by construction, so restarts and redeliveries
+    are safe without read-modify-write."""
+    gp = list(group_cols or [])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        val, b = _bin_expr(value_col, lo, hi, n_bins)
+        h = (
+            batch_df.where(val.isNotNull() & ~F.isnan(val))
+            .select(*gp, b.alias("bin"))
+            .groupBy(*gp, "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        h.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram(
+    spark: SparkSession, state_path: str, *, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merged (group…, bin, c) across all committed batch dirs."""
+    gp = list(group_cols or [])
+    return (
+        spark.read.option("basePath", state_path)
+        .parquet(f"{state_path}/batch=*")
+        .groupBy(*gp, "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def drift_vs_reference(
+    current: DataFrame,
+    reference: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Chi-square drift of the accumulated stream histogram against a
+    reference histogram (both ``(group…, bin, c)``) — identical term
+    arithmetic and bin-ordered fold as `sketch.distribution_drift`,
+    so streamed-then-compared equals batch-compared exactly."""
+    gp = list(group_cols or [])
+    a = current.select(*gp, "bin", F.col("c").alias("a"))
+    b = reference.select(*gp, "bin", F.col("c").alias("b"))
+    j = (
+        a.join(b, [*gp, "bin"], "full_outer")
+        .select(
+            *gp,
+            "bin",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("long").alias("b"),
+        )
+    )
+    totals = j.groupBy(*gp).agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    jt = j.join(F.broadcast(totals), gp) if gp else j.crossJoin(
+        F.broadcast(totals)
+    )
+    jt = jt.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    pa = F.col("a") / F.col("n_a").cast("double")
+    pb = F.col("b") / F.col("n_b").cast("double")
+    term = ((pa - pb) * (pa - pb)) / (pa + pb)
+    return (
+        jt.where(F.col("a") + F.col("b") > 0)
+        .withColumn("term", term)
+        .groupBy(*gp)
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("bins_used"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("chi2"),
+        )
+    )
