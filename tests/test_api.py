@@ -173,3 +173,47 @@ def test_tail_add_and_compaction(spark):
     assert vdb.tail().count() == 0
     after = {r.text_id for r in vdb.search(q, 0.8).collect()}
     assert after == got
+
+
+def test_facade_filtered_search_including_tail(spark):
+    """search(where=) at the facade level — the reference Find's
+    caller-predicate contract: exact filtered matches across BOTH the
+    indexed rows and the un-compacted tail, spelled once against the
+    text table's own columns."""
+    from vector_database_spark.sources.generators import random_uniform
+
+    vdb = _mk_vdb(spark)
+    extra = (
+        random_uniform(spark, 12, 4, seed=78)
+        .select(
+            (F.col("id") % 3).alias("doc_id"),
+            (F.col("id") + 1000).alias("text_id"),
+            "vector",
+        )
+    )
+    vdb.add_documents(extra, reindex=False)
+    assert vdb.tail().count() == 12
+
+    q = [0.1, -0.2, 0.3, 0.0]
+    got = {
+        r.text_id
+        for r in vdb.search(q, 0.9, where="text_id % 2 = 0").collect()
+    }
+    brute = {
+        r.text_id
+        for r in vdb.brute_force(q, 0.9).collect()
+        if r.text_id % 2 == 0
+    }
+    assert got == brute and got
+    assert all(t % 2 == 0 for t in got)  # every hit satisfies the predicate
+    # doc-scoped + filtered compose: subset of the unscoped result,
+    # and every hit belongs to doc 1 (indexed ids: id % 3; tail ids:
+    # (id - 1000) % 3) while still satisfying the predicate
+    scoped = {
+        r.text_id
+        for r in vdb.search(q, 0.9, doc_id=1, where="text_id % 2 = 0").collect()
+    }
+    assert scoped <= got
+    for t in scoped:
+        assert t % 2 == 0
+        assert (t % 3 == 1) if t < 1000 else ((t - 1000) % 3 == 1)

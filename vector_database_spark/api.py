@@ -210,13 +210,35 @@ class VectorDatabase:
         return out
 
     def search(
-        self, vector: list[float], domain: float, doc_id: int | None = None
+        self,
+        vector: list[float],
+        domain: float,
+        doc_id: int | None = None,
+        *,
+        where=None,
     ) -> DataFrame:
         """Tested `Find` semantics: exact Euclidean matches
         (doc_id-scoped when given): (text_id, dist). Exact regardless
         of compaction state: indexed rows go through the tree, tail
-        rows are brute-force refined."""
-        vecs = self.text().select("doc_id", F.col("text_id").alias("id"), "vector")
+        rows are brute-force refined.
+
+        ``where`` (optional Column or SQL string over the text
+        table's columns) makes this the facade's FILTERED search —
+        the reference `Find`'s caller-predicate contract
+        (MemoryVectorIndex.cs:237-345): applied to both the indexed
+        side (via `search(where=)` — exact filter-then-refine) and
+        the un-compacted tail, so reads stay exact at every point of
+        the ingest lifecycle."""
+        pred = None
+        if where is not None:
+            pred = F.expr(where) if isinstance(where, str) else where
+        txt = self.text()
+        if pred is not None:
+            # filter on the TEXT table's own column names (text_id,
+            # doc_id, vector, metadata...) before any rename, so one
+            # predicate spells the same on the indexed and tail sides
+            txt = txt.where(pred)
+        vecs = txt.select("doc_id", F.col("text_id").alias("id"), "vector")
         if doc_id is not None:
             vecs = vecs.where(F.col("doc_id") == doc_id)
         res = _search(
@@ -224,6 +246,8 @@ class VectorDatabase:
         ).select(F.col("id").alias("text_id"), "dist")
         t = self._tail_scoped(doc_id)
         if t is not None:
+            if pred is not None:
+                t = t.where(pred)
             tail_hits = brute_force_search(
                 t.select(F.col("text_id").alias("id"), "vector"),
                 [(0, vector)],
