@@ -29,6 +29,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from vector_database_spark.functions.vector import dot, euclidean, l2_norm
@@ -397,6 +398,14 @@ def ivf_knn(
     if not ensure_k or nprobe >= n_cells:
         return out
     cur = int(nprobe)
+    # panel qids collected ONCE (panels are small by contract); each
+    # escalation round's starved set is expressed as a broadcast JOIN
+    # against a tiny qid frame, never Column.isin — an In-expression
+    # over a large panel would grow the driver-side plan O(|short|)
+    # per round
+    spark = queries_df.sparkSession
+    qid_field = queries_df.select("qid").schema.fields[0]
+    all_qids = [r["qid"] for r in queries_df.select("qid").collect()]
     while cur < n_cells:
         counts = {
             r["qid"]: r["n"]
@@ -404,18 +413,18 @@ def ivf_knn(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        short = [
-            r["qid"]
-            for r in queries_df.select("qid").collect()
-            if counts.get(r["qid"], 0) < k
-        ]
+        short = [q for q in all_qids if counts.get(q, 0) < k]
         if not short:
             break
         cur = min(cur * 2, n_cells)
-        retry_q = queries_df.where(F.col("qid").isin(short))
-        out = out.where(~F.col("qid").isin(short)).unionByName(
-            ranked(retry_q, cur)
+        short_df = spark.createDataFrame(
+            [(q,) for q in short],
+            StructType([StructField("qid", qid_field.dataType)]),
         )
+        retry_q = queries_df.join(F.broadcast(short_df), "qid")
+        out = out.join(
+            F.broadcast(short_df), "qid", "left_anti"
+        ).unionByName(ranked(retry_q, cur))
         # truncate lineage so each escalation round's count doesn't
         # recompute all prior rounds' probe joins
         out = out.localCheckpoint(eager=False)
@@ -521,6 +530,17 @@ def ivf_append(
     Returns {'appended', 'batch_err', 'base_err', 'drift',
     'retrained'} — `drift` is batch_mean/base_mean − 1 (0.0 when the
     base is empty or stats are missing).
+
+    Atomicity note: the batch parquet append and the `{path}/stats`
+    running-sum rewrite are two separate writes. A crash between them
+    leaves rows on disk whose error never entered the stats base (and
+    the streaming twin's anti-join then drops the redelivered rows,
+    so the sums never catch up) — the DRIFT STATISTIC can therefore
+    under-count after a crash; the DATA layout itself is never
+    corrupted. Acceptable for a monitoring signal; when stats row
+    counts matter (post-crash audit), delete `{path}/stats` and the
+    next append recomputes the base from the full layout via the
+    legacy catch-up path below.
     """
     if retrain not in ("auto", "never", "always"):
         raise ValueError(f"retrain must be auto|never|always, got {retrain!r}")

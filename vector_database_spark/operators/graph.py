@@ -314,7 +314,12 @@ def knn_graph(
                 d2[self_mask] = np.inf
                 out_src, out_dst, out_d, out_r = [], [], [], []
                 for r in range(len(sid)):
-                    order = np.lexsort((qid, d2[r]))[:kk]
+                    order = np.lexsort((qid, d2[r]))
+                    # the inf-masked self pair must never survive the
+                    # cut: when k >= corpus size it would otherwise
+                    # emit a spurious (src, src, inf) edge the expr
+                    # path (which filters id != qid) never produces
+                    order = order[np.isfinite(d2[r][order])][:kk]
                     out_src.extend([sid[r]] * len(order))
                     out_dst.extend(qid[order])
                     out_d.extend(np.sqrt(d2[r][order]))

@@ -1361,6 +1361,11 @@ def mmr_rerank(
         norms = [math.sqrt(dot(v, v)) for v in vecs]
 
         def cos(i, j):
+            # degenerate-row guard (the repo's kernel rule): an
+            # all-zero candidate has no direction — similarity 0
+            # instead of a ZeroDivisionError aborting the job
+            if norms[i] == 0.0 or norms[j] == 0.0:
+                return 0.0
             return dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
 
         n = len(ids)

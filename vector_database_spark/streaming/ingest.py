@@ -192,7 +192,24 @@ def foreach_batch_ivf_ingest(
     whose id already landed in the layout are anti-joined away before
     the append — a redelivered batch appends nothing, so the layout
     equals the batch-mode `ivf_append` chain exactly (the
-    foreach_batch_reindex rule applied to the per-cell layout)."""
+    foreach_batch_reindex rule applied to the per-cell layout).
+
+    PRECONDITION: the IVF layout at ``path`` must already exist
+    (``ann.ivf_write`` / ``ivf_build``) — streaming append assigns
+    under the STORED centroids, so there is nothing to assign against
+    before a build. Checked here at sink-construction time (a clear
+    error now beats the first micro-batch dying inside foreachBatch);
+    vacuuming the layout while the stream runs still fails mid-stream,
+    as any read-under-delete does."""
+    spark = stream_df.sparkSession
+    try:
+        spark.read.parquet(f"{path}/centroids").limit(1).collect()
+    except Exception as exc:  # noqa: BLE001 - any read failure = no layout
+        raise ValueError(
+            f"foreach_batch_ivf_ingest: no IVF layout at {path!r} "
+            "(build one with ann.ivf_build + ann.ivf_write first); "
+            f"centroids read failed with: {exc}"
+        ) from None
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
