@@ -298,6 +298,14 @@ CHECKS = {
         "exchange is the deliberate corpus hash-distribution, and no "
         "aggregate/join touches the payload bytes",
     ),
+    "g07_blocked_knn_graph": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "blocked kNN-graph construction: candidates come from an "
+        "equi-join on the IVF cell — never the n^2 product g04's "
+        "oracle path deliberately uses, and nothing is collected to "
+        "the driver (the round-6 scale fix)",
+    ),
 }
 
 

@@ -477,3 +477,612 @@ def graph_beam_search(
     return rank_beam(beam.select("qid", "id")).select(
         "qid", "id", "dist", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked (IVF-bucketed) kNN-graph construction — the scale path
+# ---------------------------------------------------------------------------
+
+
+def probe_cells_expr(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Replicate every row into its ``nprobe`` nearest cells —
+    expression path: per-centroid distances are the bit-exact
+    left-to-right L2 folds (`functions.vector.euclidean` over literal
+    centroid arrays, the `ann.ivf_assign_expr` shape), ranked
+    ``row_number() OVER (PARTITION BY id ORDER BY dist, cell)`` — so
+    a SQL replay selects the IDENTICAL probe set (this is g07's
+    oracle-gated twin of `_probe_cells_kernel`). Returns
+    ``(id, vector, cell, pr)`` with pr in 1..nprobe; pr=1 is the
+    primary (member) cell. Cost is cells x dims interpreted folds per
+    row — the kernel path is the bulk-build operating point."""
+    from vector_database_spark.functions.vector import euclidean
+
+    dists = F.array(
+        *[
+            euclidean(
+                F.col("vector"), F.array(*[F.lit(float(x)) for x in c])
+            )
+            for c in centroids
+        ]
+    )
+    base = vecs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    ).withColumn("_ds", dists)
+    ex = base.select(
+        "id", "vector", F.posexplode("_ds").alias("cell", "_d")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    return (
+        ex.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= int(nprobe))
+        .select("id", "vector", F.col("cell").cast("int").alias("cell"), "pr")
+    )
+
+
+def _probe_cells_kernel(
+    vecs: DataFrame, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Kernel twin of `probe_cells_expr`: ONE dgemm per Arrow batch
+    against the centroid matrix (the `ann._assign_cells` shape), rows
+    replicated into their nprobe nearest cells by (d2, cell) order.
+    BLAS d2 and the expression folds agree to an ulp — probe sets can
+    differ only at exact centroid-distance ties (a pytest pins
+    kernel == expr on the gate fixture, the a01 rule)."""
+    cents = [[float(x) for x in c] for c in centroids]
+    np_ = int(nprobe)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]]
+            )
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            ncell = d2.shape[1]
+            take = min(np_, ncell)
+            cell_ids = np.arange(ncell)
+            out_id, out_vec, out_cell, out_pr = [], [], [], []
+            ids = pdf["id"].to_numpy(np.int64)
+            for r in range(len(ids)):
+                order = np.lexsort((cell_ids, d2[r]))[:take]
+                out_id.extend([ids[r]] * take)
+                out_vec.extend([pdf["vector"].iloc[r]] * take)
+                out_cell.extend(int(c) for c in order)
+                out_pr.extend(range(1, take + 1))
+            vec_col = pd.Series(out_vec, dtype="object")
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out_id, dtype="int64"),
+                    "vector": vec_col,
+                    "cell": pd.array(out_cell, dtype="int32"),
+                    "pr": pd.array(out_pr, dtype="int32"),
+                }
+            )
+
+    return vecs.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("vector").cast("array<double>").alias("vector"),
+    ).mapInPandas(
+        kern, "id long, vector array<double>, cell int, pr int"
+    )
+
+
+def knn_graph_blocked(
+    vecs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+    method: str = "dgemm",
+) -> DataFrame:
+    """Scale-safe kNN-graph construction (round-6 verdict item 1 —
+    replaces `knn_graph(method='dgemm')`'s driver-collected corpus
+    matrix): IVF-bucket the corpus (bounded-sample Lloyd +
+    one assignment pass, `ann.ivf_build`), replicate each point into
+    its ``nprobe`` nearest cells, and rank candidates WITHIN each
+    cell only — candidate generation is an equi-join on `cell`
+    (never a cartesian), pair work is Σ|cell|·|probes(cell)| instead
+    of n², and nothing is ever collected to the driver. Returns
+    ``(src, dst, dist, rank)`` like `knn_graph`.
+
+    APPROXIMATE by design: a true neighbor whose primary cell is not
+    among the source's nprobe probed cells is missed (the SemDeDup
+    trade, `dedup.embedding_neardup_blocked`); recall is measured
+    against the exact `knn_graph` in tests/test_graph.py and raised
+    by growing nprobe (nprobe = n_cells is exact). A 1000× corpus is
+    absorbed by growing n_cells, not pair work — the d08/IVF recipe
+    applied to graph construction (reference analog: the BSP tree
+    exists precisely to avoid the brute O(n·N) scan, README.md:26-35;
+    this is the same pruning inverted for bulk pair generation).
+
+    ``method='dgemm'`` (default, the bulk path): probe replication
+    and within-cell ranking run as Arrow kernels — one dgemm per
+    (cell) group against that CELL's member matrix (memory ∝ cell
+    size, not corpus), per-probe top-k cut inside the kernel, one
+    slim global window over the per-cell survivors. ``method='expr'``
+    computes every distance as the bit-exact Catalyst fold — the g07
+    oracle path (gate on expr, scale on dgemm, pin parity: the g04
+    rule). ``centroids`` (e.g. seeded rows) skips Lloyd for
+    deterministic replay."""
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_assign_expr,
+        ivf_build,
+    )
+
+    if method not in ("expr", "dgemm"):
+        raise ValueError(f"method must be expr|dgemm, got {method!r}")
+    vv = vecs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
+    if centroids is None:
+        assigned, centroids = ivf_build(
+            vv, n_cells=n_cells, iters=iters, seed=seed, train_rows=train_rows
+        )
+        members = assigned if method == "dgemm" else ivf_assign_expr(vv, centroids)
+    else:
+        centroids = [[float(x) for x in c] for c in centroids]
+        members = (
+            _assign_cells(vv, centroids)
+            if method == "dgemm"
+            else ivf_assign_expr(vv, centroids)
+        )
+    probes = _blocked_probes(vv, centroids, nprobe, method)
+    narrow = _blocked_narrow(members, probes, k, method)
+    return _rank_topk_edges(narrow, k)
+
+
+def _blocked_probes(vv, centroids, nprobe, method):
+    """Probe replication dispatch: expression folds for the oracle
+    path, one dgemm per Arrow batch for the bulk path."""
+    if method == "expr":
+        return probe_cells_expr(vv, centroids, nprobe)
+    return _probe_cells_kernel(vv, centroids, nprobe)
+
+
+def _blocked_narrow(
+    members: DataFrame, probes: DataFrame, k: int, method: str
+) -> DataFrame:
+    """Within-cell candidate distances ``(src, dst, dist)`` for the
+    blocked kNN-graph: probes equi-join members on `cell` (never a
+    cartesian), self pairs excluded. ``expr`` emits the bit-exact
+    Catalyst L2 folds; ``dgemm`` runs one chunked BLAS pass per cell
+    group (memory ∝ cell size) with the per-probe top-k cut INSIDE
+    the kernel, so only k survivor rows per (src, probed cell) ever
+    reach the shuffle. Shared by the bulk build and the append path
+    (same kernel → appended distances are bit-identical to rebuilt
+    ones)."""
+    kk = int(k)
+    if method == "expr":
+        from vector_database_spark.functions.vector import euclidean
+
+        cand = (
+            probes.select(
+                F.col("id").alias("src"), F.col("vector").alias("_qv"), "cell"
+            )
+            .join(
+                members.select(
+                    F.col("id").alias("dst"),
+                    F.col("vector").alias("_mv"),
+                    F.col("cell").cast("int").alias("cell"),
+                ),
+                "cell",
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        return cand.select(
+            "src", "dst", euclidean(F.col("_mv"), F.col("_qv")).alias("dist")
+        )
+    both = members.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("id").cast("long").alias("id"),
+        F.col("vector").cast("array<double>").alias("vector"),
+        F.lit(1).alias("is_member"),
+    ).unionByName(
+        probes.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("id").cast("long").alias("id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+
+    def make_cell_kernel(k_val: int):
+        def kern(pdf):
+            import numpy as np
+            import pandas as pd
+
+            mem = pdf[pdf["is_member"] == 1]
+            prb = pdf[pdf["is_member"] == 0]
+            out_s: list = []
+            out_d: list = []
+            out_dist: list = []
+            if len(mem) and len(prb):
+                M = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in mem["vector"]]
+                )
+                Q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in prb["vector"]]
+                )
+                mid = mem["id"].to_numpy(np.int64)
+                qid = prb["id"].to_numpy(np.int64)
+                m2 = (M * M).sum(axis=1)
+                chunk = 1024
+                for c0 in range(0, len(qid), chunk):
+                    c1 = min(c0 + chunk, len(qid))
+                    Qc = Q[c0:c1]
+                    d2 = (
+                        (Qc * Qc).sum(axis=1)[:, None]
+                        - 2.0 * (Qc @ M.T)
+                        + m2[None, :]
+                    )
+                    np.maximum(d2, 0.0, out=d2)
+                    d2[qid[c0:c1, None] == mid[None, :]] = np.inf
+                    for r in range(c1 - c0):
+                        order = np.lexsort((mid, d2[r]))
+                        # cut with a small margin (BLAS pre-rank),
+                        # then RECOMPUTE kept distances with a
+                        # shape-independent per-pair reduction:
+                        # GEMM accumulation order varies with the
+                        # member-matrix shape, so emitting sqrt(d2)
+                        # directly made an APPEND's distances drift
+                        # ~1e-13 from a REBUILD's (measured, 96 of
+                        # 384k edges); (D*D).sum(axis=1) reduces over
+                        # dims only — same bits for the same pair in
+                        # any batch. The margin keeps the final
+                        # global cut (on recomputed dists) immune to
+                        # BLAS-ulp flips at the selection boundary.
+                        order = order[np.isfinite(d2[r][order])][
+                            : k_val + 4
+                        ]
+                        if not len(order):
+                            continue
+                        Dv = M[order] - Qc[r]
+                        dd = np.sqrt((Dv * Dv).sum(axis=1))
+                        out_s.extend([qid[c0 + r]] * len(order))
+                        out_d.extend(mid[order])
+                        out_dist.extend(dd)
+            return pd.DataFrame(
+                {
+                    "src": pd.array(out_s, dtype="int64"),
+                    "dst": pd.array(out_d, dtype="int64"),
+                    "dist": pd.array(out_dist, dtype="float64"),
+                }
+            )
+
+        return kern
+
+    return both.groupBy("cell").applyInPandas(
+        make_cell_kernel(kk), "src long, dst long, dist double"
+    )
+
+
+def _rank_topk_edges(narrow: DataFrame, k: int) -> DataFrame:
+    """Global top-k per src over the per-cell survivors: the shared
+    Arrow pre-reduction (`search._grouped_topk`) bounds the shuffle,
+    one slim window ranks by (dist, dst)."""
+    from vector_database_spark.operators.search import _grouped_topk
+
+    kk = int(k)
+    local = _grouped_topk(narrow, kk, "src", "dst")
+    w = Window.partitionBy("src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("src", "dst", "dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph persistence + incremental append (round-6 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_write(
+    vecs: DataFrame,
+    k: int,
+    path: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+    method: str = "dgemm",
+) -> DataFrame:
+    """Build the blocked kNN graph AND persist the full layout —
+    the `ann.ivf_write` contract extended with edges and probes:
+
+    - ``{path}/vectors``  (id, vector) partitioned by `cell` — the
+      IVF member layout (probe reads prune partitions),
+    - ``{path}/centroids`` the coarse codebook,
+    - ``{path}/probes``   (id, pr) partitioned by `cell` — each
+      node's nprobe probed cells, persisted so an APPEND can find
+      exactly the existing nodes whose candidate set a new batch
+      changes by pruning probe partitions to the batch's cells
+      (never a full-corpus rescan),
+    - ``{path}/edges``    (src, dst, dist, rank) partitioned by
+      `src_cell` (the src's primary cell) so append fix-ups rewrite
+      only touched partitions,
+    - ``{path}/graph_meta`` (k, nprobe, method),
+    - ``{path}/stats``    running quantization-error sums (the
+      `ivf_append` drift base).
+
+    Returns the edges DataFrame (read back from disk — lineage-free).
+    """
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        _ivf_err_stats,
+        _ivf_stats_write,
+        ivf_assign_expr,
+        ivf_build,
+        ivf_write,
+    )
+
+    if method not in ("expr", "dgemm"):
+        raise ValueError(f"method must be expr|dgemm, got {method!r}")
+    spark = vecs.sparkSession
+    vv = vecs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
+    if centroids is None:
+        assigned, centroids = ivf_build(
+            vv, n_cells=n_cells, iters=iters, seed=seed, train_rows=train_rows
+        )
+        members = assigned if method == "dgemm" else ivf_assign_expr(vv, centroids)
+    else:
+        centroids = [[float(x) for x in c] for c in centroids]
+        members = (
+            _assign_cells(vv, centroids)
+            if method == "dgemm"
+            else ivf_assign_expr(vv, centroids)
+        )
+    # one assignment, consumed by the vector write, the edge build,
+    # and the stats pass — pin it
+    members = members.localCheckpoint()
+    probes = _blocked_probes(vv, centroids, nprobe, method).localCheckpoint()
+    edges = _rank_topk_edges(_blocked_narrow(members, probes, k, method), k)
+    ivf_write(members, centroids, path)
+    probes.select("id", "pr", "cell").repartition("cell").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("cell").parquet(
+        f"{path}/probes"
+    )
+    src_cell = members.select(
+        F.col("id").alias("src"), F.col("cell").alias("src_cell")
+    )
+    edges.join(src_cell, "src").repartition("src_cell").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy(
+        "src_cell"
+    ).parquet(f"{path}/edges")
+    spark.createDataFrame(
+        [(int(k), int(nprobe), method)], "k int, nprobe int, method string"
+    ).write.mode("overwrite").parquet(f"{path}/graph_meta")
+    s, n = _ivf_err_stats(members, centroids)
+    _ivf_stats_write(spark, path, s, n)
+    return spark.read.parquet(f"{path}/edges").select(
+        "src", "dst", "dist", "rank"
+    )
+
+
+def knn_graph_read(spark, path: str) -> tuple[DataFrame, dict]:
+    """(edges, meta) — edges as ``(src, dst, dist, rank)``, meta =
+    {'k', 'nprobe', 'method', 'centroids'}. Vectors are at
+    ``{path}/vectors`` (ann.ivf_read reads them with the codebook)."""
+    from vector_database_spark.operators.ann import ivf_read
+
+    _vecs, cents = ivf_read(spark, path)
+    m = spark.read.parquet(f"{path}/graph_meta").first()
+    meta = {
+        "k": int(m["k"]),
+        "nprobe": int(m["nprobe"]),
+        "method": str(m["method"]),
+        "centroids": cents,
+    }
+    edges = spark.read.parquet(f"{path}/edges").select(
+        "src", "dst", "dist", "rank"
+    )
+    return edges, meta
+
+
+def knn_graph_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    drift_threshold: float = 0.25,
+    retrain: str = "auto",
+) -> dict:
+    """Incremental kNN-graph ingest with the `ann.ivf_append`
+    contract (assign-on-append under the STORED centroids, running
+    drift stats, auto-retrain) — and an EXACTNESS guarantee the IVF
+    case doesn't need: after the append, the stored graph is
+    IDENTICAL to a full `knn_graph_write` rebuild of old∪new under
+    the same centroids (asserted at 128k in
+    tools/knn_graph_probe.py). That holds because top-k(A∪B) ⊆
+    top-k(A) ∪ B: a stored node's post-append neighbor list is the
+    re-ranked union of its stored k edges and the batch members that
+    landed in its probed cells — no stored candidate outside its old
+    top-k can enter the new top-k.
+
+    Set-based fix-up, nothing collected:
+    1. assign + probe the batch under stored centroids (same kernel
+       as the build — distances bit-identical to a rebuild's);
+    2. NEW-node edges: batch probes × members of the probed cells
+       (stored members partition-pruned to those cells, plus the
+       batch itself);
+    3. EXISTING-node fix-ups: stored probes partition-pruned to the
+       batch's cells name exactly the affected srcs; their candidate
+       edges against batch members union their stored edges, one
+       window re-ranks;
+    4. only touched ``src_cell`` partitions of ``{path}/edges`` are
+       rewritten (dynamic partition overwrite — every touched
+       partition is rewritten IN FULL, so the
+       dynamic-cannot-drop hazard doesn't bite: no partition ever
+       shrinks to empty);
+    5. drift = batch/base quantization-error ratio − 1; past the
+       threshold with ``retrain='auto'``, the WHOLE layout is rebuilt
+       with fresh Lloyd centroids (`knn_graph_write`), the honest
+       response to distribution shift (new cells invalidate stored
+       probe sets wholesale).
+
+    Returns {'appended', 'affected', 'drift', 'retrained', ...}."""
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        _ivf_err_stats,
+        _ivf_stats_read,
+        _ivf_stats_write,
+        ivf_assign_expr,
+        ivf_read,
+    )
+
+    if retrain not in ("auto", "never", "always"):
+        raise ValueError(f"retrain must be auto|never|always, got {retrain!r}")
+    stored, centroids = ivf_read(spark, path)
+    edges_all, meta = knn_graph_read(spark, path)
+    k, nprobe, method = meta["k"], meta["nprobe"], meta["method"]
+    vv = new_df.select(
+        F.col(id_col)
+        .cast(stored.schema["id"].dataType)
+        .alias("id"),
+        F.col(vector_col)
+        .cast(stored.schema["vector"].dataType)
+        .alias("vector"),
+    )
+    assign = _assign_cells if method == "dgemm" else ivf_assign_expr
+    batch_members = assign(vv, centroids).localCheckpoint()
+    batch_probes = _blocked_probes(vv, centroids, nprobe, method).localCheckpoint()
+    batch_n = batch_members.count()
+    if batch_n == 0:
+        return {"appended": 0, "affected": 0, "drift": 0.0, "retrained": False}
+    batch_cells = sorted(
+        int(r["cell"]) for r in batch_members.select("cell").distinct().collect()
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in batch_probes.select("cell").distinct().collect()
+    )
+
+    # --- candidate generation (all reads pinned BEFORE any write) ---
+    stored_m = stored.select("id", "vector", "cell")
+    # members of the cells the batch probes: stored (partition-pruned)
+    # plus the batch itself (new nodes can be each other's neighbors)
+    probed_members = (
+        stored_m.where(F.col("cell").isin(probe_cells))
+        .unionByName(batch_members.select("id", "vector", "cell"))
+        .localCheckpoint()
+    )
+    new_edges = _rank_topk_edges(
+        _blocked_narrow(probed_members, batch_probes, k, method), k
+    )
+    # stored nodes whose probe set intersects the batch's cells —
+    # the ONLY nodes whose candidate set changed; probes are stored
+    # partitioned by cell, so this read prunes to |batch_cells| dirs
+    aff_probes = (
+        spark.read.parquet(f"{path}/probes")
+        .where(F.col("cell").isin(batch_cells))
+        .select("id", "cell")
+    )
+    aff_with_vec = aff_probes.join(
+        stored_m.select("id", "vector"), "id"
+    ).select("id", "vector", "cell").localCheckpoint()
+    fix_narrow = _blocked_narrow(
+        batch_members.select("id", "vector", "cell"), aff_with_vec, k, method
+    )
+    aff_ids = aff_with_vec.select(F.col("id").alias("src")).distinct()
+    old_aff = edges_all.join(aff_ids, "src").select("src", "dst", "dist")
+    updated_aff = _rank_topk_edges(
+        old_aff.unionByName(fix_narrow), k
+    )
+    # src_cell lookup for the rewrite (primary cell of each src)
+    src_cells = (
+        stored_m.select(F.col("id").alias("src"), F.col("cell").alias("src_cell"))
+        .unionByName(
+            batch_members.select(
+                F.col("id").alias("src"), F.col("cell").alias("src_cell")
+            )
+        )
+    )
+    touched_out = (
+        updated_aff.unionByName(new_edges)
+        .join(src_cells, "src")
+        .localCheckpoint()  # pin BEFORE overwriting the partitions read above
+    )
+    keep_out = (
+        edges_all.join(src_cells, "src")
+        .join(touched_out.select("src_cell").distinct(), "src_cell")
+        .join(aff_ids, "src", "left_anti")
+        .localCheckpoint()
+    )
+
+    # --- writes ---
+    batch_members.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    batch_probes.select("id", "pr", "cell").repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/probes")
+    touched_out.unionByName(keep_out).repartition("src_cell").write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "src_cell"
+    ).parquet(f"{path}/edges")
+
+    # --- drift stats (the ivf_append contract) ---
+    batch_sum, _bn = _ivf_err_stats(batch_members, centroids)
+    base = _ivf_stats_read(spark, path) or (0.0, 0)
+    base_sum, base_n = base
+    batch_err = batch_sum / batch_n
+    base_err = (base_sum / base_n) if base_n > 0 else 0.0
+    drift = (batch_err / base_err - 1.0) if base_err > 0 else 0.0
+    _ivf_stats_write(spark, path, base_sum + batch_sum, base_n + batch_n)
+    do_retrain = retrain == "always" or (
+        retrain == "auto" and drift > drift_threshold
+    )
+    if do_retrain:
+        full = spark.read.parquet(f"{path}/vectors").select("id", "vector")
+        full = full.localCheckpoint()
+        knn_graph_write(
+            full, k, path, nprobe=nprobe, method=method,
+            n_cells=len(centroids),
+        )
+    n_aff = aff_ids.count()
+    return {
+        "appended": int(batch_n),
+        "affected": int(n_aff),
+        "batch_err": round(batch_err, 6),
+        "base_err": round(base_err, 6),
+        "drift": round(drift, 6),
+        "retrained": bool(do_retrain),
+    }

@@ -4948,6 +4948,65 @@ def g06_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G07_CELLS, _G07_NPROBE, _G07_K = 8, 2, 5
+
+
+@query(
+    "g07_blocked_knn_graph",
+    oracle=f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':g07'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_G07_CELLS}),
+ad AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c),
+ar AS MATERIALIZED (SELECT id, embedding, cell,
+             row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+      FROM ad),
+a AS (SELECT id, embedding, cell FROM ar WHERE rn = 1),
+p AS (SELECT id, embedding, cell FROM ar WHERE rn <= {_G07_NPROBE}),
+cd AS (SELECT p.id AS src, a.id AS dst,
+              {_l2_sql('p.embedding', 'a.embedding')} AS d
+       FROM p JOIN a ON a.cell = p.cell AND a.id <> p.id),
+r AS (SELECT src, dst, d,
+             row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rank
+      FROM cd)
+SELECT src, dst, round(d, 4) AS dist, rank::BIGINT AS rank
+FROM r WHERE rank <= {_G07_K}
+""",
+)
+def g07_blocked_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-SAFE kNN-graph construction (round-6 verdict item 1 —
+    `graph.knn_graph_blocked`): IVF-bucket the corpus, replicate each
+    point into its {_G07_NPROBE} nearest cells, rank candidates
+    within cells only — candidate generation is an equi-join on
+    `cell` (plan-asserted: no cartesian, no driver collect), pair
+    work Σ|cell|·|probes| instead of g04's n². The a01 exact-oracle
+    rig: coarse centroids are the {_G07_CELLS} vectors in seeded-md5
+    order, assignment/probing/distances all run the expression-path
+    folds, so cell membership, probe sets, candidate fan-in, and the
+    final (dist, dst) top-{_G07_K} hash-match the SQL replay. The
+    Lloyd-trained dgemm bulk path is pinned to this path by pytest
+    (expr == dgemm on this rig) and probed at 200k rows without the
+    driver holding the matrix (tools/knn_graph_probe.py)."""
+    from vector_database_spark.operators.graph import knn_graph_blocked
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "g07", _G07_CELLS)
+    out = knn_graph_blocked(
+        vecs, _G07_K, centroids=cents, nprobe=_G07_NPROBE, method="expr"
+    )
+    return out.select(
+        "src",
+        "dst",
+        F.round("dist", 4).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @query("g03_pagerank_exact", oracle=_pagerank_exact_oracle())
 def g03_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (10 iterations, 17/20 damping,
@@ -5538,6 +5597,7 @@ _DRIVER_TAIL = [
     "g06_beam_search",        # graph-ANN family: g02 stays in the head
     "s08_drift_chi2",         # sketch/monitoring family: s01/s05 stay
     "e17_cusum_changepoints", # events family: e01/e13/e16 stay
+    "g07_blocked_knn_graph",  # graph-ANN family: g02 stays in the head
 ]
 
 
