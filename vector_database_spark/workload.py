@@ -2211,6 +2211,40 @@ def d06_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d11_dedup_groups_star",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_J_EXPR} >= {JACCARD_T}),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u),
+sz AS (SELECT group_id, count(*)::BIGINT AS group_size FROM lab GROUP BY group_id)
+SELECT l.doc_id, l.group_id, sz.group_size,
+       (CASE WHEN l.doc_id = l.group_id THEN 1 ELSE 0 END) AS is_canonical
+FROM lab l JOIN sz ON sz.group_id = l.group_id
+""",
+)
+def d11_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d06 dedup endpoint through the O(log d) large-star/
+    small-star connected-components path (Kiveris et al., SoCC'14 —
+    `dedup.connected_components(method='star')`, round-6 verdict item
+    2): components are CANONICAL (min reachable id), so the identical
+    transitive-closure oracle gates both algorithms — this gate
+    proves the contraction computes the same components as min-label
+    on real near-dup pairs, while the 10k-chain pytest pins the
+    <= 2·log2(n) round bound min-label can't meet on adversarial
+    diameter."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    return dd.dedup_groups(docs, pairs, cc_method="star")
+
+
+@query(
     "v10_label_centroids",
     oracle="""
 SELECT label::BIGINT AS label, idx, round(avg(v), 4) AS centroid,
@@ -5598,6 +5632,7 @@ _DRIVER_TAIL = [
     "s08_drift_chi2",         # sketch/monitoring family: s01/s05 stay
     "e17_cusum_changepoints", # events family: e01/e13/e16 stay
     "g07_blocked_knn_graph",  # graph-ANN family: g02 stays in the head
+    "d11_dedup_groups_star",  # dedup family: d06 (min-label) stays
 ]
 
 
