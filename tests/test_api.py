@@ -217,3 +217,108 @@ def test_facade_filtered_search_including_tail(spark):
     for t in scoped:
         assert t % 2 == 0
         assert (t % 3 == 1) if t < 1000 else ((t - 1000) % 3 == 1)
+
+
+def _mk_typed(spark, index_type):
+    vdb = VectorDatabase(
+        spark,
+        tempfile.mkdtemp() + f"/vdb_{index_type}",
+        local_threshold=32,
+        index_type=index_type,
+        n_cells=4,
+        pq_m=2,
+    )
+    txt = (
+        random_uniform(spark, 90, 4, seed=21)
+        .withColumn("doc_id", F.col("id") % 3)
+        .select(
+            "doc_id",
+            F.col("id").alias("text_id"),
+            F.concat(F.lit("chunk "), F.col("id")).alias("text"),
+            "vector",
+        )
+    )
+    vdb.add_documents(txt)
+    return vdb
+
+
+def test_facade_unified_index_types(spark):
+    """Round-6 verdict item 4: one rig, three index types, IDENTICAL
+    result contracts — plain, filtered (v19-style where=), doc-scoped,
+    tail-including search all return the same exact hit sets under
+    bsp, ivf, and ivfadc; deletes keep every backend in sync."""
+    from vector_database_spark.sources.generators import random_uniform
+
+    q = [0.1, -0.2, 0.3, 0.0]
+    dbs = {t: _mk_typed(spark, t) for t in ("bsp", "ivf", "ivfadc")}
+    extra = random_uniform(spark, 12, 4, seed=77).select(
+        (F.col("id") % 3).alias("doc_id"),
+        (F.col("id") + 1000).alias("text_id"),
+        "vector",
+    )
+    results = {}
+    for t, vdb in dbs.items():
+        # un-indexed tail must stay exact for every backend
+        vdb.add_documents(extra, reindex=False)
+        assert vdb.tail().count() == 12, t
+        plain = frozenset(
+            (r.text_id, round(r.dist, 9)) for r in vdb.search(q, 0.8).collect()
+        )
+        filt = frozenset(
+            r.text_id
+            for r in vdb.search(q, 0.9, where="text_id % 2 = 0").collect()
+        )
+        scoped = frozenset(
+            r.text_id for r in vdb.search(q, 0.8, doc_id=1).collect()
+        )
+        cands = frozenset(
+            r.text_id for r in vdb.search_candidates(q, 0.8).collect()
+        )
+        brute = frozenset(
+            (r.text_id, round(r.dist, 9))
+            for r in vdb.brute_force(q, 0.8).collect()
+        )
+        assert plain == brute and plain, t
+        assert {tid for tid, _ in plain} <= cands, t
+        results[t] = (plain, filt, scoped)
+    assert results["bsp"] == results["ivf"] == results["ivfadc"]
+
+    # deletes: vicinity-predicated removal keeps every backend exact
+    after = {}
+    for t, vdb in dbs.items():
+        n = vdb.delete_vectors(q, 0.5, predicate="text_id % 2 = 0")
+        assert n > 0, t
+        got = frozenset(
+            (r.text_id, round(r.dist, 9)) for r in vdb.search(q, 0.8).collect()
+        )
+        brute = frozenset(
+            (r.text_id, round(r.dist, 9))
+            for r in vdb.brute_force(q, 0.8).collect()
+        )
+        assert got == brute, t
+        after[t] = got
+    assert after["bsp"] == after["ivf"] == after["ivfadc"]
+
+
+def test_facade_ivf_compaction_and_introspection_guards(spark):
+    """IVF-family compaction appends the tail into the layout (search
+    unchanged, tail drained); BSP-only introspection fails loudly."""
+    import pytest
+    from vector_database_spark.sources.generators import random_uniform
+
+    vdb = _mk_typed(spark, "ivf")
+    q = [0.1, -0.2, 0.3, 0.0]
+    extra = random_uniform(spark, 12, 4, seed=78).select(
+        (F.col("id") % 3).alias("doc_id"),
+        (F.col("id") + 2000).alias("text_id"),
+        "vector",
+    )
+    vdb.add_documents(extra, reindex=False)
+    before = {r.text_id for r in vdb.search(q, 0.8).collect()}
+    assert vdb.compact(threshold=0.5) == []
+    assert sorted(vdb.compact(threshold=0.05)) == [0, 1, 2]
+    assert vdb.tail().count() == 0
+    assert {r.text_id for r in vdb.search(q, 0.8).collect()} == before
+    for bad in (vdb.hierarchy, vdb.stats):
+        with pytest.raises(ValueError):
+            bad()

@@ -35,12 +35,50 @@ COMPACTION_THRESHOLD = 0.2
 
 
 class VectorDatabase:
+    """``index_type`` selects the physical index behind the SAME
+    add/search/delete contract (round-6 verdict item 4):
+
+    * ``'bsp'`` (default) — the reference's per-document BSP tree
+      (exact box/ball pruning, LSM tail, compaction).
+    * ``'ivf'`` — corpus-level inverted file (`ann.ivf_*`): coarse
+      centroids + per-cell layout; ball search prunes cells by the
+      triangle inequality (d(q, centroid) ≤ domain + cell radius — a
+      per-cell max-radius table is maintained on build/append), then
+      refines EXACTLY against the text table, so `search()` results
+      are identical to bsp/brute force at any domain.
+    * ``'ivfadc'`` — the compressed layout (`ann.ivfadc_*`): same
+      coarse pruning contract (codes keep vectors for exact refine);
+      the ADC codes additionally serve `ann.ivfadc_knn` style
+      ranking outside the facade.
+
+    All three share the text store as source of truth, the un-indexed
+    LSM tail (exact brute-force refined), `reindex=True/False/'auto'`
+    ingest, and filtered search (``where=``). The IVF-family coarse
+    model is corpus-global, so `index_documents` rebuilds the whole
+    layout; incremental adds go assign-on-append (`ann.ivf_append` /
+    `ivfadc_append`, retrain='never' inside the facade — rebuilds are
+    explicit maintenance, the streaming-ingest rule)."""
+
     def __init__(
-        self, spark: SparkSession, root_path: str, *, local_threshold: int = 20_000
+        self,
+        spark: SparkSession,
+        root_path: str,
+        *,
+        local_threshold: int = 20_000,
+        index_type: str = "bsp",
+        n_cells: int = 16,
+        pq_m: int = 4,
     ):
+        if index_type not in ("bsp", "ivf", "ivfadc"):
+            raise ValueError(
+                f"index_type must be bsp|ivf|ivfadc, got {index_type!r}"
+            )
         self.spark = spark
         self.root = root_path.rstrip("/")
         self.local_threshold = local_threshold
+        self.index_type = index_type
+        self.n_cells = int(n_cells)
+        self.pq_m = int(pq_m)
         self._idx_cache: DataFrame | None = None
         self._tail_known_empty: bool | None = None
 
@@ -76,6 +114,179 @@ class VectorDatabase:
         except Exception:
             return self.spark.createDataFrame([], self._INDEX_DDL)
 
+    # -- IVF-family internals ---------------------------------------------
+    @property
+    def ann_path(self) -> str:
+        return f"{self.root}/{self.index_type}_index"
+
+    def _ann_exists(self) -> bool:
+        try:
+            self.spark.read.parquet(f"{self.ann_path}/centroids").limit(
+                1
+            ).collect()
+            return True
+        except Exception:
+            return False
+
+    def _ann_vectors(self) -> DataFrame:
+        sub = "codes" if self.index_type == "ivfadc" else "vectors"
+        return self.spark.read.parquet(f"{self.ann_path}/{sub}")
+
+    def _ann_centroids(self) -> list[list[float]]:
+        return [
+            list(r.cvec)
+            for r in self.spark.read.parquet(f"{self.ann_path}/centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+
+    def _write_radius(self, assigned: DataFrame, cents: list) -> None:
+        """Per-cell max distance-to-centroid (the ball-pruning bound).
+        Same fold distance the refinement uses; tiny table."""
+        from vector_database_spark.functions.vector import euclidean
+
+        cmap = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>",
+        )
+        (
+            assigned.join(F.broadcast(cmap), "cell")
+            .groupBy("cell")
+            .agg(
+                F.max(euclidean(F.col("vector"), F.col("cvec"))).alias(
+                    "radius"
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(f"{self.ann_path}/radius")
+        )
+
+    def _ann_build_all(self) -> None:
+        """Full (re)build of the IVF-family layout over the text
+        table — the coarse model is corpus-global, so this is the
+        `index_documents` analog regardless of doc scope."""
+        from vector_database_spark.operators import ann
+
+        vecs = self.text().select(
+            F.col("text_id").alias("id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+        )
+        if vecs.isEmpty():
+            return
+        if self.index_type == "ivf":
+            assigned, cents = ann.ivf_build(vecs, n_cells=self.n_cells)
+            assigned = assigned.localCheckpoint()
+            ann.ivf_write(assigned, cents, self.ann_path)
+        else:
+            assigned, cents, books = ann.ivfadc_build(
+                vecs, n_cells=self.n_cells, m=self.pq_m
+            )
+            assigned = assigned.localCheckpoint()
+            ann.ivfadc_write(assigned, cents, books, self.ann_path)
+        s, n = ann._ivf_err_stats(assigned, cents)
+        ann._ivf_stats_write(self.spark, self.ann_path, s, n)
+        self._write_radius(assigned, cents)
+
+    def _ann_append(self, df: DataFrame) -> dict:
+        """Assign-on-append + radius maintenance. retrain='never'
+        inside the facade (the streaming-ingest rule): a rebuild
+        invalidates every stored radius wholesale, so it stays an
+        explicit `index_documents()` maintenance call; drift is
+        surfaced in the returned dict."""
+        from vector_database_spark.functions.vector import euclidean
+        from vector_database_spark.operators import ann
+
+        batch = df.select(
+            F.col("text_id").alias("id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+        )
+        if self.index_type == "ivf":
+            info = ann.ivf_append(
+                self.spark, self.ann_path, batch, retrain="never"
+            )
+        else:
+            info = ann.ivfadc_append(
+                self.spark, self.ann_path, batch, retrain="never"
+            )
+        cents = self._ann_centroids()
+        assigned = ann._assign_cells(batch, cents)
+        cmap = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>",
+        )
+        batch_rad = (
+            assigned.join(F.broadcast(cmap), "cell")
+            .groupBy("cell")
+            .agg(
+                F.max(euclidean(F.col("vector"), F.col("cvec"))).alias(
+                    "radius"
+                )
+            )
+        )
+        old = self.spark.read.parquet(f"{self.ann_path}/radius")
+        merged = (
+            old.unionByName(batch_rad)
+            .groupBy("cell")
+            .agg(F.max("radius").alias("radius"))
+            .localCheckpoint(eager=True)  # pin before overwriting source
+        )
+        merged.write.mode("overwrite").parquet(f"{self.ann_path}/radius")
+        return info
+
+    def _ann_sync_deletes(self) -> None:
+        """Re-align the layout with the text table after deletes:
+        semi-join survivors, static overwrite (partitions can shrink
+        or DROP). Radii are kept — a max over a superset stays a
+        valid upper bound, so pruning remains exact (merely looser
+        until the next rebuild)."""
+        from vector_database_spark.operators import ann
+
+        if not self._ann_exists():
+            return
+        sub = "codes" if self.index_type == "ivfadc" else "vectors"
+        ids = self.text().select(F.col("text_id").alias("id"))
+        keep = (
+            self._ann_vectors()
+            .join(ids, "id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        keep.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cell").parquet(f"{self.ann_path}/{sub}")
+        cents = self._ann_centroids()
+        s, n = ann._ivf_err_stats(keep.select("cell", "vector"), cents)
+        ann._ivf_stats_write(self.spark, self.ann_path, s, n)
+
+    def _ann_candidate_ids(self, vector: list, domain: float) -> DataFrame:
+        """Cell-pruned candidate superset for a ball query — EXACT by
+        the triangle inequality: a match within `domain` of q sits in
+        a cell whose centroid is within domain + radius(cell) of q.
+        The 1e-9 slack absorbs driver-float vs fold-eval ulp at the
+        boundary. Probed cells map to partition-pruned reads of the
+        per-cell layout."""
+        import math
+
+        cents = self._ann_centroids()
+        rad = {
+            int(r.cell): float(r.radius)
+            for r in self.spark.read.parquet(
+                f"{self.ann_path}/radius"
+            ).collect()
+        }
+        q = [float(x) for x in vector]
+        cells = []
+        for i, c in enumerate(cents):
+            d = math.sqrt(sum((a - b) * (a - b) for a, b in zip(q, c)))
+            if d <= float(domain) + rad.get(i, 0.0) + 1e-9:
+                cells.append(i)
+        if not cells:
+            return self.spark.createDataFrame([], "text_id long")
+        return (
+            self._ann_vectors()
+            .where(F.col("cell").isin(cells))
+            .select(F.col("id").alias("text_id"))
+        )
+
     # -- ingest + index lifecycle (dbo.IndexDocument) --------------------
     def add_documents(self, df: DataFrame, *, reindex: bool | str = True) -> None:
         """Append (doc_id, text_id, text?, vector) rows.
@@ -93,19 +304,35 @@ class VectorDatabase:
         cols = ["doc_id", "text_id", "vector"]
         if "text" in df.columns:
             cols.insert(2, "text")
-        df.select(*cols).write.mode("append").partitionBy("doc_id").parquet(
+        batch = df.select(*cols).localCheckpoint(eager=True)
+        batch.write.mode("append").partitionBy("doc_id").parquet(
             self.text_path
         )
         self._invalidate_index()
+        if self.index_type != "bsp":
+            if reindex is True:
+                if self._ann_exists():
+                    self._ann_append(batch)
+                else:
+                    self._ann_build_all()
+            elif reindex == "auto":
+                self.compact()
+            return
         if reindex is True:
-            touched = [r[0] for r in df.select("doc_id").distinct().collect()]
+            touched = [r[0] for r in batch.select("doc_id").distinct().collect()]
             self.index_documents(touched)
         elif reindex == "auto":
-            touched = [r[0] for r in df.select("doc_id").distinct().collect()]
+            touched = [r[0] for r in batch.select("doc_id").distinct().collect()]
             self.compact(touched)
 
     def tail(self) -> DataFrame:
-        """Un-indexed rows (see `catalog.tail_rows`)."""
+        """Un-indexed rows (see `catalog.tail_rows`); for the
+        IVF family: text rows whose id never entered the layout."""
+        if self.index_type != "bsp":
+            if not self._ann_exists():
+                return self.text()
+            ids = self._ann_vectors().select(F.col("id").alias("text_id"))
+            return self.text().join(ids, "text_id", "left_anti")
         return catalog.tail_rows(self.text(), self._index_or_empty())
 
     def compact(
@@ -116,6 +343,24 @@ class VectorDatabase:
         `COMPACTION_THRESHOLD`). Never-indexed documents have tail
         fraction 1.0 and always compact. Returns the doc ids rebuilt."""
         thr = COMPACTION_THRESHOLD if threshold is None else float(threshold)
+        if self.index_type != "bsp":
+            # corpus-level trigger: the coarse model is global, so the
+            # tail fraction is measured over the whole store and the
+            # compaction is one assign-on-append of the tail
+            if not self._ann_exists():
+                self._ann_build_all()
+                return [
+                    int(r.doc_id)
+                    for r in self.text().select("doc_id").distinct().collect()
+                ]
+            t = self.tail().localCheckpoint(eager=True)
+            n_tail = t.count()
+            if n_tail == 0 or n_tail <= thr * self.text().count():
+                return []
+            self._ann_append(t)
+            return [
+                int(r.doc_id) for r in t.select("doc_id").distinct().collect()
+            ]
         txt = self.text()
         if doc_ids is not None:
             txt = txt.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
@@ -140,6 +385,12 @@ class VectorDatabase:
         self.index_documents([doc_id])
 
     def index_documents(self, doc_ids: list[int] | None = None) -> None:
+        if self.index_type != "bsp":
+            # the IVF-family coarse model is corpus-global: any
+            # reindex request retrains centroids over the full store
+            self._ann_build_all()
+            self._invalidate_index()
+            return
         catalog.index_documents(
             self.text(),
             self.index_path,
@@ -149,8 +400,23 @@ class VectorDatabase:
         self._invalidate_index()
 
     def delete_documents(self, doc_ids: list[int]) -> None:
-        """Cascade delete: text rows + index partitions."""
+        """Cascade delete: text rows + index partitions / layout."""
         self._invalidate_index()
+        if self.index_type != "bsp":
+            ids = [int(d) for d in doc_ids]
+            txt = (
+                self.text()
+                .where(~F.col("doc_id").isin(ids))
+                .localCheckpoint(eager=True)
+            )
+            (
+                txt.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("doc_id")
+                .parquet(self.text_path)
+            )
+            self._ann_sync_deletes()
+            return
         remaining = catalog.delete_documents(
             self.spark, self.index_path, doc_ids, table_dfs={"text": self.text()}
         )
@@ -195,9 +461,17 @@ class VectorDatabase:
         `BROADCAST_INDEX_MAX_ROWS` takes the iterative frontier join
         instead of a single-task-per-doc walk. Tail rows (not yet
         compacted into the tree) are box-filtered directly."""
-        out = search_candidates_auto(
-            self._index_named(), [(0, vector)], domain, doc_id=doc_id, pruning="box"
-        ).select("doc_id", F.col("id").alias("text_id"))
+        if self.index_type != "bsp":
+            cand = self._ann_candidate_ids(vector, domain)
+            out = self.text().join(cand, "text_id", "left_semi")
+            if doc_id is not None:
+                out = out.where(F.col("doc_id") == doc_id)
+            out = out.select("doc_id", "text_id")
+        else:
+            out = search_candidates_auto(
+                self._index_named(), [(0, vector)], domain, doc_id=doc_id,
+                pruning="box",
+            ).select("doc_id", F.col("id").alias("text_id"))
         t = self._tail_scoped(doc_id)
         if t is not None:
             from vector_database_spark.functions.vector import linf_distance
@@ -241,9 +515,22 @@ class VectorDatabase:
         vecs = txt.select("doc_id", F.col("text_id").alias("id"), "vector")
         if doc_id is not None:
             vecs = vecs.where(F.col("doc_id") == doc_id)
-        res = _search(
-            self._index_named(), vecs, [(0, vector)], domain, doc_id=doc_id
-        ).select(F.col("id").alias("text_id"), "dist")
+        if self.index_type != "bsp":
+            # cell-pruned candidate superset (exact by the triangle
+            # inequality), then the SAME exact refinement as brute
+            # force over the filtered/scoped text rows
+            cand = self._ann_candidate_ids(vector, domain).withColumnRenamed(
+                "text_id", "id"
+            )
+            res = brute_force_search(
+                vecs.join(cand, "id", "left_semi").select("id", "vector"),
+                [(0, vector)],
+                domain,
+            ).select(F.col("id").alias("text_id"), "dist")
+        else:
+            res = _search(
+                self._index_named(), vecs, [(0, vector)], domain, doc_id=doc_id
+            ).select(F.col("id").alias("text_id"), "dist")
         t = self._tail_scoped(doc_id)
         if t is not None:
             if pred is not None:
@@ -303,7 +590,10 @@ class VectorDatabase:
                 .parquet(self.text_path)
             )
             self._invalidate_index()
-            self.index_documents(kept)
+            if self.index_type != "bsp":
+                self._ann_sync_deletes()
+            else:
+                self.index_documents(kept)
         if emptied:
             # dynamic overwrite cannot DROP a partition — route fully
             # emptied documents through the cascade delete
@@ -329,6 +619,11 @@ class VectorDatabase:
         brute-force and don't inform tree health."""
         from vector_database_spark.operators.search import search_stats
 
+        if self.index_type != "bsp":
+            raise ValueError(
+                "search_stats() instruments the BSP tree walk; "
+                f"this store is index_type={self.index_type!r}"
+            )
         return search_stats(
             self._index_named(),
             self.text(),
@@ -340,7 +635,18 @@ class VectorDatabase:
 
     # -- introspection (IndexHierarchy) ----------------------------------
     def hierarchy(self) -> DataFrame:
+        if self.index_type != "bsp":
+            raise ValueError(
+                "hierarchy() reads the BSP tree; "
+                f"this store is index_type={self.index_type!r} — use "
+                "spark.read.parquet on its layout instead"
+            )
         return catalog.index_hierarchy(self.index())
 
     def stats(self) -> DataFrame:
+        if self.index_type != "bsp":
+            raise ValueError(
+                "stats() reads the BSP tree; "
+                f"this store is index_type={self.index_type!r}"
+            )
         return catalog.index_stats(self.index())
