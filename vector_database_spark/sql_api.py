@@ -171,3 +171,68 @@ WHERE rank <= {int(k)}
 def sql_knn(spark: SparkSession, queries: DataFrame, k: int) -> DataFrame:
     queries.createOrReplaceTempView("queries")
     return spark.sql(knn_sql_text(k))
+
+
+def sql_index_document(
+    spark: SparkSession,
+    index_path: str,
+    doc_id: int | None = None,
+    *,
+    text_view: str = "text",
+    index_view: str = "vector_index",
+    vectors_view: str = "vectors",
+    local_threshold: int = 20_000,
+) -> None:
+    """``dbo.IndexDocument(@docID)`` (reference DDL.sql:352-419) as a
+    CALL-style helper driven entirely by the SQL surface: reads the
+    registered ``text_view`` (doc_id, text_id, vector — the
+    ``dbo.Text`` analog; build it with any ``spark.sql`` statement),
+    rebuilds that document's BSP-tree partition at ``index_path``
+    with a dynamic-partition-overwrite swap (the procedure's
+    per-doc delete+insert, DDL.sql:397-418 — other documents'
+    partitions are untouched), and refreshes ``index_view`` +
+    ``vectors_view`` so the next ``spark.sql`` search (e.g.
+    `search_sql_text`) sees the new tree. ``doc_id=None`` rebuilds
+    every document — the ``dbo.BuildIndex`` analog (also exposed as
+    `sql_build_index`).
+
+    Spark has no writable-procedure SQL statement (OSS `CALL` is
+    reserved for DSv2 catalog procedures), so the front door is this
+    one documented helper: SQL views in, SQL views out, one call —
+    the reference user's build-and-swap flow, minus only the `EXEC`
+    keyword."""
+    from vector_database_spark.operators import catalog
+
+    txt = spark.table(text_view)
+    doc_ids = None if doc_id is None else [int(doc_id)]
+    catalog.index_documents(
+        txt, index_path, doc_ids=doc_ids, local_threshold=local_threshold
+    )
+    spark.read.parquet(index_path).withColumnRenamed(
+        "text_id", "id"
+    ).createOrReplaceTempView(index_view)
+    txt.selectExpr("text_id AS id", "vector").createOrReplaceTempView(
+        vectors_view
+    )
+
+
+def sql_build_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    text_view: str = "text",
+    index_view: str = "vector_index",
+    vectors_view: str = "vectors",
+    local_threshold: int = 20_000,
+) -> None:
+    """``dbo.BuildIndex`` analog: full rebuild from the text view —
+    `sql_index_document` with ``doc_id=None``."""
+    sql_index_document(
+        spark,
+        index_path,
+        None,
+        text_view=text_view,
+        index_view=index_view,
+        vectors_view=vectors_view,
+        local_threshold=local_threshold,
+    )
