@@ -656,3 +656,35 @@ def test_seeded_ppm_grid_sums_match_float_features(spark):
         want = feats[r.media_id][patch_idx * 3 + r.c]
         got = round(r.psum / r.npix / 255.0, 6)
         assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_quantile_sketch_contracts(spark):
+    """Mergeable bottom-m quantile sketch: (1) partitioning-invariant
+    (same state at 1 vs 13 partitions), (2) merge(split A, split B)
+    == sketch(whole), (3) rank error vs the exact percentile within
+    the sampling bound, (4) sample_n == min(m, n)."""
+    import math
+
+    from vector_database_spark.operators import sketch as sk
+
+    rows = [(i, float((i * 7919) % 10007)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "rid long, value double")
+    st1 = sk.quantile_sketch(df.repartition(1), id_col="rid", m=64)
+    st13 = sk.quantile_sketch(df.repartition(13), id_col="rid", m=64)
+    unpack = lambda d: [  # noqa: E731
+        (r.n, list(r.hs), list(r.ids), list(r.vs)) for r in d.collect()
+    ]
+    assert unpack(st1) == unpack(st13)
+
+    a = sk.quantile_sketch(df.where(F.col("rid") < 2500), id_col="rid", m=64)
+    b = sk.quantile_sketch(df.where(F.col("rid") >= 2500), id_col="rid", m=64)
+    merged = sk.quantile_sketch_merge(a.unionByName(b), m=64)
+    assert unpack(merged) == unpack(st1)
+
+    q = sk.quantile_sketch_query(st1, (0.5, 0.9)).first()
+    assert q.n == 5000 and q.sample_n == 64
+    vals = sorted(v for _, v in rows)
+    for est, qq in ((q.p50, 0.5), (q.p90, 0.9)):
+        true_rank = sum(1 for v in vals if v <= est) / len(vals)
+        # sampling bound: ~2.5/sqrt(m) covers >5 sigma at m=64
+        assert abs(true_rank - qq) <= 2.5 / math.sqrt(64), (qq, true_rank)

@@ -564,3 +564,63 @@ def test_streaming_histogram_drift_equals_batch(spark):
     for k in got:
         assert got[k][:3] == want[k][:3]
         assert math.isclose(got[k][3], want[k][3], rel_tol=0, abs_tol=0.0)
+
+
+def test_streaming_quantile_sketch_equals_batch_across_restarts(spark):
+    """The mergeable quantile sketch's streaming twin: per-batch
+    bottom-m states merged across batch dirs (and across a query
+    RESTART) equal the batch sketch over all rows bit-for-bit —
+    order-independence of hash sampling is the contract."""
+    from vector_database_spark.operators import sketch as sk
+    from vector_database_spark.streaming.monitor import (
+        read_quantile_sketch,
+        streaming_quantile_sketch_ingest,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src, state = f"{tmp}/src", f"{tmp}/state"
+    rows = [
+        (i, "t%d" % (i % 2), float((i * 37) % 101) / 7.0) for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    ddl = "event_id long, event_type string, value double"
+    df.where(F.col("event_id") < 250).write.parquet(src)
+    q = streaming_quantile_sketch_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt",
+        id_col="event_id", key_cols=["event_type"], m=32,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    df.where(F.col("event_id") >= 250).write.mode("append").parquet(src)
+    # restart from the same checkpoint — only the new files process
+    q2 = streaming_quantile_sketch_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt",
+        id_col="event_id", key_cols=["event_type"], m=32,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+
+    merged = read_quantile_sketch(
+        spark, state, key_cols=["event_type"], m=32
+    )
+    want_state = sk.quantile_sketch(
+        df, id_col="event_id", key_cols=["event_type"], m=32
+    )
+    key = lambda r: r.event_type  # noqa: E731
+    got = {key(r): (r.n, list(r.hs), list(r.ids), list(r.vs))
+           for r in merged.collect()}
+    want = {key(r): (r.n, list(r.hs), list(r.ids), list(r.vs))
+            for r in want_state.collect()}
+    assert got == want
+    # and the rank picks agree too
+    gq = {r.event_type: (r.n, r.sample_n, r.p50, r.p90, r.p99)
+          for r in sk.quantile_sketch_query(
+              merged, key_cols=["event_type"]).collect()}
+    wq = {r.event_type: (r.n, r.sample_n, r.p50, r.p90, r.p99)
+          for r in sk.quantile_sketch_query(
+              want_state, key_cols=["event_type"]).collect()}
+    assert gq == wq

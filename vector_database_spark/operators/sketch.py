@@ -771,3 +771,164 @@ def distribution_drift(
             ).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (round-6 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    m: int = 256,
+    salt: int = 9001,
+) -> DataFrame:
+    """MERGEABLE quantile sketch state: per key, the exact count and
+    a deterministic uniform sample — the ``m`` rows with the smallest
+    seeded row hash (the KMV trick pointed at quantiles instead of
+    distinct counts). Returns one row per key:
+    ``(keys…, n, hs, ids, vs)`` with the three arrays aligned and
+    sorted by (hash, id).
+
+    Why bottom-m-by-hash and not KLL: the hash sample is
+    ORDER-INDEPENDENT and its merge is exact set-union-then-cut, so
+    (a) any engine replays the state bit-for-bit from the same rows
+    (the s09 gate's exact oracle — no compaction schedule to
+    replicate), (b) a streaming twin equals the batch sketch across
+    any micro-batching and restarts (streaming/monitor.py state
+    rule), and (c) merge is associative AND commutative — shard
+    states combine in any order. The price is the sampling error
+    ε = O(1/√m) on rank queries vs KLL's O(1/m) for the same m —
+    monitoring percentiles (p50/p99 latency) at m=256..4096 sits
+    comfortably inside it.
+
+    Scale shape: one Arrow pre-reduction cuts each input batch to its
+    per-key bottom-m BEFORE the shuffle (the `_grouped_topk` rule),
+    so the exchange carries batches × keys × m rows, never the data;
+    the exact count is one map-side-combined aggregate. NULL values
+    are excluded (standard quantile semantics)."""
+    kp = [str(k) for k in key_cols]
+    mm = int(m)
+    v = F.col(value_col).cast("double")
+    base = (
+        df.where(v.isNotNull())
+        .select(
+            *kp,
+            F.col(id_col).cast("long").alias("_sid"),
+            v.alias("_v"),
+        )
+        .withColumn("_h", h60(F.col("_sid").cast("string"), salt))
+    )
+    schema = base.schema
+
+    def prereduce(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            s = pdf.sort_values([*kp, "_h", "_sid"])
+            yield s.groupby(kp).head(mm) if kp else s.head(mm)
+
+    pre = base.mapInPandas(prereduce, schema)
+    w = Window.partitionBy(*kp).orderBy("_h", "_sid")
+    top = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= mm)
+        .drop("_rn")
+    )
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*kp)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    packed = top.groupBy(*kp).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_h", "_sid", "_v"))
+        ).alias("_s")
+    )
+    state = packed.select(
+        *kp,
+        F.transform("_s", lambda x: x["_h"]).alias("hs"),
+        F.transform("_s", lambda x: x["_sid"]).alias("ids"),
+        F.transform("_s", lambda x: x["_v"]).alias("vs"),
+    )
+    if kp:
+        return state.join(counts, kp)
+    return state.crossJoin(counts)
+
+
+def quantile_sketch_merge(
+    states: DataFrame,
+    *,
+    key_cols: Sequence[str] = (),
+    m: int = 256,
+) -> DataFrame:
+    """Merge MANY sketch-state rows per key (two sketches, shard
+    states, or streaming batch dirs) into one: union the samples,
+    keep the global bottom-m by (hash, id), sum the counts. Exactly
+    the state `quantile_sketch` would have produced over the
+    concatenated inputs — set-union semantics make the merge
+    associative, commutative, and idempotent-friendly."""
+    kp = [str(k) for k in key_cols]
+    mm = int(m)
+    rows = states.select(
+        *kp,
+        "n",
+        F.explode(F.arrays_zip("hs", "ids", "vs")).alias("_e"),
+    ).select(
+        *kp,
+        "n",
+        F.col("_e.hs").alias("_h"),
+        F.col("_e.ids").alias("_sid"),
+        F.col("_e.vs").alias("_v"),
+    )
+    w = Window.partitionBy(*kp).orderBy("_h", "_sid")
+    top = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= mm)
+    )
+    counts = states.groupBy(*kp).agg(F.sum("n").cast("long").alias("n"))
+    packed = top.groupBy(*kp).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_h", "_sid", "_v"))
+        ).alias("_s")
+    )
+    merged = packed.select(
+        *kp,
+        F.transform("_s", lambda x: x["_h"]).alias("hs"),
+        F.transform("_s", lambda x: x["_sid"]).alias("ids"),
+        F.transform("_s", lambda x: x["_v"]).alias("vs"),
+    )
+    if kp:
+        return merged.join(counts, kp)
+    return merged.crossJoin(counts)
+
+
+def quantile_sketch_query(
+    state: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    *,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Percentile estimates from the sketch state: for each q, the
+    sample value at rank floor((k−1)·q)+1 of the value-sorted sample
+    (k = sample size) — a pure VALUE SELECTION, never interpolation
+    arithmetic, so any engine replays the pick exactly (the s06
+    rule). Returns ``(keys…, n, sample_n, p50, p90, …)``."""
+    kp = [str(k) for k in key_cols]
+    sorted_vs = F.array_sort("vs")
+    k = F.size("vs")
+    cols = [
+        F.col("n"),
+        k.cast("long").alias("sample_n"),
+    ]
+    for q in qs:
+        qf = float(q)
+        rank = (F.floor((k - 1).cast("double") * F.lit(qf)) + 1).cast("int")
+        cols.append(
+            F.element_at(sorted_vs, rank).alias(f"p{int(round(qf * 100))}")
+        )
+    return state.select(*kp, *cols)

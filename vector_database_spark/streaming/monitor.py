@@ -128,3 +128,68 @@ def drift_vs_reference(
             ).alias("chi2"),
         )
     )
+
+
+def streaming_quantile_sketch_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    id_col: str,
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    m: int = 256,
+    salt: int = 9001,
+    trigger_once: bool = False,
+):
+    """Streaming twin of `sketch.quantile_sketch` (round-6 verdict
+    item 7): each micro-batch writes ITS OWN per-key bottom-m sketch
+    state (keys × m rows, never the data) into ``batch=<id>`` —
+    idempotent under redelivery (a redelivered batch overwrites its
+    own dir), crash-safe like every parquet state in this repo.
+    `read_quantile_sketch` merges across batch dirs; because the
+    sample is bottom-m by a SEEDED ROW HASH, the merged state equals
+    the batch-mode sketch over the union of all rows EXACTLY, for any
+    micro-batch split and across restarts (order-independence is the
+    whole point of hashing instead of KLL compaction here)."""
+    gp = list(key_cols or [])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from vector_database_spark.operators.sketch import quantile_sketch
+
+        st = quantile_sketch(
+            batch_df,
+            id_col=id_col,
+            value_col=value_col,
+            key_cols=gp,
+            m=m,
+            salt=salt,
+        )
+        st.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantile_sketch(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    key_cols: list[str] | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """The merged sketch state across all committed batch dirs —
+    identical to `sketch.quantile_sketch` over the full stream."""
+    from vector_database_spark.operators.sketch import quantile_sketch_merge
+
+    gp = list(key_cols or [])
+    states = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*"
+    )
+    return quantile_sketch_merge(states, key_cols=gp, m=m)

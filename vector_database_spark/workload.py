@@ -2696,6 +2696,61 @@ def s08_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S09_M, _S09_SALT = 128, 9001
+
+
+def _s09_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+
+    hh = h60_sql("CAST(event_id AS VARCHAR)", _S09_SALT)
+    picks = ", ".join(
+        f"s.vs[(floor((len(s.vs) - 1)::DOUBLE * {q!r}::DOUBLE))::BIGINT + 1]"
+        f" AS p{int(round(q * 100))}"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH h AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+                  {hh} AS hh
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, v, hh,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hh, event_id) AS rn
+      FROM h),
+s AS (SELECT event_type, list(v ORDER BY v) AS vs
+      FROM r WHERE rn <= {_S09_M} GROUP BY event_type),
+n AS (SELECT event_type, count(*)::BIGINT AS n FROM events
+      WHERE value IS NOT NULL GROUP BY event_type)
+SELECT s.event_type, n.n, len(s.vs)::BIGINT AS sample_n, {picks}
+FROM s JOIN n USING (event_type)
+"""
+
+
+@query("s09_quantile_sketch", oracle=_s09_oracle())
+def s09_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch (round-6 verdict item 7 —
+    `sketch.quantile_sketch`): per event type, exact count + the
+    bottom-{_S09_M} seeded-hash row sample, queried for p50/p90/p99
+    as pure value SELECTIONS at floor ranks (the s06 rule — no
+    interpolation arithmetic). The sample is order-independent and
+    merge = union-then-cut, so the oracle replays the state exactly
+    (same h60 hash, same (hash, id) cut, same rank picks — unrounded
+    doubles hash-match) and the streaming twin
+    (`streaming.monitor.streaming_quantile_sketch_ingest`) equals
+    this batch sketch across any micro-batching and restarts."""
+    ev = _events(spark, sf_dir)
+    st = sk.quantile_sketch(
+        ev,
+        id_col="event_id",
+        value_col="value",
+        key_cols=["event_type"],
+        m=_S09_M,
+        salt=_S09_SALT,
+    )
+    return sk.quantile_sketch_query(
+        st, (0.5, 0.9, 0.99), key_cols=["event_type"]
+    )
+
+
 _S02_FRACTION = 0.05
 
 @query(
@@ -5633,6 +5688,7 @@ _DRIVER_TAIL = [
     "e17_cusum_changepoints", # events family: e01/e13/e16 stay
     "g07_blocked_knn_graph",  # graph-ANN family: g02 stays in the head
     "d11_dedup_groups_star",  # dedup family: d06 (min-label) stays
+    "s09_quantile_sketch",    # sketch family: s01/s03 stay in the head
 ]
 
 
