@@ -322,3 +322,33 @@ def test_facade_ivf_compaction_and_introspection_guards(spark):
     for bad in (vdb.hierarchy, vdb.stats):
         with pytest.raises(ValueError):
             bad()
+
+
+def test_add_documents_normalization_warning(spark):
+    """The ingest telemetry (reference contract [-1,1],
+    MemoryVectorIndex.cs:7-9): fires on an unnormalized feed, silent
+    on a normalized one."""
+    import warnings
+
+    from vector_database_spark.sources.generators import random_uniform
+
+    vdb = VectorDatabase(
+        spark, tempfile.mkdtemp() + "/vdb_norm", local_threshold=32
+    )
+    ok = random_uniform(spark, 30, 4, seed=3).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.col("id").alias("text_id"),
+        "vector",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        vdb.add_documents(ok)
+    bad = ok.select(
+        "doc_id",
+        (F.col("text_id") + 100).alias("text_id"),
+        F.transform("vector", lambda x: x * F.lit(7.0)).alias("vector"),
+    )
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        vdb.add_documents(bad)
+    assert any("normalization contract" in str(w.message) for w in got)
