@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "r02_join_revenue",
     "r03_topk_per_group",
     "e02_sessionize",
+    # round-6 retrieval surface (verdict item 6): regressions in the
+    # ranking operators were invisible to the original 12-query suite
+    "t16_bm25",
+    "v20_maxsim",
+    "v21_hybrid_rrf",
+    "v23_mmr_rerank",
 ]
 
 
@@ -85,6 +91,49 @@ def main() -> int:
             _force(qs[name](spark, sf_dir))
 
         plan.append((name, thunk))
+
+    # graph-ANN entries bench the SCALE paths (dgemm blocked build,
+    # beam over a prebuilt graph) — the g07 gate deliberately runs the
+    # interpreted expr twin, which is the oracle shape, not the one a
+    # user ships
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.graph import (
+        graph_beam_search,
+        knn_graph_blocked,
+    )
+
+    def _g_vecs():
+        return workload._embeddings(spark, sf_dir)
+
+    def _blocked_build():
+        _force(
+            knn_graph_blocked(
+                _g_vecs(), 8, n_cells=16, nprobe=4, method="dgemm"
+            )
+        )
+
+    _beam_edges: list = []
+
+    def _beam():
+        if not _beam_edges:  # one prebuilt graph serves all passes:
+            # the graph is the INPUT of the beam benchmark
+            _beam_edges.append(
+                knn_graph_blocked(
+                    _g_vecs(), 8, n_cells=16, nprobe=4, method="dgemm"
+                ).select("src", "dst").localCheckpoint()
+            )
+        vecs = _g_vecs()
+        qdf = vecs.where(F.col("id") < 16).select(
+            F.col("id").alias("qid"),
+            F.col("vector").cast("array<double>").alias("qvec"),
+        )
+        _force(
+            graph_beam_search(_beam_edges[0], vecs, qdf, ef=8, hops=4)
+        )
+
+    plan.append(("knn_graph_blocked", _blocked_build))
+    plan.append(("beam_search", _beam))
 
     # Raw per-pass samples are recorded alongside the mins (round-5
     # verdict item 3): a min-only artifact sampled in a throttle
