@@ -688,3 +688,30 @@ def test_quantile_sketch_contracts(spark):
         true_rank = sum(1 for v in vals if v <= est) / len(vals)
         # sampling bound: ~2.5/sqrt(m) covers >5 sigma at m=64
         assert abs(true_rank - qq) <= 2.5 / math.sqrt(64), (qq, true_rank)
+
+
+def test_kll_sketch_deterministic_and_bounded(spark):
+    """Deterministic-compaction KLL: (1) identical state at any
+    partitioning (hash-sharded feed + ordered merges), (2) rank error
+    within the k-budget at every tested quantile, (3) state size
+    O(k log(n/k)) — far under the data, (4) total item weight == n."""
+    from vector_database_spark.operators.sketch import (
+        kll_quantile,
+        kll_sketch,
+    )
+
+    rows = [(i, float((i * 7919) % 100003)) for i in range(60000)]
+    df = spark.createDataFrame(rows, "rid long, value double")
+    s1 = kll_sketch(df.repartition(1), id_col="rid", k=200)
+    s2 = kll_sketch(df.repartition(17), id_col="rid", k=200)
+    assert s1 == s2 and s1["n"] == 60000
+    assert sum(len(x) for x in s1["levels"]) < 2000
+    assert (
+        sum(len(x) * w for x, w in zip(s1["levels"], s1["weights"]))
+        == 60000
+    )
+    vals = sorted(v for _, v in rows)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = kll_quantile(s1, q)
+        rank = sum(1 for v in vals if v <= est) / len(vals)
+        assert abs(rank - q) <= 0.03, (q, rank)

@@ -306,6 +306,14 @@ CHECKS = {
         "oracle path deliberately uses, and nothing is collected to "
         "the driver (the round-6 scale fix)",
     ),
+    "s09_quantile_sketch": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "mergeable quantile sketch: the Arrow pre-reduction cuts each "
+        "batch to its per-key bottom-m BEFORE the exchange, counts "
+        "join the packed state on the key — nothing quadratic, the "
+        "shuffle carries batches x keys x m rows",
+    ),
 }
 
 

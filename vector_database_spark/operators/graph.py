@@ -259,14 +259,17 @@ def knn_graph(
     Catalyst folds — the g04 oracle path; cost is n² interpreted
     folds (the measured 8×-slow HOF regime — fine for gate-scale and
     for per-block refinement, wrong for bulk builds).
-    ``method='dgemm'`` is the SCALE path: one Arrow-batched BLAS
-    pass per partition against the corpus matrix closed over as
-    plain lists (the `_assign_cells` shape) — distances agree with
-    the folds to an ulp (numpy sums are pairwise), so edge SETS can
-    differ only at exact distance ties; a pytest pins dgemm == expr
-    on the fixture (the a01 kernel/expr-twin rule). Past driver-
-    memory corpora, build blockwise with the d05 block-pair kernel
-    or IVF-bucketed candidates and refine per block."""
+    ``method='dgemm'`` is the exact BULK path for driver-sized
+    corpora: one Arrow-batched BLAS pass per partition against the
+    corpus matrix closed over as plain lists (the `_assign_cells`
+    shape) — distances agree with the folds to an ulp (numpy sums
+    are pairwise), so edge SETS can differ only at exact distance
+    ties; a pytest pins dgemm == expr on the fixture (the a01
+    kernel/expr-twin rule). PAST driver memory, use
+    `knn_graph_blocked` — the IVF-bucketed builder whose candidates
+    come from a per-cell equi-join (no corpus collect, no n²; g07's
+    gate) at the price of blocked-recall; this exact builder remains
+    the oracle/refinement primitive."""
     from pyspark.sql.window import Window
 
     from vector_database_spark.functions.vector import (

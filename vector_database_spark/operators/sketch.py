@@ -932,3 +932,189 @@ def quantile_sketch_query(
             F.element_at(sorted_vs, rank).alias(f"p{int(round(qf * 100))}")
         )
     return state.select(*kp, *cols)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (deterministic-compaction variant)
+# ---------------------------------------------------------------------------
+
+
+def _kll_cap(k: int, level: int, n_levels: int) -> int:
+    # capacity schedule (2/3)^depth-from-top, floored at 2 — the KLL
+    # paper's geometric decay, which is where the O(1/k) rank error
+    # comes from (lower levels hold fewer, heavier items)
+    return max(2, int(float(k) * (2.0 / 3.0) ** (n_levels - 1 - level)))
+
+
+def _kll_compact(levels: list, parities: list, k: int) -> None:
+    """Compact the lowest over-capacity level in place: sort, keep
+    every other item starting at a DETERMINISTIC alternating offset
+    (per-level parity counter — the paper flips a coin; alternation
+    keeps the ±w/2 rank shifts cancelling across compactions while
+    making the whole sketch replayable bit-for-bit), promote to the
+    next level at double weight."""
+    while True:
+        H = len(levels)
+        over = None
+        for lvl in range(H):
+            if len(levels[lvl]) > _kll_cap(k, lvl, H):
+                over = lvl
+                break
+        if over is None:
+            total_cap = sum(_kll_cap(k, i, H) for i in range(H))
+            if sum(len(x) for x in levels) <= max(total_cap, k):
+                return
+            over = max(range(H), key=lambda i: len(levels[i]))
+            if len(levels[over]) < 2:
+                return
+        buf = sorted(levels[over])
+        # weight conservation: only an EVEN count compacts (two items
+        # at weight w become one at 2w); an odd straggler — the
+        # largest, deterministically — stays behind at this level
+        carry = []
+        if len(buf) % 2:
+            carry = [buf[-1]]
+            buf = buf[:-1]
+        off = parities[over] % 2
+        parities[over] += 1
+        kept = buf[off::2]
+        levels[over] = carry
+        if over + 1 == len(levels):
+            levels.append([])
+            parities.append(0)
+        levels[over + 1].extend(kept)
+
+
+def _kll_feed(values, k: int):
+    """One sequential KLL pass over an iterable of floats (caller
+    guarantees a deterministic order). Returns (levels, parities, n)."""
+    levels: list = [[]]
+    parities: list = [0]
+    n = 0
+    for v in values:
+        levels[0].append(float(v))
+        n += 1
+        if len(levels[0]) > _kll_cap(k, 0, len(levels)):
+            _kll_compact(levels, parities, k)
+    return levels, parities, n
+
+
+def _kll_merge(a, b, k: int):
+    """Merge two (levels, parities, n) states: levelwise concat, then
+    re-compact. Deterministic given the argument order (the driver
+    folds shard states in shard order)."""
+    la, pa, na = a
+    lb, pb, nb = b
+    H = max(len(la), len(lb))
+    levels = [
+        sorted(
+            (la[i] if i < len(la) else [])
+            + (lb[i] if i < len(lb) else [])
+        )
+        for i in range(H)
+    ]
+    parities = [
+        (pa[i] if i < len(pa) else 0) + (pb[i] if i < len(pb) else 0)
+        for i in range(H)
+    ]
+    _kll_compact(levels, parities, k)
+    return levels, parities, na + nb
+
+
+def kll_sketch(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str = "value",
+    k: int = 200,
+    n_shards: int = 32,
+    salt: int = 1234,
+) -> dict:
+    """KLL quantile sketch with DETERMINISTIC compaction — the
+    O(1/k)-rank-error companion to `quantile_sketch`'s O(1/√m)
+    sample (use this when the stream is huge and the percentile must
+    be tight; use the hash sample when the state must replay in SQL
+    or merge across arbitrary batchings bit-for-bit).
+
+    Replayability design: rows are assigned to ``n_shards``
+    DETERMINISTIC shards by seeded id hash (content independent of
+    cluster partitioning), each shard feeds its values in sorted
+    (value, id) order through the sequential KLL (Karnin-Lamport-
+    Liberty 2016) with alternating-parity compaction instead of coin
+    flips, and the driver folds the tiny shard states in shard
+    order — so the SAME rows give the SAME sketch on any cluster
+    (asserted in tests). The classic randomized offset is what makes
+    the estimator unbiased; alternation trades that for determinism
+    while the ±w/2 per-compaction rank shifts still cancel
+    pairwise — measured error stays well inside the k-budget.
+
+    Returns {'n', 'levels', 'weights'} — query with `kll_quantile`.
+    """
+    S = int(n_shards)
+    v = F.col(value_col).cast("double")
+    base = (
+        df.where(v.isNotNull())
+        .select(F.col(id_col).cast("long").alias("_sid"), v.alias("_v"))
+        .withColumn(
+            "_shard",
+            F.pmod(h60(F.col("_sid").cast("string"), salt), F.lit(S)).cast(
+                "int"
+            ),
+        )
+    )
+    kk = int(k)
+
+    def shard_state(pdf):
+        import json as _json
+
+        import pandas as pd
+
+        s = pdf.sort_values(["_v", "_sid"])
+        levels, parities, n = _kll_feed(s["_v"].to_numpy(), kk)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["_shard"].iloc[0])],
+                "state": [
+                    _json.dumps({"l": levels, "p": parities, "n": n})
+                ],
+            }
+        )
+
+    rows = (
+        base.groupBy("_shard")
+        .applyInPandas(shard_state, "shard int, state string")
+        .collect()
+    )
+    import json as _json
+
+    merged = ([[]], [0], 0)
+    for r in sorted(rows, key=lambda r: r["shard"]):
+        st = _json.loads(r["state"])
+        merged = _kll_merge(merged, (st["l"], st["p"], st["n"]), kk)
+    levels, _parities, n = merged
+    return {
+        "n": int(n),
+        "levels": [sorted(x) for x in levels],
+        "weights": [2**i for i in range(len(levels))],
+    }
+
+
+def kll_quantile(state: dict, q: float) -> float:
+    """Quantile estimate from a `kll_sketch` state: weighted rank
+    selection over the (value, 2^level) items."""
+    items = [
+        (v, w)
+        for lvl, w in zip(state["levels"], state["weights"])
+        for v in lvl
+    ]
+    if not items:
+        raise ValueError("empty sketch")
+    items.sort()
+    total = sum(w for _, w in items)
+    target = float(q) * (total - 1)
+    acc = 0
+    for v, w in items:
+        acc += w
+        if acc > target:
+            return v
+    return items[-1][0]
