@@ -310,3 +310,45 @@ def test_knn_graph_append_retrain_always_rebuilds(spark, embeddings, tmp_path):
     edges, _meta = knn_graph_read(spark, root)
     per_src = edges.groupBy("src").count().collect()
     assert len(per_src) == 300 and all(r["count"] == 3 for r in per_src)
+
+
+def test_graph_beam_search_layout_stable_across_append(spark, embeddings, tmp_path):
+    """Serving off the persisted layout: beam results after an append
+    equal beam results over a rebuilt graph (append == rebuild makes
+    this an identity, not a recall statement)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import ivf_read
+    from vector_database_spark.operators.graph import (
+        graph_beam_search,
+        graph_beam_search_layout,
+        knn_graph_append,
+        knn_graph_blocked,
+        knn_graph_write,
+    )
+
+    vecs = _vecs(embeddings)
+    base = vecs.where(F.col("id") < 400)
+    batch = vecs.where(F.col("id") >= 400)
+    root = str(tmp_path / "kgb")
+    knn_graph_write(base, 4, root, n_cells=8, nprobe=2)
+    knn_graph_append(spark, root, batch, retrain="never")
+    qdf = vecs.where(F.col("id").isin([3, 99])).select(
+        F.col("id").alias("qid"),
+        F.col("vector").cast("array<double>").alias("qvec"),
+    )
+    got = {
+        (r.qid, r.id, r.rank)
+        for r in graph_beam_search_layout(
+            spark, root, qdf, ef=4, hops=3
+        ).collect()
+    }
+    _, cents = ivf_read(spark, root)
+    edges = knn_graph_blocked(
+        vecs, 4, centroids=cents, nprobe=2, method="dgemm"
+    ).select("src", "dst")
+    want = {
+        (r.qid, r.id, r.rank)
+        for r in graph_beam_search(edges, vecs, qdf, ef=4, hops=3).collect()
+    }
+    assert got == want and got

@@ -1089,3 +1089,24 @@ def knn_graph_append(
         "drift": round(drift, 6),
         "retrained": bool(do_retrain),
     }
+
+
+def graph_beam_search_layout(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    *,
+    ef: int = 4,
+    hops: int = 4,
+) -> DataFrame:
+    """Beam search served straight off a persisted kNN-graph layout
+    (`knn_graph_write`/`knn_graph_append`): reads the edge table and
+    the per-cell vector store and runs `graph_beam_search`. Because
+    append keeps the layout identical to a rebuild, search results
+    are stable across the ingest lifecycle (probed in
+    tools/knn_graph_probe.py)."""
+    edges, _meta = knn_graph_read(spark, path)
+    vecs = spark.read.parquet(f"{path}/vectors").select("id", "vector")
+    return graph_beam_search(
+        edges.select("src", "dst"), vecs, queries_df, ef=ef, hops=hops
+    )
