@@ -715,3 +715,39 @@ def test_kll_sketch_deterministic_and_bounded(spark):
         est = kll_quantile(s1, q)
         rank = sum(1 for v in vals if v <= est) / len(vals)
         assert abs(rank - q) <= 0.03, (q, rank)
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL contracts: (1) raw estimate within the 1.04/sqrt(m)
+    standard error (x3) of the exact distinct count in the
+    well-filled regime, (2) register merge == registers of the
+    union (max is associative/commutative/idempotent),
+    (3) partitioning-invariant."""
+    import math
+
+    from vector_database_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n_distinct = 20_000
+    rows = [(i % n_distinct,) for i in range(40_000)]
+    df = spark.createDataFrame(rows, "uid long")
+    regs = hll_registers(df, value_col="uid", p=8)
+    est = hll_estimate(regs, p=8).first()
+    err = abs(float(est.estimate) - n_distinct) / n_distinct
+    assert err <= 3 * 1.04 / math.sqrt(256), (est.estimate, err)
+    # duplicates are invisible: distinct-only input gives the SAME regs
+    regs_d = hll_registers(
+        df.distinct().repartition(13), value_col="uid", p=8
+    )
+    unpack = lambda d: sorted(  # noqa: E731
+        (r.bucket, r.reg) for r in d.collect()
+    )
+    assert unpack(regs) == unpack(regs_d)
+    # split-merge == whole
+    a = hll_registers(df.where(F.col("uid") % 2 == 0), value_col="uid", p=8)
+    b = hll_registers(df.where(F.col("uid") % 2 == 1), value_col="uid", p=8)
+    merged = hll_merge(a.unionByName(b))
+    assert unpack(merged) == unpack(regs)

@@ -1118,3 +1118,161 @@ def kll_quantile(state: dict, q: float) -> float:
         if acc > target:
             return v
     return items[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (exact-replay registers)
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 60  # h60 hash width
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    p: int = 8,
+    salt: int = 77,
+) -> DataFrame:
+    """HyperLogLog register table ``(keys…, bucket, reg)`` — the
+    third mergeable sketch tier (KMV s01 estimates distincts from k
+    order statistics; this is the constant-memory classic). Fully
+    deterministic and SQL-replayable: bucket = low ``p`` bits of the
+    seeded value hash, reg = max over items of the leading-zero rank
+    of the remaining 60−p bits (computed as bit-LENGTH — Spark
+    ``length(bin(w))`` == DuckDB ``length(printf('%b', w))`` — never
+    libm log2). Registers are per-key MAXIMA: order-independent,
+    idempotent, mergeable by max — the easiest possible streaming
+    state. Distinct semantics come from hashing the VALUE (not the
+    row), so duplicates land on the same register deterministically."""
+    kp = [str(k) for k in key_cols]
+    m = 1 << int(p)
+    wbits = _HLL_BITS - int(p)
+    h = h60(F.col(value_col).cast("string"), salt)
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *kp, h.alias("_h")
+    )
+    w = F.expr(f"_h div {m}")
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        base.select(
+            *kp,
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*kp, "bucket")
+        .agg(F.max("_rho").alias("reg"))
+    )
+
+
+def hll_merge(registers: DataFrame, *, key_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register tables (same p, same salt): max per (key,
+    bucket). Associative, commutative, idempotent — safe under
+    at-least-once redelivery with no batch-dir bookkeeping at all."""
+    kp = [str(k) for k in key_cols]
+    return registers.groupBy(*kp, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    key_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Raw HLL estimate per key, EXACTLY replayable: the harmonic
+    denominator Σ 2^−reg is scaled by 2^60 into a pure INTEGER sum
+    (term = 2^(60−reg), a BIGINT; absent buckets contribute 2^60
+    each) — order-free exact arithmetic, no float fold to
+    synchronize — and the estimate is ONE exact-rounded double
+    division α·m²·2^60 / Σ (the constant inlined via repr, the t16
+    rule). Returns (keys…, n_buckets_hit, n_zero_regs, denom_scaled
+    — the integer sum as a STRING (Spark DECIMAL(38,0) text ==
+    DuckDB HUGEINT text, the p07 rule), estimate).
+
+    The RAW estimator is biased low when many registers are zero
+    (the classic small-range regime — linear counting m·ln(m/V)
+    needs libm ln, so it stays a driver-side helper,
+    `hll_linear_count`); the gate pins the replayable arithmetic,
+    accuracy is pinned by pytest against exact distinct counts in
+    the well-filled regime."""
+    kp = [str(k) for k in key_cols]
+    m = 1 << int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << _HLL_BITS)
+    # SQL expr: PySpark's shiftleft() only takes a Python-int shift
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_BITS} - reg)")
+    agg = registers.groupBy(*kp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+        F.sum(term.cast("decimal(38,0)")).alias("_s"),
+    )
+    denom = F.col("_s") + (
+        (F.lit(m) - F.col("n_buckets_hit")).cast("decimal(38,0)")
+        * F.lit(1 << _HLL_BITS).cast("decimal(38,0)")
+    )
+    return agg.select(
+        *kp,
+        "n_buckets_hit",
+        (F.lit(m) - F.col("n_buckets_hit")).cast("long").alias("n_zero_regs"),
+        denom.cast("decimal(38,0)").cast("string").alias("denom_scaled"),
+        (F.lit(float(repr(num))) / denom.cast("double")).alias("estimate"),
+    )
+
+
+def hll_linear_count(m: int, n_zero_regs: int) -> float:
+    """Driver-side linear-counting correction for the small-range
+    regime (uses libm ln — deliberately OUTSIDE the gated path)."""
+    import math
+
+    if n_zero_regs <= 0:
+        raise ValueError("no zero registers: use the raw estimate")
+    return float(m) * math.log(float(m) / float(n_zero_regs))
+
+
+def hll_sql(
+    value_expr: str,
+    table: str,
+    *,
+    key_cols: Sequence[str] = (),
+    p: int = 8,
+    salt: int = 77,
+) -> str:
+    """DuckDB replay of `hll_registers` + `hll_estimate` (oracle
+    side) — identical hash, bucket split, bit-length rank, integer
+    denominator, and single final division."""
+    kp = [str(k) for k in key_cols]
+    m = 1 << int(p)
+    wbits = _HLL_BITS - int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << _HLL_BITS))
+    hh = h60_sql(f"CAST({value_expr} AS VARCHAR)", salt)
+    keys = ", ".join(kp)
+    keys_pre = (keys + ", ") if kp else ""
+    return f"""
+WITH hh AS (SELECT {keys_pre}{hh} AS h FROM {table}
+            WHERE {value_expr} IS NOT NULL),
+rr AS (SELECT {keys_pre}(h % {m})::INT AS bucket,
+              (CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                    ELSE {wbits} - length(printf('%b', h // {m})) + 1
+               END)::INT AS rho
+       FROM hh),
+regs AS (SELECT {keys_pre}bucket, max(rho) AS reg FROM rr
+         GROUP BY {keys_pre}bucket),
+agg AS (SELECT {keys_pre}count(*)::BIGINT AS n_buckets_hit,
+               sum((1::BIGINT << (60 - reg))::HUGEINT) AS s
+        FROM regs GROUP BY {'' if not kp else keys})
+SELECT {keys_pre}n_buckets_hit,
+       ({m} - n_buckets_hit)::BIGINT AS n_zero_regs,
+       (s + ({m} - n_buckets_hit)::HUGEINT
+            * (1::BIGINT << 60)::HUGEINT)::VARCHAR AS denom_scaled,
+       {num}::DOUBLE
+         / (s + ({m} - n_buckets_hit)::HUGEINT
+                * (1::BIGINT << 60)::HUGEINT)::DOUBLE AS estimate
+FROM agg
+"""

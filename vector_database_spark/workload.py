@@ -2751,6 +2751,39 @@ def s09_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S10_P, _S10_SALT = 8, 77
+
+
+@query(
+    "s10_hll",
+    oracle=sk.hll_sql(
+        "user_id", "events", key_cols=["event_type"], p=_S10_P,
+        salt=_S10_SALT,
+    ),
+)
+def s10_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type with an EXACT
+    hash-matching oracle — the sketch Spark's own
+    `approx_count_distinct` cannot gate (its registers are
+    engine-internal): registers are order-independent MAXIMA of a
+    bit-length rank over the seeded h60 hash (length(bin(w)) ==
+    DuckDB length(printf('%b', w)) — no libm log2), the harmonic
+    denominator is a PURE INTEGER sum (2^(60-reg) terms, absent
+    buckets contribute 2^60 — order-free, no float fold to
+    synchronize), and the estimate is one exact-rounded double
+    division by the repr-inlined alpha*m^2*2^60. Registers merge by
+    max — idempotent streaming state with no batch bookkeeping
+    (`sketch.hll_merge`); accuracy vs exact distincts is pytest-
+    pinned (the raw estimator's small-range bias is documented, the
+    linear-counting correction needs ln and stays driver-side)."""
+    ev = _events(spark, sf_dir)
+    regs = sk.hll_registers(
+        ev, value_col="user_id", key_cols=["event_type"], p=_S10_P,
+        salt=_S10_SALT,
+    )
+    return sk.hll_estimate(regs, key_cols=["event_type"], p=_S10_P)
+
+
 _S02_FRACTION = 0.05
 
 @query(
@@ -5689,6 +5722,7 @@ _DRIVER_TAIL = [
     "g07_blocked_knn_graph",  # graph-ANN family: g02 stays in the head
     "d11_dedup_groups_star",  # dedup family: d06 (min-label) stays
     "s09_quantile_sketch",    # sketch family: s01/s03 stay in the head
+    "s10_hll",                # sketch family: s01 KMV stays in the head
 ]
 
 
