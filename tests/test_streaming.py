@@ -624,3 +624,54 @@ def test_streaming_quantile_sketch_equals_batch_across_restarts(spark):
           for r in sk.quantile_sketch_query(
               want_state, key_cols=["event_type"]).collect()}
     assert gq == wq
+
+
+def test_streaming_hll_equals_batch_across_restarts(spark):
+    """Streamed HLL registers max-merged across batch dirs (and a
+    restart) == the batch registers over all rows — and therefore the
+    identical estimate."""
+    from vector_database_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from vector_database_spark.streaming.monitor import (
+        read_hll,
+        streaming_hll_ingest,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src, state = f"{tmp}/src", f"{tmp}/state"
+    rows = [(i, "t%d" % (i % 2), (i * 13) % 900) for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    )
+    ddl = "event_id long, event_type string, user_id long"
+    df.where(F.col("event_id") < 1500).write.parquet(src)
+    q = streaming_hll_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", value_col="user_id",
+        key_cols=["event_type"], trigger_once=True,
+    )
+    q.awaitTermination(120)
+    df.where(F.col("event_id") >= 1500).write.mode("append").parquet(src)
+    q2 = streaming_hll_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", value_col="user_id",
+        key_cols=["event_type"], trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    merged = read_hll(spark, state, key_cols=["event_type"])
+    want = hll_registers(df, value_col="user_id", key_cols=["event_type"])
+    unpack = lambda d: sorted(  # noqa: E731
+        (r.event_type, r.bucket, r.reg) for r in d.collect()
+    )
+    assert unpack(merged) == unpack(want)
+    ge = {
+        r.event_type: (r.estimate, r.denom_scaled)
+        for r in hll_estimate(merged, key_cols=["event_type"]).collect()
+    }
+    we = {
+        r.event_type: (r.estimate, r.denom_scaled)
+        for r in hll_estimate(want, key_cols=["event_type"]).collect()
+    }
+    assert ge == we

@@ -193,3 +193,56 @@ def read_quantile_sketch(
         f"{state_path}/batch=*"
     )
     return quantile_sketch_merge(states, key_cols=gp, m=m)
+
+
+def streaming_hll_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    p: int = 8,
+    salt: int = 77,
+    trigger_once: bool = False,
+):
+    """Streaming HyperLogLog: each micro-batch writes its own
+    register table into ``batch=<id>`` (the repo's crash-safe state
+    rule); `read_hll` max-merges across dirs. Registers are MAXIMA,
+    so redelivery, restarts, and merge order are all trivially safe —
+    the merged state equals `sketch.hll_registers` over every row
+    ever seen, bit-for-bit."""
+    gp = list(key_cols or [])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from vector_database_spark.operators.sketch import hll_registers
+
+        regs = hll_registers(
+            batch_df, value_col=value_col, key_cols=gp, p=p, salt=salt
+        )
+        regs.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merged HLL registers across all committed batch dirs."""
+    from vector_database_spark.operators.sketch import hll_merge
+
+    gp = list(key_cols or [])
+    regs = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*"
+    )
+    return hll_merge(regs.select(*gp, "bucket", "reg"), key_cols=gp)
