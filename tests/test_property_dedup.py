@@ -7,6 +7,7 @@ the min reachable id."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -49,18 +50,19 @@ def test_ngram_jaccard_matches_local_oracle(spark, texts):
     assert got == want, (sorted(got), sorted(want))
 
 
+@pytest.mark.parametrize("method", ["minlabel", "star"])
 @settings(max_examples=5, deadline=None, derandomize=True)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=12
     )
 )
-def test_connected_components_min_label_fixpoint(spark, edges):
+def test_connected_components_min_label_fixpoint(spark, method, edges):
     nodes = spark.range(10).select(F.col("id"))
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges if a != b] or [(0, 0)], "a_id long, b_id long"
     ).where(F.col("a_id") != F.col("b_id"))
-    lab = dd.connected_components(pairs, nodes)
+    lab = dd.connected_components(pairs, nodes, method=method)
     got = {r.id: r.component for r in lab.collect()}
 
     # local oracle: min reachable id by union-find
