@@ -991,3 +991,59 @@ def test_streaming_transitions_matches_batch(spark):
         (r["event_type"], r["next_type"]): r["n"] for r in batch.collect()
     }
     assert acc == want and acc[("click", "purchase")] == 1
+
+
+def test_rolling_range_agg_peers_and_bounds(spark):
+    """RANGE semantics: same-timestamp peers share one frame (both
+    rows see both values); the window is inclusive at exactly
+    ts - width; null values count 0 into the sum and 0 into n."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.timeseries import (
+        rolling_range_agg,
+    )
+
+    rows = [
+        # (event_id, user, epoch_us, value)
+        (1, 7, 0, 1.0),
+        (2, 7, 0, 2.0),              # peer of event 1
+        (3, 7, 10_000_000, None),    # null value
+        (4, 7, 3_600_000_000, 4.0),  # exactly width after t=0: included
+        (5, 7, 3_610_000_001, 8.0),  # events 1,2 just fell out; 3,4 in
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, value double"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    got = {
+        r.event_id: (r.n_window, r.sum_units)
+        for r in rolling_range_agg(df, width_s=3600).collect()
+    }
+    assert got[1] == (2, 3_000_000) and got[2] == (2, 3_000_000)  # peers
+    assert got[3] == (2, 3_000_000)
+    assert got[4] == (3, 7_000_000)  # inclusive lower bound
+    assert got[5] == (2, 12_000_000)
+
+
+def test_interval_union_islands(spark):
+    """Island semantics: overlaps merge, TOUCHING intervals merge,
+    gaps split, nested intervals don't extend, and covered_us is the
+    true union length."""
+    from vector_database_spark.operators.timeseries import interval_union
+
+    rows = [
+        (1, 0, 10),    # island A
+        (1, 10, 20),   # touches -> still island A
+        (1, 12, 15),   # nested
+        (1, 30, 40),   # island B
+        (1, 35, 60),   # overlaps B
+        (2, 5, 6),     # other key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = {
+        r.user_id: (r.n_intervals, r.n_islands, r.covered_us)
+        for r in interval_union(df).collect()
+    }
+    assert got[1] == (5, 2, (20 - 0) + (60 - 30))
+    assert got[2] == (1, 1, 1)

@@ -869,3 +869,102 @@ def cusum_alarms(
             "first_alarm_us"
         ),
     )
+
+
+def rolling_range_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    width_s: int = 3600,
+) -> DataFrame:
+    """Time-RANGE rolling aggregate — "each event's trailing N
+    seconds" (rate limiting, rolling spend, trailing volume): per
+    key, for every event, the count and fixed-point sum of values in
+    the inclusive window [ts − width, ts]. The frame is a true RANGE
+    frame (bounds by timestamp VALUE, so same-timestamp peers share
+    one frame on every engine) — the window-surface capability the
+    rows-based r04 frames can't express.
+
+    Exactness: sums are integer MICRO-UNITS (floor(value·1e6), the
+    e12 idiom — the sliding sum then re-associates freely),
+    timestamps are exact integer epoch-µs via the NTZ-independent
+    form. One per-key sort (Spark's spill-safe window), no self-join
+    — the naive range self-join shuffles |events| × avg-window rows;
+    this shuffles |events| once."""
+    us = F.expr(_epoch_us(events, ts_col)).cast("long")
+    units = F.floor(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
+    base = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.coalesce(units, F.lit(0)).alias("_u"),
+        F.col(value_col).isNotNull().cast("int").alias("_nn"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us"))
+        .rangeBetween(-int(width_s) * 1_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        F.col("_k").alias(key_col),
+        F.col("_us").alias("ts_us"),
+        F.sum("_nn").over(w).cast("long").alias("n_window"),
+        F.sum("_u").over(w).cast("long").alias("sum_units"),
+    )
+
+
+def interval_union(
+    intervals: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Union length of (possibly overlapping) intervals per key — the
+    coverage primitive (total active time from overlapping sessions,
+    covered span from redundant crawls). Classic islands: order by
+    (start, end) per key, an interval starts a new island iff its
+    start exceeds the running max end of everything before it; union
+    length = Σ per island (max end − min start). All integer
+    microseconds, two window passes + one aggregate — no interval
+    self-join (the naive overlap join is quadratic per key).
+
+    Returns ``(key, n_intervals, n_islands, covered_us)``. Intervals
+    are half-open-agnostic: touching intervals (start == prior max
+    end) MERGE (not strictly greater ⇒ same island) — the convention
+    that makes [0,10)+[10,20) cover 20."""
+    base = intervals.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    ow = Window.partitionBy("_k").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        ow.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            ow.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("_k", "_island").agg(
+        F.min("_s").alias("_lo"),
+        F.max("_e").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return islands.groupBy("_k").agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_hi") - F.col("_lo")).cast("long").alias("covered_us"),
+    ).select(
+        F.col("_k").alias(key_col), "n_intervals", "n_islands", "covered_us"
+    )

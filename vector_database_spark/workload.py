@@ -4825,6 +4825,88 @@ def e12_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.time_weighted_avg(ev)
 
 
+_E18_WIDTH_S = 3600
+
+
+@query(
+    "e18_rolling_range",
+    oracle=f"""
+WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CASE WHEN value IS NULL THEN 0
+                       ELSE CAST(floor(value * 1000000) AS BIGINT) END AS u,
+                  CASE WHEN value IS NULL THEN 0 ELSE 1 END AS nn
+           FROM events)
+SELECT event_id, user_id, us AS ts_us,
+       CAST(sum(nn) OVER w AS BIGINT) AS n_window,
+       CAST(sum(u) OVER w AS BIGINT) AS sum_units
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {_E18_WIDTH_S * 1_000_000} PRECEDING
+                       AND CURRENT ROW)
+""",
+)
+def e18_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate (`ts_ops.rolling_range_agg`):
+    per event, the trailing-hour count and micro-unit sum for its
+    user — the VALUE-bounded window frame (rate limiting, rolling
+    spend) that r04's rows-based frames can't express; same-timestamp
+    peers share one frame on every engine by RANGE semantics. Sums
+    ride floor(value·1e6) integers (the e12 idiom) over exact integer
+    epoch-µs, so the sliding re-association is harmless and the
+    replay hash-matches. One per-key spill-safe window — the naive
+    range self-join shape would shuffle |events| × window."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.rolling_range_agg(ev, width_s=_E18_WIDTH_S)
+
+
+_E19_TTL_US = 120_000_000
+
+
+def _e19_oracle() -> str:
+    return f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {_E19_TTL_US} AS e FROM events),
+f AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+      FROM iv),
+h AS (SELECT user_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM f),
+i AS (SELECT user_id, island, min(s) AS lo, max(e) AS hi,
+             count(*) AS n
+      FROM h GROUP BY user_id, island)
+SELECT user_id, sum(n)::BIGINT AS n_intervals,
+       count(*)::BIGINT AS n_islands,
+       sum(hi - lo)::BIGINT AS covered_us
+FROM i GROUP BY user_id
+"""
+
+
+@query("e19_interval_union", oracle=_e19_oracle())
+def e19_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (`ts_ops.interval_union`): total
+    covered time per user when every event opens a {_E19_TTL_US//10**6}-second
+    activity window — the islands shape (running max-end + gap flags
+    + per-island span), never the quadratic interval self-join. All
+    integer microseconds; ties on (start, end) are value-identical
+    rows, so the windows agree across engines. Touching intervals
+    merge (start == prior max end ⇒ same island): [0,10)+[10,20)
+    covers 20."""
+    ev = _events(spark, sf_dir)
+    us = F.expr(ts_ops._epoch_us(ev, "ts")).cast("long")
+    iv = ev.select(
+        "user_id",
+        us.alias("start_us"),
+        (us + F.lit(_E19_TTL_US)).alias("end_us"),
+    )
+    return ts_ops.interval_union(iv)
+
+
 @query(
     "t13_inverted_index",
     oracle=r"""
@@ -5723,6 +5805,8 @@ _DRIVER_TAIL = [
     "d11_dedup_groups_star",  # dedup family: d06 (min-label) stays
     "s09_quantile_sketch",    # sketch family: s01/s03 stay in the head
     "s10_hll",                # sketch family: s01 KMV stays in the head
+    "e18_rolling_range",      # events/window family: e01/r04 stay
+    "e19_interval_union",     # events/session family: e02/e05 stay
 ]
 
 
