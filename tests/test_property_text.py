@@ -179,3 +179,50 @@ def test_pack_sequences_greedy_property(spark, toks, cap):
                 acc += r.n_tok
             assert (r.pack_id, r.seq_offset) == want, (shard, r.doc_id)
             assert toks[r.doc_id] == r.n_tok
+
+
+def test_canonical_url_matches_duckdb_twin(spark):
+    """canonical_url vs its DuckDB scalar twin on the adversarial
+    battery: case, default/non-default ports, tracking params, param
+    order, fragments, schemeless, empty, bare '?' — byte-identical
+    (this is the gate's exactness in miniature; the LIKE-escape
+    divergence between the engines is the trap the twin encodes)."""
+    import duckdb
+    import pandas as pd
+
+    from vector_database_spark.operators.text import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    urls = [
+        "HTTPS://Example.COM:443/Path/Page?b=2&utm_source=x&a=1#frag",
+        "http://example.com:80/",
+        "http://EXAMPLE.com",
+        "https://example.com/p?utm_campaign=z",
+        "https://example.com/p?ref=tw&fbclid=123&z=9&a=1",
+        "not a url at all?x=1&utm_x=2#f",
+        "ftp://Host.Net:21/file",
+        "https://example.com/CaseSensitivePath",
+        "//schemeless.com/x",
+        "",
+        "https://example.com/?",
+        "http://h/?utm_a=1&utm_b=2",
+        "https://a.b:8443/x?a=2&a=1",  # repeated key: sort keeps both
+        "HTTP://U:80",                  # authority only, port, no path
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": urls}))
+    want = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {canonical_url_sql('u')} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+    # idempotence: canonicalizing a canonical form is a no-op
+    df2 = spark.createDataFrame([(c,) for c in got], "u string")
+    again = [r.c for r in df2.select(canonical_url("u").alias("c")).collect()]
+    assert again == got

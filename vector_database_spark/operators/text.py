@@ -905,3 +905,83 @@ def bm25_scores(
     return scored.withColumn("rank", F.row_number().over(w)).select(
         "id", "n_matched", "score", "rank"
     )
+
+
+def canonical_url(col) -> "F.Column":
+    """URL canonicalization — the dedup PRE-step every crawl pipeline
+    runs before any content hashing (one page, many URL spellings):
+
+    1. strip the fragment (``#…``),
+    2. split off the query string, drop tracking parameters
+       (``utm_*``, ``fbclid``, ``gclid``, ``ref``), SORT the
+       survivors (param order never distinguishes resources),
+    3. lowercase the scheme+authority (host is case-insensitive;
+       the path is NOT touched — it is case-sensitive by spec),
+    4. drop the default ports ``:80``/``:443``,
+    5. normalize an empty path to ``/``.
+
+    Everything is LIKE / split / array_sort / regexp in the
+    Java-regex ∩ RE2 ∩ python-re common subset (the t10 rule), so a
+    DuckDB replay hash-matches (`canonical_url_sql`) — no
+    parse_url(), which only Spark has. NOTE the LIKE-escape trap the
+    SQL twin dodges: Spark LIKE escapes with backslash by DEFAULT,
+    DuckDB only with an explicit ESCAPE clause. Malformed inputs
+    degrade gracefully: no ``://`` means no authority step, the
+    string still gets fragment/query handling."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, "#.*$", "")
+    base = F.regexp_extract(no_frag, "^([^?]*)", 1)
+    qs = F.regexp_extract(no_frag, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~p.like("utm\\_%")
+        & ~p.like("fbclid=%")
+        & ~p.like("gclid=%")
+        & ~p.like("ref=%"),
+    )
+    clean_qs = F.array_join(F.array_sort(params), "&")
+    auth = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    rest = F.when(
+        auth != "", base.substr(F.length(auth) + 1, F.lit(1 << 30))
+    ).otherwise(F.lit(""))
+    auth_norm = F.regexp_replace(F.lower(auth), ":(80|443)$", "")
+    path = F.when(
+        auth != "",
+        F.when(rest == "", F.lit("/")).otherwise(rest),
+    ).otherwise(base)
+    pre = F.when(auth != "", F.concat(auth_norm, path)).otherwise(path)
+    return F.when(
+        clean_qs != "", F.concat(pre, F.lit("?"), clean_qs)
+    ).otherwise(pre)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB scalar replay of `canonical_url` (oracle side):
+    identical step order; LIKE patterns carry an explicit ESCAPE
+    (DuckDB has no default escape character, Spark does)."""
+    nf = f"regexp_replace({expr}, '#.*$', '')"
+    base = f"regexp_extract({nf}, '^([^?]*)', 1)"
+    qs = f"regexp_extract({nf}, '\\?(.*)$', 1)"
+    params = (
+        f"list_filter(string_split({qs}, '&'), p -> p <> '' "
+        f"AND p NOT LIKE 'utm\\_%' ESCAPE '\\' "
+        "AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'gclid=%' "
+        "AND p NOT LIKE 'ref=%')"
+    )
+    cqs = f"array_to_string(list_sort({params}), '&')"
+    auth = f"regexp_extract({base}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)"
+    rest = (
+        f"(CASE WHEN {auth} <> '' THEN substr({base}, length({auth}) + 1) "
+        "ELSE '' END)"
+    )
+    authn = f"regexp_replace(lower({auth}), ':(80|443)$', '')"
+    path = (
+        f"(CASE WHEN {auth} <> '' THEN "
+        f"(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END) "
+        f"ELSE {base} END)"
+    )
+    pre = f"(CASE WHEN {auth} <> '' THEN {authn} || {path} ELSE {path} END)"
+    return (
+        f"(CASE WHEN {cqs} <> '' THEN {pre} || '?' || {cqs} ELSE {pre} END)"
+    )

@@ -4907,6 +4907,60 @@ def e19_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.interval_union(iv)
 
 
+_T17_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || "
+    "'/p/' || CAST(doc_id % 40 AS STRING) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'?b=' || CAST(doc_id % 4 AS STRING) || '&utm_source=x&a=1' "
+    "ELSE '?a=1&b=' || CAST(doc_id % 4 AS STRING) "
+    "|| '&fbclid=' || CAST(doc_id AS STRING) END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"
+)
+
+
+def _t17_oracle() -> str:
+    from vector_database_spark.operators.text import canonical_url_sql
+
+    return f"""
+WITH u AS (SELECT doc_id, {_T17_URL_SQL} AS url FROM documents),
+c AS (SELECT url, {canonical_url_sql('url')} AS canonical FROM u)
+SELECT canonical, count(*)::BIGINT AS n_docs,
+       count(DISTINCT url)::BIGINT AS n_spellings
+FROM c GROUP BY canonical
+"""
+
+
+@query("t17_canonical_url", oracle=_t17_oracle())
+def t17_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (`tx.canonical_url`) — the dedup pre-step
+    crawl pipelines run before any content hashing: scheme/host case,
+    default ports, tracking parameters (utm_*/fbclid/gclid/ref),
+    param ORDER, and fragments all collapse, the case-sensitive path
+    survives. Each document gets a deterministically varied spelling
+    (case flips, :443, shuffled params, fragments — the a01
+    constructed-input pattern); the gate groups by canonical form and
+    counts collapsed spellings. Pure common-subset string/LIKE/
+    regexp/array_sort expressions — the SQL twin replays every step
+    (NOTE: DuckDB LIKE needs an explicit ESCAPE; Spark's default is
+    backslash — the one dialect trap in this family)."""
+    from vector_database_spark.operators.text import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id", F.expr(_T17_URL_SQL).alias("url")
+    )
+    return (
+        u.select("url", canonical_url("url").alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_spellings"),
+        )
+    )
+
+
 @query(
     "t13_inverted_index",
     oracle=r"""
@@ -5807,6 +5861,7 @@ _DRIVER_TAIL = [
     "s10_hll",                # sketch family: s01 KMV stays in the head
     "e18_rolling_range",      # events/window family: e01/r04 stay
     "e19_interval_union",     # events/session family: e02/e05 stay
+    "t17_canonical_url",      # text/dedup-prep family: t04/d01 stay
 ]
 
 
