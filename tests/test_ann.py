@@ -663,3 +663,23 @@ def test_ivf_retrain_shrinking_cells_drops_stale_partitions(spark, embeddings, t
     assert stored.select("id").distinct().count() == vecs.count()
     cells = {r.cell for r in stored.select("cell").distinct().collect()}
     assert cells <= {0, 1, 2, 3}, f"stale cells survived: {cells}"
+
+
+def test_recall_at_k_metric(spark):
+    """recall_at_k: per-query hit counting against exact truth, the
+    optional k cut, and zero-recall queries present in the output."""
+    from vector_database_spark.operators.ann import recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "qid long, id long, rank long",
+    )
+    got = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 77, 1), (2, 78, 2)],
+        "qid long, id long, rank long",
+    )
+    r = {x.qid: (x.n_truth, x.n_hit, x.recall) for x in
+         recall_at_k(got, truth).collect()}
+    assert r[1] == (3, 2, 2 / 3) and r[2] == (5 - 3, 0, 0.0)
+    r2 = {x.qid: x.recall for x in recall_at_k(got, truth, k=1).collect()}
+    assert r2[1] == 1.0 and r2[2] == 0.0

@@ -352,3 +352,16 @@ def test_add_documents_normalization_warning(spark):
         warnings.simplefilter("always")
         vdb.add_documents(bad)
     assert any("normalization contract" in str(w.message) for w in got)
+
+
+def test_facade_ivf_search_stats(spark):
+    """search_stats on the IVF backend: same telemetry contract as
+    bsp — matches <= candidates <= total, candidate_frac < 1 when
+    pruning bites, and n_matches equals the search's hit count."""
+    vdb = _mk_typed(spark, "ivf")
+    q = [0.1, -0.2, 0.3, 0.0]
+    st = vdb.search_stats(q, 0.5).first()
+    hits = vdb.search(q, 0.5).count()
+    assert st.n_matches == hits
+    assert st.n_matches <= st.n_candidates <= st.n_total == 90
+    assert 0.0 < st.candidate_frac <= 1.0

@@ -675,3 +675,20 @@ def test_bigram_lm_score_flags_gibberish(spark):
 
     assert mean(2) < mean(0) and mean(2) < mean(1)
     assert got[3] == (0, 0)
+
+
+def test_plan_minhash_bands():
+    """Band planning: exact divisors only, S-curve midpoint lands
+    near the target threshold, and weighting toward recall never
+    RAISES rows-per-band (fewer rows = more permissive bands)."""
+    b, r = dd.plan_minhash_bands(0.5, 16)
+    assert b * r == 16
+    # the (b, r) S-curve threshold ~ (1/b)^(1/r) should be near 0.5
+    thr = (1.0 / b) ** (1.0 / r)
+    assert 0.2 < thr < 0.8, (b, r, thr)
+    b2, r2 = dd.plan_minhash_bands(0.5, 16, fp_weight=0.1, fn_weight=0.9)
+    assert b2 * r2 == 16 and r2 <= r
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.plan_minhash_bands(1.5, 16)

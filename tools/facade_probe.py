@@ -1,0 +1,94 @@
+"""Unified-facade probe ABOVE toy size: the index_type='ivf' backend
+must stay EXACT (== brute force) at 200k vectors while touching only
+the triangle-inequality-pruned cells, and report a candidate_frac
+well under 1.0 (the pruning actually prunes). Also times the three
+backends' search on the same store contents.
+
+Usage: python tools/facade_probe.py [rows] [dims]
+Defaults: 200k x 16, 64 cells.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_spark import get_spark
+from vector_database_spark.api import VectorDatabase
+from vector_database_spark.sources.generators import clusters
+
+
+def main() -> int:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    ok = True
+    spark = get_spark(
+        app_name="facade-probe", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    data = (
+        clusters(spark, n=rows, dims=dims, n_clusters=24, seed=3)
+        .select(
+            (F.col("id") % 8).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    q = [float(x) for x in data.where(F.col("text_id") == 7).first()["vector"]]
+    domain = 0.35
+    root = tempfile.mkdtemp(prefix="facade_probe_")
+    brute = None
+    try:
+        for t in ("bsp", "ivf", "ivfadc"):
+            vdb = VectorDatabase(
+                spark, f"{root}/{t}", index_type=t, n_cells=64,
+                local_threshold=65_536, pq_m=4,
+            )
+            t0 = time.time()
+            vdb.add_documents(data)
+            t_build = time.time() - t0
+            t0 = time.time()
+            got = {
+                (r.text_id, round(r.dist, 9))
+                for r in vdb.search(q, domain).collect()
+            }
+            t_search = time.time() - t0
+            if brute is None:
+                brute = {
+                    (r.text_id, round(r.dist, 9))
+                    for r in vdb.brute_force(q, domain).collect()
+                }
+            exact = got == brute
+            line = (
+                f"{t}: build+index {t_build:.1f}s, search {t_search:.1f}s, "
+                f"hits {len(got)}, exact == brute: {exact}"
+            )
+            if t != "bsp":
+                st = vdb.search_stats(q, domain).first()
+                line += (
+                    f", candidate_frac {st.candidate_frac:.4f}, "
+                    f"selectivity {st.selectivity:.4f}"
+                )
+                if st.candidate_frac > 0.5:
+                    print("FAIL: cell pruning did not prune")
+                    ok = False
+            print(line)
+            if not exact:
+                print(f"FAIL: {t} search != brute")
+                ok = False
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print("PROBE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

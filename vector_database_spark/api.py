@@ -654,9 +654,31 @@ class VectorDatabase:
         from vector_database_spark.operators.search import search_stats
 
         if self.index_type != "bsp":
-            raise ValueError(
-                "search_stats() instruments the BSP tree walk; "
-                f"this store is index_type={self.index_type!r}"
+            # same telemetry contract on the IVF family: candidates =
+            # the triangle-inequality cell-pruned set (scoped),
+            # matches = the exact ball hits — the same health read
+            # (candidate_frac 1.0 = radii too loose / cells too few)
+            cand = self._ann_candidate_ids(vector, domain)
+            txt = self.text()
+            if doc_id is not None:
+                txt = txt.where(F.col("doc_id") == doc_id)
+            scoped = txt.join(cand, "text_id", "left_semi")
+            n_cand = scoped.count()
+            n_total = txt.count()
+            n_match = self.search(vector, domain, doc_id=doc_id).count()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        0,
+                        int(n_cand),
+                        int(n_match),
+                        (n_match / n_cand) if n_cand else None,
+                        int(n_total),
+                        (n_cand / n_total) if n_total else None,
+                    )
+                ],
+                "qid long, n_candidates long, n_matches long, "
+                "selectivity double, n_total long, candidate_frac double",
             )
         return search_stats(
             self._index_named(),

@@ -1584,3 +1584,37 @@ def standardize(
 
     out = vecs.withColumn(vector_col, F.transform(F.col(vector_col), _z))
     return out, means, stds
+
+
+def recall_at_k(
+    got: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int | None = None,
+) -> DataFrame:
+    """Retrieval-quality metric: per-query recall of ``got`` against
+    exact ``truth`` (both ``(qid, id, rank)``; optionally cut both to
+    top-``k`` first). One equi-join + two counts — the evaluation
+    loop every ANN tuning session runs, expressed set-based so it
+    works at any panel size. Returns ``(qid, n_truth, n_hit,
+    recall)``."""
+    g = got.select("qid", "id", "rank")
+    t = truth.select("qid", "id", "rank")
+    if k is not None:
+        g = g.where(F.col("rank") <= int(k))
+        t = t.where(F.col("rank") <= int(k))
+    tn = t.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    hit = (
+        t.join(g.select("qid", "id"), ["qid", "id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return tn.join(hit, "qid", "left").select(
+        "qid",
+        "n_truth",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_truth").cast("double")
+        ).alias("recall"),
+    )

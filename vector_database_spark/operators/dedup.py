@@ -1326,3 +1326,44 @@ def incremental_neardup(
         shingle_n=shingle_n, threshold=threshold, shingles=all_sh,
     )
     return pairs, new_sigs, new_sh
+
+
+def plan_minhash_bands(
+    threshold: float,
+    num_perm: int,
+    *,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose the (bands, rows) split of ``num_perm`` MinHash values
+    that best matches a target Jaccard ``threshold`` — the standard
+    S-curve calibration (Leskovec/Rajaraman/Ullman, MMDS ch.3): a
+    pair with similarity s collides in ≥1 band with probability
+    1 − (1 − s^rows)^bands, and the integrals of that curve below
+    (false positives) / above (false negatives) the threshold are
+    minimized over all exact divisors b·r = num_perm. Weights skew
+    the trade (dedup pipelines usually prefer recall: lower
+    ``fn_weight`` tolerance ⇒ raise ``fn_weight``). Pure driver-side
+    math — feed the result to `lsh_candidate_pairs(bands=...)`."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    n = int(num_perm)
+    best: tuple[float, int, int] | None = None
+    steps = 1000
+    for b in range(1, n + 1):
+        if n % b:
+            continue
+        r = n // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = float(fp_weight) * fp + float(fn_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
