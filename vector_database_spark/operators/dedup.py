@@ -1367,3 +1367,116 @@ def plan_minhash_bands(
             best = (err, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_term_df: int | None = None,
+) -> DataFrame:
+    """SPARSE cosine near-dup — the lexical complement of the dense
+    embedding path (d05/d08): documents as tf-idf vectors over
+    whitespace terms, pairs by inverted-index join (docs sharing ≥1
+    term — never the doc×doc product), cosine over the SHARED terms'
+    weight products. Returns ``(a_id, b_id, n_shared, cos_sim)`` for
+    pairs with cos ≥ threshold.
+
+    Exact and SQL-replayable end-to-end: weights are the rational
+    tf-idf (tf/len × (N+1)/(df+1) — t07's no-log form), per-doc norms
+    and per-pair dots fold in TERM-SORTED order (the v20 rule), and
+    cos = dot/(na·nb) is a fixed chain of exact-rounded double ops —
+    the d12 gate hash-matches unrounded.
+
+    ``max_term_df`` caps which terms GENERATE candidates (stop-words
+    pair everything with everything — the d04 hazard); capped runs
+    still compute the FULL dot for every generated pair, so reported
+    similarities never change, only which pairs get scored (the
+    documented candidate contract, same as `containment_pairs`)."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
+    doc_len = tf.groupBy("id").agg(F.sum("c").alias("n_toks"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    w = (
+        tf.join(doc_len, "id")
+        .join(doc_freq, "term")
+        .select(
+            "id",
+            "term",
+            "df",
+            (
+                (F.col("c") / F.col("n_toks"))
+                * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # per-doc norm: term-sorted fold of w^2 (deterministic), then sqrt
+    norms = (
+        w.groupBy("id")
+        .agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("term", "w"))),
+                        lambda s: s["w"] * s["w"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("norm")
+        )
+    )
+    cand_w = w if max_term_df is None else w.where(
+        F.col("df") <= int(max_term_df)
+    )
+    a = cand_w.select(
+        F.col("id").alias("a_id"), "term"
+    )
+    b = cand_w.select(F.col("id").alias("b_id"), "term")
+    cand = (
+        a.join(b, "term")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    wa = w.select(F.col("id").alias("a_id"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("id").alias("b_id"), "term", F.col("w").alias("wb"))
+    shared = cand.join(wa, "a_id").join(wb, ["b_id", "term"])
+    dots = shared.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term"),
+                            (F.col("wa") * F.col("wb")).alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    na = norms.select(F.col("id").alias("a_id"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("id").alias("b_id"), F.col("norm").alias("nb"))
+    out = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+    )
+    return out.where(F.col("cos_sim") >= F.lit(float(threshold)))

@@ -539,6 +539,60 @@ def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("src_id", "dst_id", "inter", "src_sz")
 
 
+_D12_N, _D12_CAP, _D12_T = 200, 20, 0.6
+
+
+@query(
+    "d12_tfidf_cosine",
+    oracle=rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_D12_N}),
+ex AS (SELECT doc_id AS id,
+              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+       FROM d),
+tf AS (SELECT id, term, count(*)::BIGINT AS c FROM ex GROUP BY 1, 2),
+dl AS (SELECT id, sum(c)::BIGINT AS n_toks FROM tf GROUP BY 1),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+w AS (SELECT tf.id, tf.term, dfq.df,
+             (tf.c::DOUBLE / dl.n_toks::DOUBLE)
+               * ((nd.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) AS w
+      FROM tf JOIN dl USING (id) JOIN dfq USING (term) CROSS JOIN nd),
+norms AS (SELECT id, sqrt(list_sum(list(w * w ORDER BY term))) AS norm
+          FROM w GROUP BY id),
+cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         WHERE a.df <= {_D12_CAP} AND b.df <= {_D12_CAP}),
+sh AS (SELECT c.a_id, c.b_id, wa.term, wa.w * wb.w AS p
+       FROM cand c
+       JOIN w wa ON wa.id = c.a_id
+       JOIN w wb ON wb.id = c.b_id AND wb.term = wa.term),
+dots AS (SELECT a_id, b_id, count(*)::BIGINT AS n_shared,
+                list_sum(list(p ORDER BY term)) AS dot
+         FROM sh GROUP BY 1, 2)
+SELECT dots.a_id, dots.b_id, dots.n_shared,
+       dots.dot / (na.norm * nb.norm) AS cos_sim
+FROM dots JOIN norms na ON na.id = dots.a_id
+          JOIN norms nb ON nb.id = dots.b_id
+WHERE dots.dot / (na.norm * nb.norm) >= {_D12_T!r}::DOUBLE
+""",
+)
+def d12_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine near-dup (`dedup.tfidf_cosine_pairs`) — the
+    lexical complement of d05's dense embedding cosine: documents as
+    rational tf-idf vectors (t07's no-log idf), candidates by
+    inverted-index join on terms with df ≤ {_D12_CAP} (the d04 cap
+    contract: the cap limits which pairs get SCORED, never the score
+    itself — the dot runs over ALL shared terms), per-doc norms and
+    per-pair dots folded in term-sorted order (the v20 rule) so the
+    unrounded similarities hash-match the SQL replay through the one
+    final division."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < _D12_N)
+    pairs = dd.tfidf_cosine_pairs(
+        docs, threshold=_D12_T, max_term_df=_D12_CAP
+    )
+    return pairs.select("a_id", "b_id", "n_shared", "cos_sim")
+
+
 @query(
     "d05_embedding_neardup",
     oracle=f"""
@@ -5862,6 +5916,7 @@ _DRIVER_TAIL = [
     "e18_rolling_range",      # events/window family: e01/r04 stay
     "e19_interval_union",     # events/session family: e02/e05 stay
     "t17_canonical_url",      # text/dedup-prep family: t04/d01 stay
+    "d12_tfidf_cosine",       # dedup/similarity family: d04/d05 stay
 ]
 
 
