@@ -340,9 +340,15 @@ def test_add_documents_normalization_warning(spark):
         F.col("id").alias("text_id"),
         "vector",
     )
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # any warning -> test failure
+    # assert on the SPECIFIC warning, never simplefilter("error"):
+    # under the full suite, unrelated ResourceWarnings (unclosed py4j
+    # sockets from earlier tests) would escalate inside the job
+    with warnings.catch_warnings(record=True) as quiet:
+        warnings.simplefilter("always")
         vdb.add_documents(ok)
+    assert not any(
+        "normalization contract" in str(w.message) for w in quiet
+    )
     bad = ok.select(
         "doc_id",
         (F.col("text_id") + 100).alias("text_id"),
