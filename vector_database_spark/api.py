@@ -304,7 +304,20 @@ class VectorDatabase:
         cols = ["doc_id", "text_id", "vector"]
         if "text" in df.columns:
             cols.insert(2, "text")
-        batch = df.select(*cols).localCheckpoint(eager=True)
+        batch = df.select(*cols)
+        # conform to the STORED physical types (the ivf_append rule):
+        # a double-typed batch appended into a float-vector store
+        # leaves mixed parquet files the reader refuses
+        # (SchemaColumnConvertNotSupportedException) — the storage
+        # precision is the store's contract, set by the first write
+        try:
+            stored = {f.name: f.dataType for f in self.text().schema.fields}
+        except Exception:
+            stored = {}
+        for c in cols:
+            if c in stored:
+                batch = batch.withColumn(c, F.col(c).cast(stored[c]))
+        batch = batch.localCheckpoint(eager=True)
         self._warn_if_unnormalized(batch)
         batch.write.mode("append").partitionBy("doc_id").parquet(
             self.text_path
