@@ -314,6 +314,19 @@ CHECKS = {
         "join the packed state on the key — nothing quadratic, the "
         "shuffle carries batches x keys x m rows",
     ),
+    "e18_rolling_range": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "time-RANGE rolling aggregate: ONE per-key window pass — "
+        "never the range self-join that shuffles |events| x window",
+    ),
+    "d12_tfidf_cosine": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "sparse tf-idf cosine: candidates from the inverted-index "
+        "equi-join on terms (df-capped), dots per generated pair — "
+        "never the doc x doc product",
+    ),
 }
 
 
