@@ -600,7 +600,7 @@ def simhash_pairs(
 simhash_pairs_banded = simhash_pairs
 
 
-def _cc_star(sym: DataFrame, max_iter: int, checkpoint_every: int) -> DataFrame:
+def _cc_star(sym: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     SoCC'14) over a symmetric edge frame: returns ``(u, component)``
     for every paired node, component = min id of its component.
@@ -744,7 +744,10 @@ def connected_components(
     # keeps each round's join/agg proportional to |pairs|, not |docs|.
     # Singletons rejoin (component = own id) once, after the fixpoint.
     if method == "star":
-        labels = _cc_star(sym, max_iter, checkpoint_every)
+        # checkpoint_every intentionally NOT passed: the star path
+        # rewrites its whole edge set every round, so every round
+        # must checkpoint (lineage would stack log-d shuffles deep).
+        labels = _cc_star(sym, max_iter)
         return (
             nodes.select(F.col(id_col).alias("u"))
             .join(labels, "u", "left")
@@ -1397,7 +1400,10 @@ def tfidf_cosine_pairs(
     documented candidate contract, same as `containment_pairs`)."""
     from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # Explicit whitespace class: Java \s, RE2 \s and python \s disagree
+    # on \x0B / \x1c-\x1f, so the oracle replay must tokenize with the
+    # same common subset (the t14/t15/p08 hardening rule).
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[\t\n\f\r ]+")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
     tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
     doc_len = tf.groupBy("id").agg(F.sum("c").alias("n_toks"))

@@ -984,6 +984,11 @@ def knn_graph_append(
         .cast(stored.schema["vector"].dataType)
         .alias("vector"),
     )
+    # Idempotence: drop batch ids already stored (the
+    # foreach_batch_ivf_ingest anti-join rule) — a redelivered batch
+    # is a no-op instead of duplicating vectors/probes/edges and
+    # silently breaking the append==rebuild guarantee.
+    vv = vv.join(stored.select("id"), "id", "left_anti")
     assign = _assign_cells if method == "dgemm" else ivf_assign_expr
     batch_members = assign(vv, centroids).localCheckpoint()
     batch_probes = _blocked_probes(vv, centroids, nprobe, method).localCheckpoint()

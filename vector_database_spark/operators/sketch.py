@@ -810,10 +810,18 @@ def quantile_sketch(
     per-key bottom-m BEFORE the shuffle (the `_grouped_topk` rule),
     so the exchange carries batches × keys × m rows, never the data;
     the exact count is one map-side-combined aggregate. NULL values
-    are excluded (standard quantile semantics)."""
+    are excluded (standard quantile semantics), and so are NULL KEYS:
+    the sample pre-reduction (pandas groupby) and the final
+    state-counts equi-join would otherwise disagree on whether a
+    null-key group exists — excluding them makes both paths agree by
+    construction."""
     kp = [str(k) for k in key_cols]
     mm = int(m)
     v = F.col(value_col).cast("double")
+    keep = v.isNotNull()
+    for k in kp:
+        keep = keep & F.col(k).isNotNull()
+    df = df.where(keep)
     base = (
         df.where(v.isNotNull())
         .select(
@@ -830,7 +838,10 @@ def quantile_sketch(
             if not len(pdf):
                 continue
             s = pdf.sort_values([*kp, "_h", "_sid"])
-            yield s.groupby(kp).head(mm) if kp else s.head(mm)
+            # dropna=False: Spark's groupBy keeps NULL keys, so the
+            # sample path must too or null-key groups lose their
+            # samples while the counts aggregate still emits them.
+            yield s.groupby(kp, dropna=False).head(mm) if kp else s.head(mm)
 
     pre = base.mapInPandas(prereduce, schema)
     w = Window.partitionBy(*kp).orderBy("_h", "_sid")
@@ -1266,7 +1277,7 @@ regs AS (SELECT {keys_pre}bucket, max(rho) AS reg FROM rr
          GROUP BY {keys_pre}bucket),
 agg AS (SELECT {keys_pre}count(*)::BIGINT AS n_buckets_hit,
                sum((1::BIGINT << (60 - reg))::HUGEINT) AS s
-        FROM regs GROUP BY {'' if not kp else keys})
+        FROM regs{f' GROUP BY {keys}' if kp else ''})
 SELECT {keys_pre}n_buckets_hit,
        ({m} - n_buckets_hit)::BIGINT AS n_zero_regs,
        (s + ({m} - n_buckets_hit)::HUGEINT

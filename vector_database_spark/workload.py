@@ -547,7 +547,8 @@ _D12_N, _D12_CAP, _D12_T = 200, 20, 0.6
     oracle=rf"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_D12_N}),
 ex AS (SELECT doc_id AS id,
-              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              unnest(regexp_split_to_array(lower(trim(text)),
+                                           '[\t\n\f\r ]+')) AS term
        FROM d),
 tf AS (SELECT id, term, count(*)::BIGINT AS c FROM ex GROUP BY 1, 2),
 dl AS (SELECT id, sum(c)::BIGINT AS n_toks FROM tf GROUP BY 1),
