@@ -386,3 +386,35 @@ def test_beam_layout_serving_is_partition_pruned(spark, embeddings, tmp_path):
     vp = formatted_plan(_pruned_vecs(spark, root, [2]))
     assert "PartitionFilters" in vp
     assert "cell" in vp.split("PartitionFilters", 1)[1][:200]
+
+
+def test_blocked_hot_cell_cap_is_bit_identical(spark, embeddings):
+    """Round-7 verdict item 2: sub-bucketing a hot cell must not
+    change a single edge. 50% of rows are clones of one vector (one
+    cell Lloyd can't split — the dup-heavy-corpus shape); a build
+    with cell_cap small enough to force many sub-buckets equals the
+    uncapped build edge-for-edge, bit-for-bit (the per-pair distance
+    recompute is shape-independent, and per-bucket top-(k+4) cuts
+    union to a superset of the per-cell cut)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.graph import knn_graph_blocked
+
+    vecs = _vecs(embeddings).where(F.col("id") < 400)
+    clone = vecs.where(F.col("id") == 0).select("vector").first()["vector"]
+    clones = vecs.where(F.col("id") < 200).select(
+        (F.col("id") + 1000).alias("id"),
+        F.lit([float(x) for x in clone])
+        .cast("array<double>")
+        .alias("vector"),
+    )
+    data = vecs.unionByName(clones)
+    uncapped = knn_graph_blocked(
+        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=10**9
+    )
+    capped = knn_graph_blocked(
+        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=32
+    )
+    a = sorted(map(tuple, uncapped.collect()))
+    b = sorted(map(tuple, capped.collect()))
+    assert a == b and len(a) == 600 * 4

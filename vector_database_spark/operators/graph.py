@@ -622,6 +622,7 @@ def knn_graph_blocked(
     seed: int = 42,
     train_rows: int = 262_144,
     method: str = "dgemm",
+    cell_cap: int = None,
 ) -> DataFrame:
     """Scale-safe kNN-graph construction (round-6 verdict item 1 —
     replaces `knn_graph(method='dgemm')`'s driver-collected corpus
@@ -676,8 +677,14 @@ def knn_graph_blocked(
             if method == "dgemm"
             else ivf_assign_expr(vv, centroids)
         )
+    # dgemm narrow consumes members twice (hot-cell bucket counts +
+    # the candidate join) — pin so the assignment kernel runs once
+    members = members.localCheckpoint(eager=False)
     probes = _blocked_probes(vv, centroids, nprobe, method)
-    narrow = _blocked_narrow(members, probes, k, method)
+    narrow = _blocked_narrow(
+        members, probes, k, method,
+        cell_cap=_CELL_CAP if cell_cap is None else int(cell_cap),
+    )
     return _rank_topk_edges(narrow, k)
 
 
@@ -743,19 +750,40 @@ def _blocked_narrow(
         return cand.select(
             "src", "dst", euclidean(F.col("_mv"), F.col("_qv")).alias("dist")
         )
-    both = members.select(
+    from vector_database_spark.functions.hashing import h60
+
+    mem = members.select(
         F.col("cell").cast("int").alias("cell"),
         F.col("id").cast("long").alias("id"),
         F.col("vector").cast("array<double>").alias("vector"),
         F.lit(1).alias("is_member"),
-    ).unionByName(
-        probes.select(
-            F.col("cell").cast("int").alias("cell"),
-            F.col("id").cast("long").alias("id"),
-            F.col("vector").cast("array<double>").alias("vector"),
-            F.lit(0).alias("is_member"),
-        )
     )
+    prb = probes.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("id").cast("long").alias("id"),
+        F.col("vector").cast("array<double>").alias("vector"),
+        F.lit(0).alias("is_member"),
+    )
+    # per-cell sub-bucket counts: n_cells rows, broadcast to both sides
+    counts = mem.groupBy("cell").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(int(cell_cap)))),
+        )
+        .cast("int")
+        .alias("_nb")
+    )
+    mem_b = mem.join(F.broadcast(counts), "cell").withColumn(
+        "bucket",
+        F.pmod(h60(F.col("id").cast("string")), F.col("_nb")).cast("int"),
+    )
+    # probes replicate into every bucket of a probed cell (inner join
+    # also drops probes into member-less cells — the kernel emitted
+    # nothing for those anyway)
+    prb_b = prb.join(F.broadcast(counts), "cell").withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+    )
+    both = mem_b.unionByName(prb_b).drop("_nb")
 
     def make_cell_kernel(k_val: int):
         def kern(pdf):
@@ -822,7 +850,7 @@ def _blocked_narrow(
 
         return kern
 
-    return both.groupBy("cell").applyInPandas(
+    return both.groupBy("cell", "bucket").applyInPandas(
         make_cell_kernel(kk), "src long, dst long, dist double"
     )
 
