@@ -150,3 +150,78 @@ def test_sql_index_document_builds_swaps_and_searches(spark, tmp_path):
         for r in sql_api.sql_search(spark, qdf, 0.8, doc_id=1).collect()
     }
     assert scoped == {x for x in want2 if x[0] % 3 == 1}
+
+
+def test_sql_index_document_ivf_family_lifecycle(spark, tmp_path):
+    """Round-7 verdict item 7: the SQL-first story on the IVF
+    family. Same flow as the BSP test — register a text view, CALL
+    the IndexDocument analog with index_type=, search via the IVF
+    SQL ball search (triangle-inequality cell pruning + exact
+    refine), mutate one document, re-index through the single-doc
+    form, verify against brute force at every step — for BOTH ivf
+    and ivfadc."""
+    from vector_database_spark.operators.search import brute_force_search
+    from vector_database_spark.sources.generators import random_uniform
+
+    q = [0.2, -0.1, 0.3, 0.05]
+    qdf = spark.createDataFrame([(0, q)], "qid long, qvec array<double>")
+    txt = (
+        random_uniform(spark, 120, 4, seed=31)
+        .select(
+            (F.col("id") % 3).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    txt2 = txt.withColumn(
+        "vector",
+        F.when(
+            F.col("doc_id") == 1,
+            F.transform("vector", lambda x: x + F.lit(0.25)),
+        ).otherwise(F.col("vector")),
+    ).localCheckpoint()
+    for t in ("ivf", "ivfadc"):
+        root = str(tmp_path / f"sql_{t}")
+        txt.createOrReplaceTempView("text")
+        sql_api.sql_build_index(
+            spark, root, index_type=t, n_cells=4, pq_m=2
+        )
+        got = {
+            (r.id, round(r.dist, 9))
+            for r in sql_api.sql_ivf_search(spark, qdf, 0.8).collect()
+        }
+        want = {
+            (r.id, round(r.dist, 9))
+            for r in brute_force_search(
+                spark.table("vectors"), [(0, q)], 0.8
+            ).collect()
+        }
+        assert got == want and got, t
+
+        # mutate doc 1, swap through the single-doc form (text-store
+        # swap is per-doc; the coarse layout rebuild is corpus-global
+        # by contract)
+        txt2.createOrReplaceTempView("text")
+        sql_api.sql_index_document(
+            spark, root, 1, index_type=t, n_cells=4, pq_m=2
+        )
+        after = {
+            (r.id, round(r.dist, 9))
+            for r in sql_api.sql_ivf_search(spark, qdf, 0.8).collect()
+        }
+        # ground truth = the registered vectors view (the STORE:
+        # ingest casts to the stored precision — the add_documents
+        # contract — so the store, not the raw view, is the
+        # system-of-record the search must match)
+        want2 = {
+            (r.id, round(r.dist, 9))
+            for r in brute_force_search(
+                spark.table("vectors"), [(0, q)], 0.8
+            ).collect()
+        }
+        assert after == want2, t
+        # untouched documents answer identically before and after
+        assert {x for x in got if x[0] % 3 != 1} == {
+            x for x in after if x[0] % 3 != 1
+        }, t
