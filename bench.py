@@ -135,6 +135,61 @@ def main() -> int:
     plan.append(("knn_graph_blocked", _blocked_build))
     plan.append(("beam_search", _beam))
 
+    # unified-facade serving entries (round-7 verdict item 8): one
+    # search per backend over ONE prebuilt 100k x 16 store each (the
+    # build is setup, like the beam graph — the benchmark times the
+    # SERVING path users hit per query). tools/facade_probe.py pins
+    # exactness at 200k; these entries make cross-round regressions
+    # on the unified path visible with the same samples+anchor
+    # discipline as every other entry.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.sources.generators import clusters
+
+    _FACADE_N, _FACADE_D = 100_000, 16
+    _facades: dict = {}
+    _facade_root = _tempfile.mkdtemp(prefix="bench_facade_")
+    _fdata: list = []
+
+    def _facade(t: str) -> "VectorDatabase":
+        if t not in _facades:
+            if not _fdata:
+                _fdata.append(
+                    clusters(
+                        spark, n=_FACADE_N, dims=_FACADE_D, n_clusters=24,
+                        seed=3,
+                    )
+                    .select(
+                        (F.col("id") % 8).alias("doc_id"),
+                        F.col("id").alias("text_id"),
+                        "vector",
+                    )
+                    .localCheckpoint()
+                )
+                _fdata.append(
+                    [
+                        float(x)
+                        for x in _fdata[0]
+                        .where(F.col("text_id") == 7)
+                        .first()["vector"]
+                    ]
+                )
+            vdb = VectorDatabase(
+                spark, f"{_facade_root}/{t}", index_type=t, n_cells=64,
+                local_threshold=65_536, pq_m=4,
+            )
+            vdb.add_documents(_fdata[0])
+            _facades[t] = vdb
+        return _facades[t]
+
+    for t in ("bsp", "ivf", "ivfadc"):
+        def _fsearch(t=t):
+            _force(_facade(t).search(_fdata[1], 0.35))
+
+        plan.append((f"facade_search_{t}", _fsearch))
+
     # Raw per-pass samples are recorded alongside the mins (round-5
     # verdict item 3): a min-only artifact sampled in a throttle
     # window is indistinguishable from a code regression. With the
@@ -150,6 +205,7 @@ def main() -> int:
             thunk()
             samples[name].append(round(time.time() - t0, 3))
 
+    _shutil.rmtree(_facade_root, ignore_errors=True)
     timings = {name: min(s) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
