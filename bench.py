@@ -198,6 +198,12 @@ def main() -> int:
     # and gets a throttle-immune ratio; uniform inflation across a
     # whole pass = host noise, a single query moving against the
     # anchor = a real change.
+    # warm the facade stores BEFORE the timed passes: the build is
+    # setup (like the beam graph), and a build-polluted pass-1 sample
+    # would break the per-pass anchor-ratio discipline
+    for t in ("bsp", "ivf", "ivfadc"):
+        _facade(t)
+
     samples: dict[str, list[float]] = {name: [] for name, _ in plan}
     for _pass in range(3):
         for name, thunk in plan:
