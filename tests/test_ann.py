@@ -683,3 +683,67 @@ def test_recall_at_k_metric(spark):
     assert r[1] == (3, 2, 2 / 3) and r[2] == (5 - 3, 0, 0.0)
     r2 = {x.qid: x.recall for x in recall_at_k(got, truth, k=1).collect()}
     assert r2[1] == 1.0 and r2[2] == 0.0
+
+
+def test_bq_hamming_matches_numpy_popcount(spark):
+    """Sign-bit lanes + Hamming vs a numpy bit-for-bit replay."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import bq_encode
+
+    rng = np.random.default_rng(17)
+    dim = 48  # exercises a partial final lane (48 = 32 + 16)
+    vecs = (rng.standard_normal((20, dim)) * 2).astype(np.float64)
+    vecs[0, :] = 0.0  # all-zero vector: >= 0 sets every bit
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "id long, vector array<double>",
+    )
+    got = {r["id"]: list(r["code"]) for r in bq_encode(df, dim=dim).collect()}
+
+    for i in range(len(vecs)):
+        bits = (vecs[i] >= 0).astype(np.int64)
+        want = [
+            int(sum(bits[lo + j] << j for j in range(min(32, dim - lo))))
+            for lo in range(0, dim, 32)
+        ]
+        assert got[i] == want, f"row {i}"
+
+
+def test_bq_knn_full_candidates_equals_exact_cosine_knn(spark, embeddings):
+    """With m = n (every row survives the Hamming cut) the rerank is
+    an exact full-scan cosine kNN — must equal `search.knn(cosine)`
+    id-for-id, rank-for-rank."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import bq_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    n = vecs.count()
+    panel = [
+        (int(r["id"]), [float(x) for x in r["vector"]])
+        for r in vecs.where(F.col("id").isin([3, 99])).collect()
+    ]
+    got = bq_knn(vecs, panel, 5, dim=64, m=n).orderBy("qid", "rank").collect()
+    want = (
+        knn(vecs, panel, 5, metric="cosine").orderBy("qid", "rank").collect()
+    )
+    assert [(r["qid"], r["id"], r["rank"]) for r in got] == [
+        (r["qid"], r["id"], r["rank"]) for r in want
+    ]
+
+
+def test_bq_knn_rejects_m_below_k(spark, embeddings):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import bq_knn
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    with pytest.raises(ValueError, match="must be >= k"):
+        bq_knn(vecs, [(0, [0.0] * 64)], 8, dim=64, m=4)

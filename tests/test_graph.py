@@ -418,3 +418,50 @@ def test_blocked_hot_cell_cap_is_bit_identical(spark, embeddings):
     a = sorted(map(tuple, uncapped.collect()))
     b = sorted(map(tuple, capped.collect()))
     assert a == b and len(a) == 600 * 4
+
+
+def test_bfs_distances_match_python_bfs(spark):
+    """Multi-source BFS vs a driver-side reference BFS on a random
+    directed graph, including unreachable nodes (absent from output)
+    and the max_hops truncation."""
+    import random as _random
+    from collections import deque
+
+    from vector_database_spark.operators.graph import bfs_distances
+
+    rng = _random.Random(81)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    seeds = [0, 7]
+    hops = 3
+
+    adj: dict[int, list[int]] = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, sdf, max_hops=hops).collect()
+    }
+    assert got == dist
+
+
+def test_bfs_distances_zero_hops_returns_seeds_only(spark):
+    from vector_database_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(1,)], "node long")
+    got = bfs_distances(e, sdf, max_hops=0).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(1, 0)]

@@ -1047,3 +1047,100 @@ def test_interval_union_islands(spark):
     }
     assert got[1] == (5, 2, (20 - 0) + (60 - 30))
     assert got[2] == (1, 1, 1)
+
+
+def test_ltob_downsample_matches_pandas_reference(spark):
+    """LTOB vs a driver-side integer replay: neighbor areas, endpoint
+    exclusion, deterministic (area desc, ts, id) tie-break."""
+    import random as _random
+
+    from vector_database_spark.operators.timeseries import ltob_downsample
+
+    rng = _random.Random(4)
+    rows = []
+    eid = 0
+    for key in ("a", "b"):
+        t = 1_000_000_000  # epoch seconds scale, microsecond column below
+        for _ in range(40):
+            t += rng.randrange(1, 7200)  # 0-2h steps across 1h buckets
+            rows.append((eid, key, t * 1_000_000, rng.uniform(-5, 5)))
+            eid += 1
+    # equal-timestamp pair: (ts, id) total order must disambiguate
+    rows.append((eid, "a", rows[3][2], 1.25))
+
+    df = spark.createDataFrame(
+        [(i, k, __import__("datetime").datetime.utcfromtimestamp(us / 1e6), v)
+         for i, k, us, v in rows],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r["event_type"], r["bucket_s"]): (r["event_id"], r["ts_us"])
+        for r in ltob_downsample(df, width_s=3600).collect()
+    }
+
+    import math
+
+    by_key: dict = {}
+    for i, k, us, v in rows:
+        by_key.setdefault(k, []).append((us, i, math.floor(v * 1e6), v))
+    want = {}
+    for k, pts in by_key.items():
+        pts.sort()
+        best: dict = {}
+        for j in range(1, len(pts) - 1):
+            (xp, _, yp, _), (x, i, y, _), (xn, _, yn, _) = (
+                pts[j - 1], pts[j], pts[j + 1]
+            )
+            a2 = abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp))
+            b = (x - (x % 3_600_000_000)) // 3_600_000_000 * 3600
+            cur = best.get(b)
+            if cur is None or (-a2, x, i) < cur[0]:
+                best[b] = ((-a2, x, i), (i, x))
+        for b, (_, sel) in best.items():
+            want[(k, b)] = sel
+    assert got == want
+
+
+def test_last_touch_attribution_edges(spark):
+    """Window expiry, touch-after-conversion exclusion, latest-touch
+    wins, and the no-touch NULL row."""
+    from datetime import datetime, timedelta
+
+    from vector_database_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    rows = [
+        # user 1: click@0, view@50, purchase@60 -> view (latest touch)
+        (1, 1, ts(0), "click"),
+        (2, 1, ts(50), "view"),
+        (3, 1, ts(60), "purchase"),
+        # user 2: click@0, purchase@4000 -> outside 3600s window: NULL
+        (4, 2, ts(0), "click"),
+        (5, 2, ts(4000), "purchase"),
+        # user 3: purchase@10, click@20 (after) -> NULL
+        (6, 3, ts(10), "purchase"),
+        (7, 3, ts(20), "click"),
+        # user 4: same-ts touch with LOWER id counts (ts,id order)
+        (8, 4, ts(5), "click"),
+        (9, 4, ts(5), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["conversion_id"]: (r["touch_id"], r["touch_type"], r["lag_us"])
+        for r in last_touch_attribution(
+            df, conversion_type="purchase",
+            touch_types=["click", "view"], window_s=3600,
+        ).collect()
+    }
+    assert out[3] == (2, "view", 10_000_000)
+    assert out[5] == (None, None, None)
+    assert out[6] == (None, None, None)
+    assert out[9] == (8, "click", 0)

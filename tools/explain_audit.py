@@ -327,6 +327,25 @@ CHECKS = {
         "equi-join on terms (df-capped), dots per generated pair — "
         "never the doc x doc product",
     ),
+    "v24_bq_hamming": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "BQ two-stage: Hamming scan against the broadcast query "
+        "codes; the rerank joins the tiny candidate set back to the "
+        "vectors via broadcast — the corpus never shuffles",
+    ),
+    "e20_ltob_downsample": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "LTOB: neighbor lag/lead and the per-bucket argmax are window "
+        "passes over one partitioned sort — no self-join",
+    ),
+    "e21_attribution": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "last-touch attribution: the as-of-join-without-the-join — "
+        "one per-user window carry, zero joins in the plan",
+    ),
 }
 
 

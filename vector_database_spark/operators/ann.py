@@ -1618,3 +1618,150 @@ def recall_at_k(
             / F.col("n_truth").cast("double")
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# binary quantization (sign-bit codes + Hamming candidate search)
+# --------------------------------------------------------------------------
+
+BQ_LANE_BITS = 32
+
+
+def bq_lane_exprs(vec_col: str, dim: int) -> list:
+    """Sign-bit code lanes for a ``dim``-wide vector column: lane ``l``
+    packs dimensions [l*32, (l+1)*32) as ``sum(2^(i-lo))`` over the
+    dims whose value is >= 0. 32-bit lanes in BIGINTs keep every
+    partial sum exactly representable and leave headroom so no
+    sign-bit/overflow semantics differ across engines (the d03 SWAR
+    lesson). Pure integer expressions — exactly replayable in SQL.
+    """
+    d = int(dim)
+    lanes = []
+    for lo in range(0, d, BQ_LANE_BITS):
+        hi = min(lo + BQ_LANE_BITS, d)
+        lanes.append(
+            F.expr(
+                f"aggregate(sequence({lo}, {hi - 1}), 0L, "
+                f"(acc, i) -> acc + IF(element_at({vec_col}, i + 1) >= 0, "
+                f"shiftleft(1L, i - {lo}), 0L))"
+            )
+        )
+    return lanes
+
+
+def bq_encode(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Binary-quantize a vector table: ``(id, code array<long>)``.
+
+    The code is the sign bit of every dimension packed into 32-bit
+    lanes — a 32x (float32) / 64x (float64) compression of the scan
+    set. At 100 TB this is the point: the Hamming candidate scan reads
+    the compact code table (built-in integer ops, whole-stage
+    codegen), and only the ~m x |queries| rerank candidates ever touch
+    the full-width vectors. Sign-bit BQ is the standard first-stage
+    quantizer for normalized/centered embeddings (Hamming distance on
+    sign bits is a monotone proxy for angular distance).
+    """
+    lanes = bq_lane_exprs(vector_col, dim)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array(*lanes).alias("code"),
+    )
+
+
+def bq_hamming(a, b):
+    """Hamming distance between two code arrays (array<long> lanes):
+    ``sum(bit_count(xor(lane_a, lane_b)))`` — exact integer, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+
+
+def bq_knn(
+    vectors_df: DataFrame,
+    queries: DataFrame | list,
+    k: int,
+    *,
+    dim: int,
+    m: int | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Two-stage BQ search: Hamming top-``m`` candidates over the
+    sign-bit codes, exact-cosine rerank to top-``k``.
+
+    Returns ``(qid, id, hamming, cos_sim, rank)`` with rank ordered by
+    (cos_sim desc, id) over the candidate set. The candidate stage is
+    APPROXIMATE (a Hamming cut can miss true top-k neighbors); the
+    rerank is exact cosine on the survivors, so results are exactly
+    reproducible: integer Hamming + a deterministic (hamming, id)
+    candidate cut + the engine-portable cosine fold make the whole
+    pipeline SQL-replayable (unlike recall-bounded IVF probes).
+
+    Scale shape: the corpus-sized scan touches ONLY the code column
+    (dim/8 bytes/row); candidates are cut per input batch by the
+    shared Arrow pre-reduction, one slim window ranks the
+    batches x queries x m survivors, and the rerank joins the tiny
+    candidate set (broadcast) back to the full-width vector table —
+    one column-pruned fetch, never a second distance scan. Reference
+    analog: candidate-then-refine is the reference's search contract
+    (`DDL.sql:234-295` SearchCandidates -> exact refine); BQ is the
+    quantized-candidate variant of the same two-phase plan.
+    """
+    from vector_database_spark.operators.search import (
+        _as_queries_df,
+        _grouped_topk,
+    )
+    from vector_database_spark.functions.vector import cosine_similarity
+
+    mm = int(m if m is not None else max(4 * int(k), 32))
+    if mm < int(k):
+        raise ValueError(f"m ({mm}) must be >= k ({k})")
+    qdf = _as_queries_df(vectors_df, queries)
+    qcodes = qdf.select(
+        "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
+    )
+    codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
+                      vector_col=vector_col)
+    narrow = codes.crossJoin(F.broadcast(qcodes.select("qid", "qcode"))).select(
+        "qid",
+        "id",
+        bq_hamming(F.col("code"), F.col("qcode")).cast("double").alias("dist"),
+    )
+    local = _grouped_topk(narrow, mm, "qid", "id")
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    cand = (
+        local.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= mm)
+        .select("qid", "id", F.col("dist").cast("long").alias("hamming"))
+    )
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(vecs, "id")
+        .join(F.broadcast(qdf.select("qid", "qvec")), "qid")
+        .select(
+            "qid",
+            "id",
+            "hamming",
+            cosine_similarity(F.col("_vec"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "id", "hamming", "cos_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -1340,3 +1340,62 @@ def _pruned_vecs(spark, path: str, cells: list[int]) -> DataFrame:
         .where(F.col("cell").isin([int(c) for c in cells]))
         .select("id", F.col("vector").alias("_vec"), "cell")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS shortest-path distances, level-synchronous.
+
+    Returns (node, dist) for every node reachable from any seed in at
+    most ``max_hops`` edge traversals, where ``dist`` is the exact
+    hop count of the shortest path (seeds have dist 0). One frontier
+    expansion per level: the frontier (nodes first discovered at the
+    previous level) equi-joins the edge list, and an anti-join against
+    the visited set keeps only newly reached nodes — each node is
+    expanded exactly once, so total work is O(edges-touched), not
+    O(hops * edges). Integer distances make the result exactly
+    replayable by an unrolled min-aggregation SQL twin (the g03/g06
+    oracle pattern).
+
+    Scale notes: the visited set is the only growing state; it is
+    localCheckpoint-ed per level so lineage stays flat, and the
+    per-level join is a plain equi-join Catalyst can broadcast when
+    the frontier is small. Reference analog: recursive tree descent
+    (SURVEY §2.1 O13) is the same level-synchronous frontier walk
+    over the index graph.
+    """
+    if int(max_hops) < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, int(max_hops) + 1):
+        if not frontier.take(1):
+            break
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited, "node", "left_anti").withColumn(
+            "dist", F.lit(h)
+        )
+        frontier = new.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    return visited.select("node", F.col("dist").cast("long").alias("dist"))

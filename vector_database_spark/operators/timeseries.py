@@ -968,3 +968,157 @@ def interval_union(
     ).select(
         F.col("_k").alias(key_col), "n_intervals", "n_islands", "covered_us"
     )
+
+
+def ltob_downsample(
+    events: DataFrame,
+    *,
+    width_s: int,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling: per (key, time
+    bucket), keep the single point whose triangle with its immediate
+    series neighbors has the largest area — the classic
+    shape-preserving visual downsampler (Steinarsson's LTOB; the
+    bucket-sequential LTTB variant has a chained dependency, LTOB is
+    the embarrassingly parallel form).
+
+    Exact and engine-portable: x is integer epoch-microseconds, y is
+    the ``floor(value * 1e6)`` fixed-point micro-unit (the e12/e18
+    idiom), and twice-the-area ``|dx1*dy1 - dx2*dy2|`` is computed in
+    DECIMAL(38,0) so the cross-multiplication never overflows or
+    rounds. Series order is (ts, id) — a total order, so lag/lead
+    neighbors are unambiguous under equal timestamps. Endpoints of a
+    series (no prev or no next) carry no triangle and are not
+    candidates; a bucket whose rows are all endpoints emits nothing.
+
+    Output: key cols + ``bucket_s`` (bucket start, epoch seconds),
+    and the SELECTED row's (id, epoch-us, value) — selections only,
+    never interpolation arithmetic (the s06 rule), so any engine
+    replays them byte-identically.
+
+    Scale: two window passes over one (key)-partitioned sort — the
+    neighbor lag/lead and the per-(key, bucket) argmax rank share the
+    same partitioning; no self-join, no shuffle beyond the one
+    repartition by key.
+    """
+    keys = list(key_cols)
+    us = _epoch_us(events, ts_col)
+    base = events.select(
+        *keys,
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(us).cast("long").alias("_x"),
+        F.col(value_col).cast("double").alias("_value"),
+        F.floor(F.col(value_col).cast("double") * F.lit(1_000_000))
+        .cast("long")
+        .alias("_y"),
+    )
+    series = Window.partitionBy(*keys).orderBy("_x", "_id")
+    nb = (
+        base.withColumn("_xp", F.lag("_x").over(series))
+        .withColumn("_yp", F.lag("_y").over(series))
+        .withColumn("_xn", F.lead("_x").over(series))
+        .withColumn("_yn", F.lead("_y").over(series))
+        .where(F.col("_xp").isNotNull() & F.col("_xn").isNotNull())
+    )
+    dec = "DECIMAL(38,0)"
+    area2 = F.expr(
+        f"abs(CAST(_xp - _xn AS {dec}) * CAST(_y - _yp AS {dec}) "
+        f"- CAST(_xp - _x AS {dec}) * CAST(_yn - _yp AS {dec}))"
+    )
+    w_us = int(width_s) * MICROS
+    bucketed = nb.select(
+        *keys,
+        F.expr(f"CAST({_floor_div('_x', w_us)} * {int(width_s)} AS BIGINT)")
+        .alias("bucket_s"),
+        "_id",
+        "_x",
+        "_value",
+        area2.alias("_a2"),
+    )
+    pick = Window.partitionBy(*keys, "bucket_s").orderBy(
+        F.col("_a2").desc(), F.col("_x").asc(), F.col("_id").asc()
+    )
+    return (
+        bucketed.withColumn("_r", F.row_number().over(pick))
+        .where(F.col("_r") == 1)
+        .select(
+            *keys,
+            "bucket_s",
+            F.col("_id").alias(id_col),
+            F.col("_x").alias("ts_us"),
+            F.col("_value").alias(value_col),
+        )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent prior touch event by the same key within ``window_s``
+    seconds (strictly-before-or-equal timestamps; ties broken toward
+    the touch with the larger (ts, id), i.e. the LATEST touch, with
+    id as the total-order tie-break).
+
+    One sort per key, zero joins: touches and conversions interleave
+    in a single (key)-partitioned (ts, id) order, a running
+    last-seen-touch struct (max of an orderable (ts, id) struct over
+    the preceding frame — the e10/SCD2 conditional-carry idiom)
+    annotates each conversion, and the tolerance window is a
+    post-predicate on the carried match (the r25 as-of rule). At
+    100 TB this is the as-of-join-without-the-join: the self-join
+    formulation shuffles the events table twice and explodes on hot
+    keys; the window formulation is one shuffle and O(1) state per
+    row.
+
+    Output per conversion: key, conversion id + epoch-us, the
+    attributed touch id + epoch-us + type (NULL when no touch within
+    the window), and ``lag_us`` (conversion ts - touch ts).
+    """
+    us = _epoch_us(events, ts_col)
+    tt = [str(t) for t in touch_types]
+    base = events.select(
+        F.col(key_col).alias("_key"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.expr(us).cast("long").alias("_x"),
+        F.col(type_col).alias("_type"),
+    ).where(F.col("_type").isin([conversion_type, *tt]))
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_x", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_struct = F.when(
+        F.col("_type").isin(tt),
+        F.struct(
+            F.col("_x").alias("ts_us"),
+            F.col("_id").alias("id"),
+            F.col("_type").alias("type"),
+        ),
+    )
+    carried = base.withColumn("_touch", F.max(touch_struct).over(w))
+    conv = carried.where(F.col("_type") == conversion_type)
+    in_window = F.col("_touch").isNotNull() & (
+        F.col("_x") - F.col("_touch.ts_us") <= int(window_s) * MICROS
+    )
+    return conv.select(
+        F.col("_key").alias(key_col),
+        F.col("_id").alias("conversion_id"),
+        F.col("_x").alias("conversion_us"),
+        F.when(in_window, F.col("_touch.id")).alias("touch_id"),
+        F.when(in_window, F.col("_touch.ts_us")).alias("touch_us"),
+        F.when(in_window, F.col("_touch.type")).alias("touch_type"),
+        F.when(in_window, F.col("_x") - F.col("_touch.ts_us")).alias("lag_us"),
+    )

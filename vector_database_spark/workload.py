@@ -5863,6 +5863,242 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-8 additions: BQ search, LTOB downsample, BFS, attribution
+# --------------------------------------------------------------------------
+
+_V24_DIM, _V24_M, _V24_K = 64, 32, KNN_K
+
+
+def _bq_lane_sql(vec: str, lo: int, hi: int) -> str:
+    """DuckDB twin of `ann.bq_lane_exprs`: identical integer sum of
+    sign bits for dims [lo, hi) — both engines fold small exact
+    integers, so the lane values are equal by construction."""
+    return (
+        f"list_sum(list_transform(range({lo + 1}, {hi + 1}), "
+        f"i -> CASE WHEN {vec}[i] >= 0 THEN (1::BIGINT << (i - 1 - {lo})) "
+        f"ELSE 0::BIGINT END))::BIGINT"
+    )
+
+
+def _bq_code_sql(vec: str, dim: int) -> str:
+    lanes = [
+        _bq_lane_sql(vec, lo, min(lo + 32, dim)) for lo in range(0, dim, 32)
+    ]
+    return "[" + ", ".join(lanes) + "]"
+
+
+def _bq_hamming_sql(a: str, b: str, n_lanes: int) -> str:
+    terms = [
+        f"bit_count(xor({a}[{i + 1}], {b}[{i + 1}]))::BIGINT"
+        for i in range(n_lanes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "v24_bq_hamming",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  {_bq_code_sql('embedding', _V24_DIM)} AS qcode
+           FROM embeddings WHERE vec_id IN ({_PANEL})),
+c AS (SELECT vec_id AS id, embedding,
+             {_bq_code_sql('embedding', _V24_DIM)} AS code
+      FROM embeddings),
+h AS (SELECT q.qid, c.id, c.embedding, q.qv,
+             {_bq_hamming_sql('c.code', 'q.qcode', _V24_DIM // 32)} AS hamming
+      FROM c CROSS JOIN q),
+cand AS (SELECT qid, id, hamming, embedding, qv,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, id) AS cr
+         FROM h),
+scored AS (SELECT qid, id, hamming,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM cand WHERE cr <= {_V24_M})
+SELECT qid, id, hamming, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {_V24_K}
+""",
+)
+def v24_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization two-stage search (`ann.bq_knn`): sign-bit
+    codes packed into 32-bit BIGINT lanes, Hamming top-{_V24_M}
+    candidates per query (exact integers, deterministic (hamming, id)
+    cut), exact-cosine rerank to top-{_V24_K}. The corpus scan touches
+    only the dim/8-byte code column — the 32x-compressed first stage
+    every modern vector store ships — while the full-width vectors are
+    fetched for just the candidate set. Every stage is integer or the
+    engine-portable cosine fold, so the whole two-stage pipeline
+    hash-matches the SQL replay (unlike recall-bounded IVF probes).
+    Reference analog: candidate-then-exact-refine is the reference's
+    own search contract (DDL.sql:234-295)."""
+    from vector_database_spark.operators.ann import bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    out = bq_knn(vecs, _panel(spark, sf_dir), _V24_K, dim=_V24_DIM,
+                 m=_V24_M)
+    return out.select("qid", "id", "hamming", "cos_sim", "rank")
+
+
+_E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
+
+
+@query(
+    "e20_ltob_downsample",
+    oracle=f"""
+WITH src AS (SELECT event_type, event_id, epoch_us(ts) AS x, value,
+                    CAST(floor(value * 1000000) AS BIGINT) AS y
+             FROM events WHERE value IS NOT NULL),
+nb AS (SELECT event_type, event_id, x, value, y,
+              lag(x)  OVER w AS xp, lag(y)  OVER w AS yp,
+              lead(x) OVER w AS xn, lead(y) OVER w AS yn
+       FROM src
+       WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)),
+a AS (SELECT event_type,
+             ((x - (((x % {_E20_WIDTH_S * 1_000_000}) + {_E20_WIDTH_S * 1_000_000}) % {_E20_WIDTH_S * 1_000_000}))
+              // {_E20_WIDTH_S * 1_000_000}) * {_E20_WIDTH_S} AS bucket_s,
+             event_id, x, value,
+             abs((xp - xn)::HUGEINT * (y - yp)::HUGEINT
+                 - (xp - x)::HUGEINT * (yn - yp)::HUGEINT) AS a2
+      FROM nb WHERE xp IS NOT NULL AND xn IS NOT NULL)
+SELECT event_type, bucket_s::BIGINT AS bucket_s,
+       event_id, x AS ts_us, value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s
+                                   ORDER BY a2 DESC, x, event_id) AS rn
+      FROM a)
+WHERE rn = 1
+""",
+)
+def e20_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling
+    (`ts_ops.ltob_downsample`): per (event_type, 6h bucket) keep the
+    point whose triangle with its immediate series neighbors is
+    largest — the shape-preserving chart downsampler. Twice-the-area
+    is an exact integer cross-multiplication (epoch-µs x, the
+    floor(value·1e6) fixed-point y, DECIMAL(38,0)/HUGEINT products —
+    the e12/e14 rule), the pick is a row_number selection with a
+    total-order tie-break, and outputs are value SELECTIONS only (the
+    s06 rule) — so the replay hash-matches. Two window passes over
+    one partitioned sort; no self-join."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    out = ts_ops.ltob_downsample(ev, width_s=_E20_WIDTH_S)
+    return out.select(
+        "event_type", "bucket_s", "event_id", "ts_us", "value"
+    )
+
+
+_G08_HOPS = 4
+_G08_SEEDS = ["d:0", "d:1", "d:2"]
+
+
+def _g08_oracle() -> str:
+    """Unrolled min-aggregation BFS replay (the g03/g06 pattern: no
+    SQL engine aggregates inside recursion, and distances are exact
+    integers, so {_G08_HOPS} unrolled relaxation rounds reproduce the
+    level-synchronous loop bit-for-bit — frontier-only expansion and
+    full relaxation agree because min(dist) is idempotent)."""
+    seeds = ", ".join(f"('{s}')" for s in _G08_SEEDS)
+    parts = [
+        r"""u AS (SELECT DISTINCT 'd:' || doc_id::VARCHAR AS d,
+                        't:' || term AS t
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')) AS term
+                 FROM documents)),
+e AS (SELECT d AS src, t AS dst FROM u
+      UNION ALL SELECT t AS src, d AS dst FROM u),"""
+        + f"\nd0 AS (SELECT node, 0 AS dist FROM (VALUES {seeds}) v(node))"
+    ]
+    for h in range(1, _G08_HOPS + 1):
+        parts.append(
+            f"""d{h} AS (SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{h - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM d{h - 1} p JOIN e ON e.src = p.node
+) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist::BIGINT AS dist FROM d{_G08_HOPS}"
+    )
+
+
+@query("g08_bfs_distances", oracle=_g08_oracle())
+def g08_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest-path distances
+    (`graph.bfs_distances`) over the g01/g03 term-doc bipartite
+    graph, seeds {_G08_SEEDS}, {_G08_HOPS} hops — the reachability /
+    ego-network primitive (contamination spread, link-distance
+    features). Level-synchronous frontier expansion, each node
+    expanded once; integer distances make the unrolled SQL relaxation
+    replay exact. Same frontier-walk family as the index's recursive
+    tree descent (SURVEY §2.1 O13)."""
+    from vector_database_spark.operators.graph import bfs_distances
+
+    edges = _term_doc_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(s,) for s in _G08_SEEDS], "node string"
+    )
+    return bfs_distances(edges, seeds, max_hops=_G08_HOPS)
+
+
+_E21_WINDOW_S = 3600
+_E21_TOUCHES = ["click", "view"]
+
+
+@query(
+    "e21_attribution",
+    oracle=f"""
+WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS x, event_type
+              FROM events
+              WHERE event_type IN ('purchase', 'click', 'view')),
+c AS (SELECT user_id, event_id, x, event_type,
+             max(CASE WHEN event_type IN ('click', 'view')
+                      THEN {{'ts_us': x, 'id': event_id,
+                             'type': event_type}} END)
+               OVER (PARTITION BY user_id ORDER BY x, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM base)
+SELECT user_id, event_id AS conversion_id, x AS conversion_us,
+       CASE WHEN ok THEN touch.id END AS touch_id,
+       CASE WHEN ok THEN touch.ts_us END AS touch_us,
+       CASE WHEN ok THEN touch.type END AS touch_type,
+       CASE WHEN ok THEN x - touch.ts_us END AS lag_us
+FROM (SELECT c.*,
+             touch IS NOT NULL
+               AND x - touch.ts_us <= {_E21_WINDOW_S * 1_000_000} AS ok
+      FROM c)
+WHERE event_type = 'purchase'
+""",
+)
+def e21_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (`ts_ops.last_touch_attribution`): every
+    purchase gets its user's most recent prior click/view within
+    {_E21_WINDOW_S} s — the as-of-join-without-the-join: one
+    (user)-partitioned sort with a running orderable-struct max (the
+    e10/SCD2 conditional-carry idiom) and a tolerance post-predicate
+    (the r25 rule). The self-join formulation shuffles events twice
+    and explodes on hot users; this is one shuffle, O(1) state per
+    row. All integers/selections — exact replay."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.last_touch_attribution(
+        ev,
+        conversion_type="purchase",
+        touch_types=_E21_TOUCHES,
+        window_s=_E21_WINDOW_S,
+    )
+    return out.select(
+        "user_id", "conversion_id", "conversion_us",
+        "touch_id", "touch_us", "touch_type", "lag_us",
+    )
+
+
+# --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
 
@@ -5968,6 +6204,10 @@ _DRIVER_TAIL = [
     "t17_canonical_url",      # text/dedup-prep family: t04/d01 stay
     "d12_tfidf_cosine",       # dedup/similarity family: d04/d05 stay
     "s11_kll_sketch",         # sketch family: s01/s03 stay in the head
+    "v24_bq_hamming",         # ANN/quantization family: a01-a05 stay
+    "e20_ltob_downsample",    # events/downsample family: e01/e13 stay
+    "g08_bfs_distances",      # graph family: g02 stays in the head
+    "e21_attribution",        # events/as-of family: e01 + r23-r25 stay
 ]
 
 
