@@ -190,3 +190,27 @@ def test_mad_outliers_crafted(spark):
     assert round(out[6]["robust_z"], 4) == round(9.75 / 0.75, 4)
     # group b: med 5, MAD = median([0,0,0,495]) = 0 -> nothing flagged
     assert 10 not in out
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    planes=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 5), st.just(3), st.integers(1, 6),
+                  st.integers(1, 6)),
+    ),
+)
+def test_y4m_y_planes_extracts_exact_luma(planes):
+    """y4m_y_planes returns byte-identical Y planes from a hand-built
+    C444 container (header + FRAME markers + raw planar bytes)."""
+    from vector_database_spark.sources.multimodal import y4m_y_planes
+
+    nf, _, h, w = planes.shape
+    parts = [b"YUV4MPEG2 W%d H%d F10:1 Ip A1:1 C444\n" % (w, h)]
+    for fr in range(nf):
+        parts.append(b"FRAME\n")
+        parts.append(planes[fr].tobytes())
+    gw, gh, got = y4m_y_planes(b"".join(parts))
+    assert (gw, gh, len(got)) == (w, h, nf)
+    for fr in range(nf):
+        assert (got[fr].reshape(h, w) == planes[fr, 0]).all()

@@ -1,0 +1,108 @@
+"""Binary-quantization scale probe: the two-stage BQ search at real
+corpus sizes.
+
+Usage: python tools/bq_probe.py [n_rows] [dims] [n_queries] [m...]
+
+What it measures (the 100 TB story of `ann.bq_knn`):
+
+1. code build: one expression pass packing sign bits into dim/32
+   BIGINT lanes — the 32x-compressed first-stage scan set.
+2. Hamming candidate scan over the CODE columns only vs the exact
+   cosine brute scan over the full vectors, interleaved A/B within
+   one process (the d03_ab_probe rule: separated timings measure
+   host throttle drift, not the operator).
+3. recall@k of BQ(m) against the exact cosine top-k for each m —
+   the quality dial candidate width buys.
+
+Data note (measured): on `clusters()` data the sign pattern is
+IDENTICAL for every member of a cluster after centering — Hamming
+ties wholesale and recall collapses to ~0.03. That is the operator's
+documented failure mode (sign bits carry zero within-cluster
+information), not a bug; this probe uses `random_uniform` (sign-
+diverse, the regime BQ is built for). On near-duplicate corpora use
+IVF/the tree, or rerank with m >> k.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_spark import get_spark
+from vector_database_spark.operators.ann import bq_encode, bq_knn, recall_at_k
+from vector_database_spark.operators.search import knn
+from vector_database_spark.sources.generators import random_uniform
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    ms = [int(x) for x in sys.argv[4:]] or [100, 1000, 4000]
+    k = 10
+
+    spark = get_spark(app_name="bq-probe",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    vecs = random_uniform(spark, n, dims, seed=3).select("id", "vector")
+    vecs = vecs.repartition(32).persist()
+    vecs.count()
+    print(f"generate {n}x{dims}: {time.time()-t0:.1f}s")
+
+    panel = [
+        (int(r.id), [float(x) for x in r.vector])
+        for r in vecs.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(n_q).collect()
+    ]
+
+    t0 = time.time()
+    codes = bq_encode(vecs, dim=dims).persist()
+    codes.count()
+    print(f"bq_encode (one-time layout build): {time.time()-t0:.1f}s")
+
+    bq_t, ex_t = [], []
+    ex_res = None
+    for _ in range(3):  # interleaved A/B at the smallest m
+        t0 = time.time()
+        r = bq_knn(vecs, panel, k, dim=dims, m=ms[0], codes=codes)
+        n_bq = r.count()
+        bq_t.append(time.time() - t0)
+        t0 = time.time()
+        ex_res = knn(vecs, panel, k, metric="cosine")
+        n_ex = ex_res.count()
+        ex_t.append(time.time() - t0)
+    assert n_ex == n_q * k, (n_ex, n_q * k)
+    assert n_bq == n_q * k, (n_bq, n_q * k)
+    ex_res = ex_res.persist()
+    ex_res.count()
+
+    print(
+        f"bq_knn(m={ms[0]}): best {min(bq_t):.2f}s "
+        f"(runs {' '.join(f'{t:.2f}' for t in bq_t)})"
+    )
+    print(
+        f"exact cosine knn: best {min(ex_t):.2f}s "
+        f"(runs {' '.join(f'{t:.2f}' for t in ex_t)})  "
+        f"speedup(best): {min(ex_t)/min(bq_t):.2f}x"
+    )
+
+    for m in ms:
+        t0 = time.time()
+        res = bq_knn(vecs, panel, k, dim=dims, m=m, codes=codes)
+        rec = recall_at_k(
+            res.select("qid", "id", "rank"),
+            ex_res.select("qid", "id", "rank"),
+            k=k,
+        ).agg(F.avg("recall")).first()[0]
+        print(f"m={m}: recall@{k} {rec:.4f}  ({time.time()-t0:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

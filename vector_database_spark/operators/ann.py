@@ -1693,6 +1693,7 @@ def bq_knn(
     m: int | None = None,
     id_col: str = "id",
     vector_col: str = "vector",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``m`` candidates over the
     sign-bit codes, exact-cosine rerank to top-``k``.
@@ -1714,6 +1715,18 @@ def bq_knn(
     analog: candidate-then-refine is the reference's search contract
     (`DDL.sql:234-295` SearchCandidates -> exact refine); BQ is the
     quantized-candidate variant of the same two-phase plan.
+
+    ``codes``: a precomputed ``bq_encode`` table (id, code) — the
+    production layout stores codes once and serves every query batch
+    off them; results are identical (the encode is deterministic).
+
+    Recall regime (measured, tools/bq_probe.py at 1M x 64): sign bits
+    rank ACROSS directions, not within a tight cluster — on
+    cluster-degenerate data every member shares one code, Hamming
+    ties wholesale, and recall collapses (~0.03 observed). On
+    sign-diverse corpora recall scales with m (the sweep in the
+    probe); for near-duplicate-heavy corpora use the tree/IVF, or BQ
+    only as a coarse pre-filter with m >> k.
     """
     from vector_database_spark.operators.search import (
         _as_queries_df,
@@ -1728,8 +1741,9 @@ def bq_knn(
     qcodes = qdf.select(
         "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
     )
-    codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
-                      vector_col=vector_col)
+    if codes is None:
+        codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
+                          vector_col=vector_col)
     narrow = codes.crossJoin(F.broadcast(qcodes.select("qid", "qcode"))).select(
         "qid",
         "id",

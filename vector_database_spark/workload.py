@@ -5862,6 +5862,58 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+_M07_MU = 85
+
+
+@query(
+    "m07_shot_boundaries",
+    oracle=f"""
+WITH m AS (SELECT unnest(range({_M06_N_MEDIA})) AS media_id),
+d AS (SELECT media_id, (3 + media_id % 3) AS nf, 16 AS w, 12 AS h FROM m),
+j AS (SELECT media_id, nf, w, h,
+             unnest(range(nf * 3 * w * h)) AS jj
+      FROM d),
+b AS (SELECT media_id, w, h,
+        ('0x' || substr(md5('v' || media_id || ':' || (jj // 16)),
+                        ((jj % 16) * 2 + 1)::INT, 2))::INT AS byte,
+        (jj // (3 * w * h)) AS frame,
+        ((jj % (3 * w * h)) // (w * h)) AS plane,
+        (jj % (w * h)) AS pixel
+      FROM j),
+y AS (SELECT media_id, frame, pixel, byte, (w * h) AS wh
+      FROM b WHERE plane = 0),
+s AS (SELECT a.media_id, a.frame,
+             sum(abs(a.byte - p.byte))::BIGINT AS sad,
+             a.wh AS npix
+      FROM y a JOIN y p ON p.media_id = a.media_id
+                       AND p.pixel = a.pixel
+                       AND p.frame = a.frame - 1
+      GROUP BY a.media_id, a.frame, a.wh)
+SELECT media_id::BIGINT AS media_id, frame::INT AS frame,
+       sad, npix::BIGINT AS npix,
+       (sad > {_M07_MU} * npix) AS is_boundary
+FROM s
+""",
+)
+def m07_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle shot-boundary detection
+    (`multimodal.shot_boundary_sads`): consecutive-frame Y-plane SAD
+    — the classic video cut detector — over the m06 seeded-md5 Y4M
+    corpus, through the REAL container parse (header tokens, FRAME
+    markers, planar C444 layout). The boundary flag is the integer
+    cross-multiplication ``sad > mu * npix`` (the e14 rule); the
+    oracle reconstructs every luma byte arithmetically and replays
+    the SAD as a pixel-aligned self-join — pure integers end-to-end,
+    so the kernel's numpy path hash-matches byte-for-byte."""
+    from vector_database_spark.sources.multimodal import (
+        seeded_y4m_media,
+        shot_boundary_sads,
+    )
+
+    media = seeded_y4m_media(spark, n=_M06_N_MEDIA)
+    return shot_boundary_sads(media, mu=_M07_MU)
+
+
 # --------------------------------------------------------------------------
 # round-8 additions: BQ search, LTOB downsample, BFS, attribution
 # --------------------------------------------------------------------------
@@ -6208,6 +6260,7 @@ _DRIVER_TAIL = [
     "e20_ltob_downsample",    # events/downsample family: e01/e13 stay
     "g08_bfs_distances",      # graph family: g02 stays in the head
     "e21_attribution",        # events/as-of family: e01 + r23-r25 stay
+    "m07_shot_boundaries",    # multimodal family: m04 stays in the head
 ]
 
 
