@@ -1144,3 +1144,90 @@ def test_last_touch_attribution_edges(spark):
     assert out[5] == (None, None, None)
     assert out[6] == (None, None, None)
     assert out[9] == (8, "click", 0)
+
+
+def test_streaming_attribution_matches_batch(spark):
+    """Keyed-state last-touch attribution: the touch carry survives
+    across micro-batches and a checkpoint restart, conversions emit
+    exactly once, and the union of batch outputs equals the batch
+    operator on the full history (event-time-ordered arrival)."""
+    import tempfile as _tf
+
+    from vector_database_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    tmp = _tf.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "event_id long, user_id long, ts_s long, event_type string"
+    b1 = [
+        (1, 1, 100, "click"),
+        (2, 1, 150, "view"),      # latest touch before the conversion
+        (3, 2, 100, "purchase"),  # no touch yet: NULL attribution
+        (4, 3, 10, "click"),
+    ]
+    b2 = [
+        (5, 1, 200, "purchase"),   # attributed to the view from b1
+        (6, 2, 300, "click"),
+        (7, 2, 310, "purchase"),   # in-batch touch wins
+        (8, 3, 5000, "purchase"),  # b1 click outside the 1000s window
+    ]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run(out):
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp_ntz"
+        ).parquet(src)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            streaming_attribution(
+                stream, conversion_type="purchase",
+                touch_types=["click", "view"], window_s=1000,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out = f"{tmp}/out"
+    write(b1)
+    run(out)
+    write(b2)
+    run(out)  # restart from the checkpoint: state must resume
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # one row per conversion, exactly once
+    got = {
+        r["conversion_id"]: (r["touch_id"], r["touch_type"], r["lag_us"])
+        for r in rows
+    }
+    want_batch = ts.last_touch_attribution(
+        spark.read.parquet(src),
+        conversion_type="purchase", touch_types=["click", "view"],
+        window_s=1000,
+    )
+    want = {
+        r["conversion_id"]: (r["touch_id"], r["touch_type"], r["lag_us"])
+        for r in want_batch.collect()
+    }
+    assert got == want
+    assert got[5] == (2, "view", 50_000_000)
+    assert got[3] == (None, None, None)
+    assert got[7] == (6, "click", 10_000_000)
+    assert got[8] == (None, None, None)

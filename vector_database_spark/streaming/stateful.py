@@ -468,3 +468,102 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list,
+    window_s: int,
+) -> DataFrame:
+    """Per-user streaming last-touch attribution — the incremental
+    twin of the batch e21 gate (`timeseries.last_touch_attribution`):
+    keyed state carries the user's latest touch (ts_us, id, type);
+    each micro-batch's rows are sorted by (ts, event_id) and walked
+    in order — touches update the carry, conversions emit one
+    attribution row (NULLs when no touch within ``window_s``). Output
+    mode must be 'append' (each conversion is emitted exactly once,
+    in the micro-batch that delivers it).
+
+    Equals the batch operator exactly when each key's events arrive
+    in event-time order ACROSS micro-batches (the ingest-pipeline
+    case; the same contract as streaming_ewma/streaming_funnel) —
+    within a micro-batch, arrival order never matters. State is O(1)
+    per user: one (ts_us, id, type) triple, no event retention."""
+    tt = {str(t) for t in touch_types}
+    conv = str(conversion_type)
+    win_us = int(window_s) * 1_000_000
+
+    def update_attr(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            t_us, t_id, t_type = state.get
+        else:
+            t_us, t_id, t_type = None, None, None
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "conversion_id", "conversion_us", "touch_id",
+                "touch_us", "touch_type", "lag_us",
+            )
+        }
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            ordered = pdf.assign(_us=ts_us).sort_values(
+                ["_us", "event_id"], kind="mergesort"
+            )
+            for us, eid, etype in zip(
+                ordered["_us"].to_numpy("int64"),
+                ordered["event_id"].to_numpy("int64"),
+                ordered["event_type"],
+            ):
+                if etype in tt:
+                    t_us, t_id, t_type = int(us), int(eid), str(etype)
+                elif etype == conv:
+                    ok = t_us is not None and us - t_us <= win_us
+                    out["conversion_id"].append(int(eid))
+                    out["conversion_us"].append(int(us))
+                    out["touch_id"].append(t_id if ok else None)
+                    out["touch_us"].append(t_us if ok else None)
+                    out["touch_type"].append(t_type if ok else None)
+                    out["lag_us"].append(int(us - t_us) if ok else None)
+        if t_us is not None:
+            state.update((int(t_us), int(t_id), str(t_type)))
+        if out["conversion_id"]:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array(
+                        [user_id] * len(out["conversion_id"]), dtype="int64"
+                    ),
+                    "conversion_id": pd.array(
+                        out["conversion_id"], dtype="int64"
+                    ),
+                    "conversion_us": pd.array(
+                        out["conversion_us"], dtype="int64"
+                    ),
+                    "touch_id": pd.array(out["touch_id"], dtype="Int64"),
+                    "touch_us": pd.array(out["touch_us"], dtype="Int64"),
+                    "touch_type": pd.Series(
+                        out["touch_type"], dtype="object"
+                    ),
+                    "lag_us": pd.array(out["lag_us"], dtype="Int64"),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_attr,
+        outputStructType=(
+            "user_id long, conversion_id long, conversion_us long, "
+            "touch_id long, touch_us long, touch_type string, lag_us long"
+        ),
+        stateStructType="ts_us long, id long, type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
