@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "v20_maxsim",
     "v21_hybrid_rrf",
     "v23_mmr_rerank",
+    # round-8 additions: the window-only event ops (as-of carry,
+    # LTOB argmax) — single-shuffle shapes whose regressions a
+    # join-based rewrite would hide
+    "e20_ltob_downsample",
+    "e21_attribution",
 ]
 
 
