@@ -465,3 +465,67 @@ def test_bfs_distances_zero_hops_returns_seeds_only(spark):
     sdf = spark.createDataFrame([(1,)], "node long")
     got = bfs_distances(e, sdf, max_hops=0).collect()
     assert [(r["node"], r["dist"]) for r in got] == [(1, 0)]
+
+
+def test_subtree_rollup_matches_python(spark):
+    """Ancestor closure + rollup vs a driver-side reference on a
+    random forest (multiple roots, varying depth)."""
+    import random as _random
+
+    from vector_database_spark.operators.graph import (
+        ancestor_closure,
+        subtree_rollup,
+    )
+
+    rng = _random.Random(12)
+    n = 80
+    # parent(i) < i guarantees a forest; nodes 0..2 are roots
+    edges = [(i, rng.randrange(0, i)) for i in range(3, n)]
+    vals = [(i, rng.randrange(1, 100)) for i in range(n)]
+
+    parent = dict(edges)
+    want_sum = {i: 0 for i in range(n)}
+    want_cnt = {i: 0 for i in range(n)}
+    for i, v in vals:
+        j = i
+        while True:
+            want_sum[j] += v
+            want_cnt[j] += 1
+            if j not in parent:
+                break
+            j = parent[j]
+
+    e = spark.createDataFrame(edges, "child long, parent long")
+    vdf = spark.createDataFrame(vals, "node long, value long")
+    got = {
+        r["node"]: (r["subtree_sum"], r["n_subtree"])
+        for r in subtree_rollup(e, vdf).collect()
+    }
+    # roots 0..2 have no edges at all only if nothing points at them;
+    # compare on the nodes the closure covers (every edge endpoint)
+    covered = {c for c, _ in edges} | {p for _, p in edges}
+    assert got == {
+        i: (want_sum[i], want_cnt[i]) for i in sorted(covered)
+    }
+
+    clo = ancestor_closure(e).collect()
+    depths = {(r["node"], r["anc"]): r["depth"] for r in clo}
+    assert depths[(3, 3)] == 0
+    chain_len = 0
+    j = n - 1
+    while j in parent:
+        j = parent[j]
+        chain_len += 1
+    assert depths[(n - 1, j)] == chain_len
+
+
+def test_ancestor_closure_cycle_raises(spark):
+    import pytest
+
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="max_depth"):
+        ancestor_closure(e, max_depth=5)

@@ -1399,3 +1399,97 @@ def bfs_distances(
         frontier = new.localCheckpoint(eager=True)
         visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return visited.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    *,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Transitive ancestor closure of a forest/DAG-shaped hierarchy:
+    one (node, anc, depth) row per ancestor of every node, including
+    (node, node, 0). Level-synchronous parent-chain walk — round h
+    extends every chain frontier by one parent hop (equi-join on the
+    child key), stopping when a round adds nothing; ``max_depth``
+    bounds runaway cycles with a clear error instead of an infinite
+    loop. Integer depths, no floats — exactly replayable by a
+    recursive-CTE twin.
+
+    Scale: rounds = hierarchy depth (an org chart or BOM is O(10-20)
+    deep regardless of row count); each round is one broadcast-able
+    equi-join on the frontier, and the frontier shrinks as chains hit
+    their roots. For pathological million-deep chains use iterative
+    doubling instead (O(log depth) self-joins of the closure) — depth
+    is the contract here, matching the reference's recursive tree
+    descent bound (SURVEY §2.1 O13).
+    """
+    e = edges.select(
+        F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
+    ).dropDuplicates(["_c", "_p"]).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_c").alias("node"))
+        .unionByName(e.select(F.col("_p").alias("node")))
+        .distinct()
+    )
+    closure = nodes.select(
+        "node", F.col("node").alias("anc"), F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = closure
+    for h in range(1, int(max_depth) + 1):
+        nxt = (
+            frontier.join(e, frontier["anc"] == e["_c"])
+            .select("node", F.col("_p").alias("anc"), F.lit(h).alias("depth"))
+        ).localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    else:
+        raise ValueError(
+            f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+        )
+    return closure.select(
+        "node", "anc", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def subtree_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    *,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    node_col: str = "node",
+    value_col: str = "value",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Hierarchical rollup: for every node, the sum of ``value`` over
+    its whole subtree (itself + all descendants) and the subtree size
+    — the org-chart / bill-of-materials aggregate. One ancestor
+    closure (depth-bounded joins) + one hash aggregate on the
+    ancestor key; exact integers when values are integers, so a
+    recursive-CTE SQL twin replays it.
+
+    Hot-node note: the closure has one row per (node, ancestor) pair
+    — Σ depth(node) rows, the same asymptotics every hierarchical
+    query engine pays; the aggregate itself is map-side combined, so
+    the root's popularity costs partial-sum merges, not a hot-key
+    shuffle of raw rows."""
+    clo = ancestor_closure(
+        edges, child_col=child_col, parent_col=parent_col,
+        max_depth=max_depth,
+    )
+    v = values.select(
+        F.col(node_col).alias("node"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    return (
+        clo.join(v, "node")
+        .groupBy(F.col("anc").alias(node_col))
+        .agg(
+            F.sum("_v").cast("long").alias("subtree_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_subtree"),
+        )
+    )

@@ -5862,6 +5862,49 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+@query(
+    "r29_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT doc_id AS child, (doc_id // 3) AS parent
+      FROM documents WHERE doc_id > 0),
+v AS (SELECT doc_id AS node, n_chars::BIGINT AS value FROM documents),
+anc AS (SELECT node, node AS anc FROM v
+        UNION ALL
+        SELECT a.node, e.parent AS anc
+        FROM anc a JOIN e ON e.child = a.anc)
+SELECT anc.anc AS node, sum(v.value)::BIGINT AS subtree_sum,
+       count(*)::BIGINT AS n_subtree
+FROM anc JOIN v ON v.node = anc.node
+GROUP BY anc.anc
+""",
+)
+def r29_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup (`graph.subtree_rollup`) — the
+    org-chart / bill-of-materials aggregate no flat GROUP BY can
+    express: every document rolls up the n_chars of its whole subtree
+    in the deterministic 3-ary hierarchy parent = doc_id div 3. The
+    engine walks the parent chain level-synchronously (depth-bounded
+    equi-joins, O(depth) rounds) and aggregates once on the ancestor
+    key; the oracle is the textbook recursive CTE (JOIN inside the
+    recursion is legal — only aggregates are banned — the e07/g03
+    rule). Exact integers end-to-end. Reference analog: recursive
+    tree descent, SURVEY §2.1 O13, pointed at data instead of the
+    index."""
+    from vector_database_spark.operators.graph import subtree_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("child"),
+        F.expr("doc_id div 3").alias("parent"),
+    )
+    vals = docs.select(
+        F.col("doc_id").alias("node"), F.col("n_chars").alias("value")
+    )
+    out = subtree_rollup(edges, vals)
+    return out.select("node", "subtree_sum", "n_subtree")
+
+
 _M07_MU = 85
 
 
@@ -6261,6 +6304,7 @@ _DRIVER_TAIL = [
     "g08_bfs_distances",      # graph family: g02 stays in the head
     "e21_attribution",        # events/as-of family: e01 + r23-r25 stay
     "m07_shot_boundaries",    # multimodal family: m04 stays in the head
+    "r29_hierarchy_rollup",   # relational/iterative family: r05 + v17 stay
 ]
 
 
