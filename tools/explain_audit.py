@@ -346,6 +346,14 @@ CHECKS = {
         "last-touch attribution: the as-of-join-without-the-join — "
         "one per-user window carry, zero joins in the plan",
     ),
+    "p10_semantic_decontaminate": (
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "Window", "CartesianProduct"],
+        "semantic decontamination: eval set broadcast against one "
+        "train scan (the deliberate knn scan shape); per-train "
+        "argmax is an aggregate, never a window — the train side "
+        "shuffles only per-train partials",
+    ),
 }
 
 

@@ -324,3 +324,65 @@ def temperature_quotas(
         + [StructField("quota", LongType(), False)]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    eval_id_col: str = "id",
+    eval_vector_col: str = "vector",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination — the semantic
+    complement of the n-gram `dedup.contamination_overlap` (p02): a
+    paraphrased benchmark item shares no 13-gram with its leaked twin
+    but sits at cosine ~1 in embedding space.
+
+    Per train row: the max cosine against the WHOLE eval set, the
+    arg-max eval id (ties -> smallest id), and the contamination flag
+    ``max_cos >= threshold``. Exact — every train x eval pair is
+    scored.
+
+    Scale shape: eval sets are small (benchmark suites, thousands of
+    rows) and the train side is the 100 TB one, so the eval table is
+    BROADCAST and the train table is scanned exactly once — the
+    crossJoin(broadcast) is the engine's deliberate knn scan shape
+    (v03), the per-train max is a partially-aggregated (map-side
+    combined) struct max — struct buffers take Spark's SortAggregate
+    fallback, the documented trade-off — and the train table never
+    shuffles raw rows, only per-train partials. The cosine is the engine-portable
+    fold (`functions.vector.cosine_similarity`), so the whole output
+    is SQL-replayable bit-for-bit. For an eval set too big to
+    broadcast, block it through `dedup.embedding_neardup_pairs`'s
+    pair decomposition instead.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"), F.col(vector_col).alias("_tv")
+    )
+    e = eval_df.select(
+        F.col(eval_id_col).alias("_eid"),
+        F.col(eval_vector_col).alias("_ev"),
+    )
+    from vector_database_spark.functions.vector import cosine_similarity
+
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "train_id",
+        "_eid",
+        cosine_similarity(F.col("_tv"), F.col("_ev")).alias("_cos"),
+    )
+    # argmax with a deterministic smallest-id tie-break via one
+    # orderable-struct max (no window: stays a hash aggregate)
+    best = scored.groupBy("train_id").agg(
+        F.max(F.struct(F.col("_cos"), (-F.col("_eid")).alias("_n"))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        "train_id",
+        F.col("_b._cos").alias("max_cos"),
+        (-F.col("_b._n")).cast("long").alias("nearest_eval_id"),
+        (F.col("_b._cos") >= F.lit(float(threshold))).alias("contaminated"),
+    )

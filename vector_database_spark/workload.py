@@ -5862,6 +5862,52 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+_P10_T = 0.45
+
+
+@query(
+    "p10_semantic_decontaminate",
+    oracle=f"""
+WITH t AS (SELECT vec_id AS train_id, embedding AS tv FROM embeddings
+           WHERE vec_id % 2 = 0),
+e AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings
+      WHERE vec_id % 2 = 1),
+s AS (SELECT t.train_id, e.eid,
+             {_cos_sql('t.tv', 'e.ev')} AS c
+      FROM t CROSS JOIN e),
+r AS (SELECT train_id, eid, c,
+             row_number() OVER (PARTITION BY train_id
+                                ORDER BY c DESC, eid) AS rn
+      FROM s)
+SELECT train_id, c AS max_cos, eid AS nearest_eval_id,
+       (c >= {_P10_T!r}) AS contaminated
+FROM r WHERE rn = 1
+""",
+)
+def p10_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination
+    (`pipeline.semantic_decontaminate`) — the semantic complement of
+    p02's 13-gram overlap: paraphrased benchmark leaks share no
+    n-gram but sit at cosine ~1. Even/odd vec_id split plays
+    train/eval; per train row the max cosine over the broadcast eval
+    set, the smallest-id argmax (orderable-struct max — one
+    map-side-combined aggregate, no window on the big side), and the
+    threshold flag.
+    The train table is scanned once and never shuffles; cosines are
+    the engine-portable fold, so max/argmax/flag all hash-match."""
+    from vector_database_spark.pipeline import semantic_decontaminate
+
+    emb = _embeddings(spark, sf_dir)
+    out = semantic_decontaminate(
+        emb.where(F.col("id") % 2 == 0),
+        emb.where(F.col("id") % 2 == 1),
+        threshold=_P10_T,
+    )
+    return out.select(
+        "train_id", "max_cos", "nearest_eval_id", "contaminated"
+    )
+
+
 @query(
     "r29_hierarchy_rollup",
     oracle="""
@@ -6305,6 +6351,7 @@ _DRIVER_TAIL = [
     "e21_attribution",        # events/as-of family: e01 + r23-r25 stay
     "m07_shot_boundaries",    # multimodal family: m04 stays in the head
     "r29_hierarchy_rollup",   # relational/iterative family: r05 + v17 stay
+    "p10_semantic_decontaminate",  # pipeline family: p02 n-gram stays
 ]
 
 
