@@ -751,3 +751,37 @@ def test_hll_accuracy_and_merge(spark):
     b = hll_registers(df.where(F.col("uid") % 2 == 1), value_col="uid", p=8)
     merged = hll_merge(a.unionByName(b))
     assert unpack(merged) == unpack(regs)
+
+
+def test_bloom_filter_contracts(spark):
+    """Zero false negatives, union-mergeability (bit_or of shard
+    lanes == one-shot build), and a sane FP rate at the configured
+    geometry."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators import sketch as sk
+
+    n, nb, k = 2000, 16384, 3
+    keys = spark.range(n).select(F.col("id").alias("key"))
+    filt = sk.bloom_build(keys, n_bits=nb, k=k)
+
+    # mergeability: shard halves, bit_or lanes together
+    a = sk.bloom_build(keys.where(F.col("key") < n // 2), n_bits=nb, k=k)
+    b = sk.bloom_build(keys.where(F.col("key") >= n // 2), n_bits=nb, k=k)
+    merged = (
+        a.unionByName(b).groupBy("lane").agg(F.bit_or("bits").alias("bits"))
+    )
+    assert (
+        merged.exceptAll(filt).count() == 0
+        and filt.exceptAll(merged).count() == 0
+    )
+
+    probes = spark.range(2 * n).select(F.col("id").alias("key"))
+    res = sk.bloom_probe(filt, probes, n_bits=nb, k=k)
+    misses_in = res.where(
+        (F.col("key") < n) & ~F.col("present")
+    ).count()
+    assert misses_in == 0  # no false negatives, ever
+    fp = res.where((F.col("key") >= n) & F.col("present")).count()
+    # (1 - e^(-kn/m))^k ~ 0.0326 at n=2000, m=16384, k=3; allow 3x
+    assert fp / n < 0.10, fp

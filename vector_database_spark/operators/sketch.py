@@ -1287,3 +1287,114 @@ SELECT {keys_pre}n_buckets_hit,
                 * (1::BIGINT << 60)::HUGEINT)::DOUBLE AS estimate
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (exact-replay bits, union-mergeable)
+# --------------------------------------------------------------------------
+
+BLOOM_LANE_BITS = 32
+
+
+def bloom_build(
+    keys: DataFrame,
+    *,
+    key_col: str = "key",
+    n_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as ``(lane, bits)``
+    rows — ``n_bits`` bits packed into 32-bit BIGINT lanes (the d03
+    SWAR/v24 lane rule: headroom makes every value exactly
+    representable on any engine). Hash ``i`` of key ``s`` is
+    ``h60(f"{i}:{s}") % n_bits`` — the repo's engine-portable
+    md5-derived hash — so the ENTIRE filter is exactly replayable in
+    ANSI SQL (Spark's built-in ``bloom_filter_agg`` is not
+    SQL-exposed and its bit layout is opaque; these bits are the
+    spec). Lanes nobody set are absent (sparse representation).
+
+    Mergeable: the union filter of two key sets is ``bit_or`` of
+    their lanes — the same shape as every other sketch here, so
+    shards/streams build independently and merge losslessly
+    (pytest-pinned). One explode (k rows/key) + one
+    map-side-combined bit_or aggregate over at most n_bits/32 groups.
+    """
+    nb, kk = int(n_bits), int(k)
+    if nb % BLOOM_LANE_BITS:
+        raise ValueError(f"n_bits must be a multiple of {BLOOM_LANE_BITS}")
+    from vector_database_spark.functions.hashing import h60
+
+    s = keys.select(F.col(key_col).cast("string").alias("_s"))
+    rows = s.select(
+        "_s", F.explode(F.array(*[F.lit(i) for i in range(kk)])).alias("_i")
+    ).select(
+        F.pmod(
+            h60(F.concat(F.col("_i").cast("string"), F.lit(":"), F.col("_s"))),
+            F.lit(nb),
+        ).alias("_pos")
+    )
+    return (
+        rows.select(
+            F.expr(f"_pos div {BLOOM_LANE_BITS}").cast("long").alias("lane"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod(_pos, {BLOOM_LANE_BITS}) AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("lane")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    filt: DataFrame,
+    probes: DataFrame,
+    *,
+    key_col: str = "key",
+    n_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Membership test against a `bloom_build` filter:
+    ``(key, present)`` per probe — ``present`` iff all ``k`` bit
+    positions are set (no false negatives by construction; false
+    positives at the standard (1-e^(-kn/m))^k rate). The probe side
+    explodes to k rows, equi-joins the (tiny, <= n_bits/32 rows)
+    filter — broadcast — and one bool_and per key folds the verdict.
+    The filter, not the corpus, is the join's small side: probing a
+    100 TB candidate stream is one broadcast join + one aggregate.
+    """
+    nb, kk = int(n_bits), int(k)
+    from vector_database_spark.functions.hashing import h60
+
+    p = probes.select(F.col(key_col).alias("_key"))
+    rows = p.select(
+        "_key",
+        F.explode(F.array(*[F.lit(i) for i in range(kk)])).alias("_i"),
+    ).select(
+        "_key",
+        F.pmod(
+            h60(
+                F.concat(
+                    F.col("_i").cast("string"),
+                    F.lit(":"),
+                    F.col("_key").cast("string"),
+                )
+            ),
+            F.lit(nb),
+        ).alias("_pos"),
+    ).select(
+        "_key",
+        F.expr(f"_pos div {BLOOM_LANE_BITS}").cast("long").alias("lane"),
+        F.expr(
+            f"shiftleft(1L, CAST(pmod(_pos, {BLOOM_LANE_BITS}) AS INT))"
+        ).alias("_m"),
+    )
+    joined = rows.join(F.broadcast(filt), "lane", "left").select(
+        "_key",
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m"))
+            == F.col("_m")
+        ).alias("_hit"),
+    )
+    return joined.groupBy(F.col("_key").alias(key_col)).agg(
+        F.min("_hit").alias("present")
+    )

@@ -5862,6 +5862,59 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+_S12_BITS, _S12_K, _S12_PROBES = 16384, 3, 1000
+
+
+def _s12_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+
+    hp = h60_sql("i::VARCHAR || ':' || s")
+    return f"""
+WITH ks AS (SELECT doc_id::VARCHAR AS s FROM documents),
+kpos AS (SELECT ({hp}) % {_S12_BITS} AS pos
+         FROM ks CROSS JOIN (SELECT unnest(range({_S12_K})) AS i) hi),
+lanes AS (SELECT pos // {sk.BLOOM_LANE_BITS} AS lane,
+                 bit_or(1::BIGINT << (pos % {sk.BLOOM_LANE_BITS})::INT)
+                   AS bits
+          FROM kpos GROUP BY 1),
+pr AS (SELECT unnest(range({_S12_PROBES})) AS probe_id),
+ppos AS (SELECT probe_id,
+                ({h60_sql("i::VARCHAR || ':' || probe_id::VARCHAR")})
+                  % {_S12_BITS} AS pos
+         FROM pr CROSS JOIN (SELECT unnest(range({_S12_K})) AS i) hi),
+j AS (SELECT ppos.probe_id,
+             (COALESCE(lanes.bits, 0)
+              & (1::BIGINT << (ppos.pos % {sk.BLOOM_LANE_BITS})::INT))
+               = (1::BIGINT << (ppos.pos % {sk.BLOOM_LANE_BITS})::INT)
+               AS hit
+      FROM ppos LEFT JOIN lanes
+        ON lanes.lane = ppos.pos // {sk.BLOOM_LANE_BITS})
+SELECT probe_id, min(hit) AS present FROM j GROUP BY probe_id
+"""
+
+
+@query("s12_bloom_filter", oracle=_s12_oracle())
+def s12_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + probe (`sketch.bloom_build`/`bloom_probe`)
+    with EXACT-replay bits: {_S12_BITS} bits in 32-bit BIGINT lanes,
+    {_S12_K} h60-derived hash positions per key (Spark's built-in
+    bloom_filter_agg is not SQL-exposed and its layout is opaque —
+    these bits ARE the spec, so the whole filter hash-matches a SQL
+    rebuild). Keys = documents' doc_ids; probes 0..{_S12_PROBES} show
+    zero false negatives plus the honest FP tail. Union-mergeability
+    (bit_or of shard lanes == one-shot build) is pytest-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    filt = sk.bloom_build(
+        docs.select(F.col("doc_id").alias("key")),
+        n_bits=_S12_BITS, k=_S12_K,
+    )
+    probes = spark.range(_S12_PROBES).select(F.col("id").alias("key"))
+    out = sk.bloom_probe(filt, probes, n_bits=_S12_BITS, k=_S12_K)
+    return out.select(
+        F.col("key").cast("long").alias("probe_id"), "present"
+    )
+
+
 _P10_T = 0.45
 
 
@@ -6352,6 +6405,7 @@ _DRIVER_TAIL = [
     "m07_shot_boundaries",    # multimodal family: m04 stays in the head
     "r29_hierarchy_rollup",   # relational/iterative family: r05 + v17 stay
     "p10_semantic_decontaminate",  # pipeline family: p02 n-gram stays
+    "s12_bloom_filter",       # sketch family: s01/s03 stay in the head
 ]
 
 
