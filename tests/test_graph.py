@@ -529,3 +529,36 @@ def test_ancestor_closure_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="max_depth"):
         ancestor_closure(e, max_depth=5)
+
+
+def test_bellman_ford_matches_python(spark):
+    """Bounded-round relaxation vs a driver-side reference, on a graph
+    where the lightest path uses MORE hops than the shortest-hop path
+    (the case a frontier-only walk gets wrong)."""
+    from vector_database_spark.operators.graph import bellman_ford
+
+    edges = [
+        (0, 1, 10),          # direct but heavy
+        (0, 2, 1), (2, 3, 1), (3, 1, 1),   # 3 hops, total 3
+        (1, 4, 1),
+        (5, 6, 2),           # unreachable from seed 0
+    ]
+    rounds = 4
+    # python reference: full relaxation per round
+    dist = {0: 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for s, t, w in edges:
+            if s in dist and dist[s] + w < nd.get(t, 1 << 60):
+                nd[t] = dist[s] + w
+        dist = nd
+
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(e, sdf, rounds=rounds).collect()
+    }
+    assert got == dist
+    assert got[1] == 3  # the light 3-hop path beat the heavy 1-hop one
+    assert 5 not in got and 6 not in got

@@ -1493,3 +1493,60 @@ def subtree_rollup(
             F.count(F.lit(1)).cast("long").alias("n_subtree"),
         )
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: weighted shortest-path distances
+    from a seed set using paths of at most ``rounds`` edges
+    (multi-source; integer weights). Unlike `bfs_distances`, a later
+    round can IMPROVE an already-reached node (a longer-by-hops but
+    lighter-by-weight path), so every round is a full relaxation —
+    one equi-join of current distances to out-edges + one min
+    aggregate — not a frontier walk. O(rounds) shuffles, each keyed;
+    lineage cut per round. Returns (node, dist) for reached nodes.
+
+    Integer distances relax in any order to the same minimum, so an
+    unrolled min-aggregation SQL twin replays the loop exactly (the
+    g03/g08 rule). ``rounds`` >= graph diameter gives true shortest
+    paths on non-negative weights; the bounded form is itself the
+    standard contract ("reachable within k legs")."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -6240,6 +6240,69 @@ def g08_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=_G08_HOPS)
 
 
+_G09_ROUNDS = 3
+
+
+def _g09_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+
+    hw = h60_sql("src || '>' || dst")
+    seeds = ", ".join(f"('{s}')" for s in _G08_SEEDS)
+    parts = [
+        r"""u AS (SELECT DISTINCT 'd:' || doc_id::VARCHAR AS d,
+                        't:' || term AS t
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')) AS term
+                 FROM documents)),
+e0 AS (SELECT d AS src, t AS dst FROM u
+       UNION ALL SELECT t AS src, d AS dst FROM u),"""
+        + f"""
+e AS (SELECT src, dst, 1 + ({hw}) % 9 AS w FROM e0),
+d0 AS (SELECT node, 0 AS dist FROM (VALUES {seeds}) v(node))"""
+    ]
+    for h in range(1, _G09_ROUNDS + 1):
+        parts.append(
+            f"""d{h} AS (SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{h - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM d{h - 1} p JOIN e ON e.src = p.node
+) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist::BIGINT AS dist FROM d{_G09_ROUNDS}"
+    )
+
+
+@query("g09_weighted_paths", oracle=_g09_oracle())
+def g09_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford (`graph.bellman_ford`) — weighted
+    shortest paths of at most {_G09_ROUNDS} edges over the term-doc
+    graph with deterministic h60-derived integer weights (1..9):
+    the weighted complement of g08's hop-count BFS, where a later
+    round can IMPROVE an already-reached node, so each round is a
+    full relaxation, not a frontier walk. Integer min-relaxation is
+    order-free — the unrolled SQL replay is exact."""
+    from vector_database_spark.functions.hashing import h60
+    from vector_database_spark.operators.graph import bellman_ford
+
+    edges = _term_doc_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (
+            F.lit(1)
+            + F.pmod(h60(F.concat("src", F.lit(">"), "dst")), F.lit(9))
+        ).alias("weight"),
+    )
+    seeds = spark.createDataFrame(
+        [(s,) for s in _G08_SEEDS], "node string"
+    )
+    return bellman_ford(edges, seeds, rounds=_G09_ROUNDS)
+
+
 _E21_WINDOW_S = 3600
 _E21_TOUCHES = ["click", "view"]
 
@@ -6406,6 +6469,7 @@ _DRIVER_TAIL = [
     "r29_hierarchy_rollup",   # relational/iterative family: r05 + v17 stay
     "p10_semantic_decontaminate",  # pipeline family: p02 n-gram stays
     "s12_bloom_filter",       # sketch family: s01/s03 stay in the head
+    "g09_weighted_paths",     # graph family: g02 stays in the head
 ]
 
 
