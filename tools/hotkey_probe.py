@@ -103,6 +103,21 @@ def main() -> int:
     )
     run("sessionize", sess)
 
+    # round-8 window-only event ops on the same hot corpus: both are
+    # one per-key window pass — the external sort spills, state per
+    # row is O(1), so a 10M-event user must stream through
+    run(
+        "ltob",
+        ts.ltob_downsample(ev, width_s=3600, key_cols=("user_id",)),
+    )
+    run(
+        "attribution",
+        ts.last_touch_attribution(
+            ev, conversion_type="purchase",
+            touch_types=["view", "click"], window_s=3600,
+        ),
+    )
+
     print(
         json.dumps(
             {
