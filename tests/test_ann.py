@@ -747,3 +747,57 @@ def test_bq_knn_rejects_m_below_k(spark, embeddings):
     )
     with pytest.raises(ValueError, match="must be >= k"):
         bq_knn(vecs, [(0, [0.0] * 64)], 8, dim=64, m=4)
+
+
+def _emb_vecs(embeddings):
+    from pyspark.sql import functions as F
+
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+def test_knn_join_dgemm_matches_expr(spark, embeddings):
+    """The bulk BLAS path == the oracle expression path on the a08
+    rig (same centroids): cell assignment, probes, and the final
+    (dist, id) top-k are identical."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import knn_join
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    cents = _seeded_rows(vecs, "a08", 8)
+    q = vecs.where(F.col("id") < 30)
+    a = knn_join(q, vecs, 5, centroids=cents, nprobe=2, method="expr")
+    b = knn_join(q, vecs, 5, centroids=cents, nprobe=2, method="dgemm")
+    ka = [(r["qid"], r["id"], r["rank"]) for r in a.orderBy("qid", "rank").collect()]
+    kb = [(r["qid"], r["id"], r["rank"]) for r in b.orderBy("qid", "rank").collect()]
+    assert ka == kb
+
+
+def test_knn_join_full_probe_equals_exact_knn(spark, embeddings):
+    """nprobe = n_cells probes every cell — the join must equal the
+    exact `search.knn` (including each query finding ITSELF at dist
+    0: exclude_self=False is the cross-table contract)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import knn_join
+    from vector_database_spark.operators.search import knn
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    cents = _seeded_rows(vecs, "a08", 8)
+    q = vecs.where(F.col("id") < 20)
+    got = knn_join(q, vecs, 5, centroids=cents, nprobe=8, method="dgemm")
+    panel = [
+        (int(r["id"]), [float(x) for x in r["vector"]])
+        for r in q.collect()
+    ]
+    want = knn(vecs, panel, 5)
+    g = [(r["qid"], r["id"], r["rank"]) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"], r["rank"]) for r in want.orderBy("qid", "rank").collect()]
+    assert g == w
+    by_q = {t[0]: t for t in g if t[2] == 1}
+    for qid, row in by_q.items():
+        assert row[1] == qid  # rank 1 is the query's own corpus row

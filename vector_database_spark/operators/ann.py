@@ -1779,3 +1779,99 @@ def bq_knn(
         .select("qid", "id", "hamming", "cos_sim",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "id",
+    query_vector_col: str = "vector",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+    method: str = "dgemm",
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Distributed kNN JOIN: for EVERY row of a (large) query table,
+    the k nearest corpus rows — ``(qid, id, dist, rank)``. The
+    embedding-join primitive (RAG pairing, nearest-neighbor labeling,
+    kNN classification) that `ivf_knn` cannot serve when the query
+    side is itself corpus-sized: ivf_knn broadcasts the probe frame
+    and window-ranks each query's full candidate set, both of which
+    assume a small driver-side panel. Here NEITHER side is collected
+    or broadcast: corpus rows are IVF-bucketed, queries replicate to
+    their nprobe nearest cells (one Arrow pass against the broadcast
+    CENTROIDS — the only broadcast is n_cells rows), candidates come
+    from a shuffle equi-join on the cell key, the per-(query, cell)
+    top-k is cut inside the dgemm kernel, and the global merge is the
+    shared Arrow pre-reduction + one slim window. This is exactly
+    `graph.knn_graph_blocked`'s machinery pointed across two tables
+    (``exclude_self=False`` — query and corpus id spaces are
+    unrelated, so equal ids must NOT be dropped), and inherits its
+    hot-cell sub-bucket cap, so a dup-heavy corpus cannot OOM a task.
+
+    APPROXIMATE with the standard IVF probe contract: a true neighbor
+    outside the query's nprobe cells is missed; nprobe = n_cells is
+    exact (pytest-pinned against `search.knn`). ``method='expr'``
+    is the bit-exact oracle path (gate on expr, scale on dgemm — the
+    g04/g07 rule)."""
+    from vector_database_spark.operators.graph import (
+        _blocked_narrow,
+        _blocked_probes,
+        _CELL_CAP,
+    )
+    from pyspark.sql.window import Window as _W
+
+    if method not in ("expr", "dgemm"):
+        raise ValueError(f"method must be expr|dgemm, got {method!r}")
+    cc = corpus_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
+    qq = queries_df.select(
+        F.col(query_id_col).cast("long").alias("id"),
+        F.col(query_vector_col).cast("array<double>").alias("vector"),
+    )
+    if centroids is None:
+        assigned, centroids = ivf_build(
+            cc, n_cells=n_cells, iters=iters, seed=seed,
+            train_rows=train_rows,
+        )
+        members = assigned if method == "dgemm" else ivf_assign_expr(
+            cc, centroids
+        )
+    else:
+        centroids = [[float(x) for x in c] for c in centroids]
+        members = (
+            _assign_cells(cc, centroids)
+            if method == "dgemm"
+            else ivf_assign_expr(cc, centroids)
+        )
+    members = members.localCheckpoint(eager=False)
+    probes = _blocked_probes(qq, centroids, nprobe, method)
+    narrow = _blocked_narrow(
+        members, probes, k, method,
+        cell_cap=_CELL_CAP if cell_cap is None else int(cell_cap),
+        exclude_self=False,
+    )
+    from vector_database_spark.operators.search import _grouped_topk
+
+    local = _grouped_topk(narrow, int(k), "src", "dst")
+    w = _W.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("src").alias("qid"),
+            F.col("dst").alias("id"),
+            "dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

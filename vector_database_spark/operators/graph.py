@@ -702,6 +702,7 @@ _CELL_CAP = 32_768  # max member rows per dgemm kernel group
 def _blocked_narrow(
     members: DataFrame, probes: DataFrame, k: int, method: str,
     cell_cap: int = _CELL_CAP,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Within-cell candidate distances ``(src, dst, dist)`` for the
     blocked kNN-graph: probes equi-join members on `cell` (never a
@@ -745,8 +746,9 @@ def _blocked_narrow(
                 ),
                 "cell",
             )
-            .where(F.col("src") != F.col("dst"))
         )
+        if exclude_self:
+            cand = cand.where(F.col("src") != F.col("dst"))
         return cand.select(
             "src", "dst", euclidean(F.col("_mv"), F.col("_qv")).alias("dist")
         )
@@ -785,6 +787,8 @@ def _blocked_narrow(
     )
     both = mem_b.unionByName(prb_b).drop("_nb")
 
+    _excl = bool(exclude_self)
+
     def make_cell_kernel(k_val: int):
         def kern(pdf):
             import numpy as np
@@ -815,7 +819,11 @@ def _blocked_narrow(
                         + m2[None, :]
                     )
                     np.maximum(d2, 0.0, out=d2)
-                    d2[qid[c0:c1, None] == mid[None, :]] = np.inf
+                    if _excl:
+                        # same-id pairs are SELF pairs (graph build);
+                        # knn_join passes exclude_self=False because
+                        # query and corpus id spaces are unrelated
+                        d2[qid[c0:c1, None] == mid[None, :]] = np.inf
                     for r in range(c1 - c0):
                         order = np.lexsort((mid, d2[r]))
                         # cut with a small margin (BLAS pre-rank),

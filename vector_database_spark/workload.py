@@ -5862,6 +5862,77 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+_A08_CELLS, _A08_NPROBE, _A08_K, _A08_NQ = 8, 2, 5, 50
+
+
+@query(
+    "a08_knn_join",
+    oracle=f"""
+WITH h AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY md5(vec_id || ':a08'), vec_id)
+                    AS rn
+           FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM h
+         WHERE rn <= {_A08_CELLS}),
+ad AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c),
+a AS (SELECT id, embedding, cell FROM
+        (SELECT id, embedding, cell,
+                row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+         FROM ad)
+      WHERE rn = 1),
+qd AS MATERIALIZED (SELECT e.vec_id AS qid, e.embedding, c.cell,
+              {_l2_sql('e.embedding', 'c.cvec')} AS d
+       FROM embeddings e CROSS JOIN cent c
+       WHERE e.vec_id < {_A08_NQ}),
+p AS (SELECT qid, embedding, cell FROM
+        (SELECT qid, embedding, cell,
+                row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+         FROM qd)
+      WHERE rn <= {_A08_NPROBE}),
+cd AS (SELECT p.qid, a.id,
+              {_l2_sql('p.embedding', 'a.embedding')} AS d
+       FROM p JOIN a ON a.cell = p.cell),
+r AS (SELECT qid, id, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM cd)
+SELECT qid, id, round(d, 4) AS dist, rank::BIGINT AS rank
+FROM r WHERE rank <= {_A08_K}
+""",
+)
+def a08_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN JOIN (`ann.knn_join`) — the embedding-join
+    primitive: every row of a {_A08_NQ}-row query TABLE (not a
+    driver panel) gets its {_A08_K} nearest corpus rows, with neither
+    side collected or broadcast (only the {_A08_CELLS} centroids
+    broadcast; candidates come from a shuffle equi-join on the cell
+    key). The g07 exact-oracle rig pointed across two tables:
+    seeded-md5 centroids, expression-path assignment for corpus AND
+    queries, within-cell folds, exclude_self=False (query/corpus id
+    spaces are unrelated — a query that IS a corpus row must find
+    itself at dist 0). The Lloyd+dgemm bulk path is pinned to expr by
+    pytest; nprobe = n_cells == `search.knn` exactly."""
+    from vector_database_spark.operators.ann import knn_join
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "a08", _A08_CELLS)
+    out = knn_join(
+        vecs.where(F.col("id") < _A08_NQ),
+        vecs,
+        _A08_K,
+        centroids=cents,
+        nprobe=_A08_NPROBE,
+        method="expr",
+    )
+    return out.select(
+        "qid",
+        "id",
+        F.round("dist", 4).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _S12_BITS, _S12_K, _S12_PROBES = 16384, 3, 1000
 
 
@@ -6470,6 +6541,7 @@ _DRIVER_TAIL = [
     "p10_semantic_decontaminate",  # pipeline family: p02 n-gram stays
     "s12_bloom_filter",       # sketch family: s01/s03 stay in the head
     "g09_weighted_paths",     # graph family: g02 stays in the head
+    "a08_knn_join",           # ANN family: a01 IVF stays in the head
 ]
 
 
