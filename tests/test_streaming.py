@@ -675,3 +675,41 @@ def test_streaming_hll_equals_batch_across_restarts(spark):
         for r in hll_estimate(want, key_cols=["event_type"]).collect()
     }
     assert ge == we
+
+
+def test_streaming_bloom_equals_batch_across_restarts(spark):
+    """Streamed Bloom lanes bit_or-merged across batch dirs (and a
+    restart) == the batch build over all keys — identical bits,
+    identical membership verdicts."""
+    from vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+    from vector_database_spark.streaming.monitor import (
+        read_bloom,
+        streaming_bloom_ingest,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src, state = f"{tmp}/src", f"{tmp}/state"
+    df = spark.range(2000).select(F.col("id").alias("key"))
+    ddl = "key long"
+    df.where(F.col("key") < 1000).write.parquet(src)
+    q = streaming_bloom_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", trigger_once=True,
+    )
+    q.awaitTermination(120)
+    df.where(F.col("key") >= 1000).write.mode("append").parquet(src)
+    q2 = streaming_bloom_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    merged = read_bloom(spark, state)
+    want = bloom_build(df)
+    unpack = lambda d: sorted((r.lane, r.bits) for r in d.collect())  # noqa: E731
+    assert unpack(merged) == unpack(want)
+    probes = spark.range(4000).select(F.col("id").alias("key"))
+    res = bloom_probe(merged, probes)
+    assert res.where((F.col("key") < 2000) & ~F.col("present")).count() == 0

@@ -346,6 +346,14 @@ CHECKS = {
         "last-touch attribution: the as-of-join-without-the-join — "
         "one per-user window carry, zero joins in the plan",
     ),
+    "e22_ohlc_bars": (
+        [],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin"],
+        "OHLC bars: ONE mergeable aggregate over the bucketed frame "
+        "— no window, no join (the struct open/close carry takes the "
+        "documented SortAggregate fallback)",
+    ),
     "p10_semantic_decontaminate": (
         ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "Window", "CartesianProduct"],

@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine_similarity, euclidean
+from vector_database_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    euclidean,
+)
 from vector_database_spark.plans.iterate import LineageBudget
 
 
@@ -1079,6 +1083,11 @@ def knn(
         dist = euclidean(F.col("_vec"), F.col("qvec"))
     elif metric == "cosine":
         dist = F.lit(1.0) - cosine_similarity(F.col("_vec"), F.col("qvec"))
+    elif metric == "dot":
+        # maximum inner product (MIPS) — the retrieval metric for
+        # unnormalized embeddings; negation turns argmax into the
+        # shared ascending-(dist, id) top-k machinery unchanged
+        dist = -dot(F.col("_vec"), F.col("qvec"))
     else:
         raise ValueError(f"unknown metric {metric!r}")
     narrow = crossed.select("qid", "id", dist.alias("dist"))

@@ -1122,3 +1122,64 @@ def last_touch_attribution(
         F.when(in_window, F.col("_touch.type")).alias("touch_type"),
         F.when(in_window, F.col("_x") - F.col("_touch.ts_us")).alias("lag_us"),
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    *,
+    width_s: int,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC candlestick bars: per (key, time bucket) the opening and
+    closing values (first/last in the (ts, id) total order — value
+    SELECTIONS, the s06 rule), the high/low extrema, the row count,
+    and the exact volume as floor(value·1e6) micro-unit BIGINT sums
+    (the e12 idiom — double sums re-associate, integers don't).
+
+    One map-side-combined aggregate over the bucketed frame — the
+    open/close carry rides an orderable (ts, id, value) struct
+    min/max (struct buffers take Spark's SortAggregate fallback, the
+    measured trade-off documented at `_state_agg`); no window, no
+    self-join, so a year of ticks per key is one combine-then-reduce
+    pass. Mergeable: every field is min/max/sum/count — bars compose
+    across shards and time (the e08 rollup contract).
+    """
+    keys = list(key_cols)
+    us = _epoch_us(events, ts_col)
+    w_us = int(width_s) * MICROS
+    base = events.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(f"CAST({_floor_div(us, w_us)} * {int(width_s)} AS BIGINT)")
+        .alias("bucket_s"),
+        F.expr(us).cast("long").alias("_x"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.floor(F.col(value_col).cast("double") * F.lit(1_000_000))
+        .cast("long")
+        .alias("_u"),
+    )
+    o = F.struct(F.col("_x"), F.col("_id"), F.col("_v"))
+    return (
+        base.groupBy(*keys, "bucket_s")
+        .agg(
+            F.min(o).alias("_o"),
+            F.max(o).alias("_c"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_u").cast("long").alias("vol_units"),
+        )
+        .select(
+            *keys,
+            "bucket_s",
+            F.col("_o._v").alias("open"),
+            F.col("_c._v").alias("close"),
+            "high",
+            "low",
+            "n_events",
+            "vol_units",
+        )
+    )

@@ -246,3 +246,51 @@ def read_hll(
         f"{state_path}/batch=*"
     )
     return hll_merge(regs.select(*gp, "bucket", "reg"), key_cols=gp)
+
+
+def streaming_bloom_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    key_col: str = "key",
+    n_bits: int = 16384,
+    k: int = 3,
+    trigger_once: bool = False,
+):
+    """Streaming Bloom filter: each micro-batch writes its own lane
+    table into ``batch=<id>`` (the crash-safe state rule);
+    `read_bloom` bit_or-merges across dirs. Lane bits are ORed
+    monotone state, so redelivery, restarts, and merge order are all
+    trivially safe — the merged filter equals `sketch.bloom_build`
+    over every row ever seen, bit-for-bit (the streaming-HLL
+    argument with max swapped for bitwise-or)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from vector_database_spark.operators.sketch import bloom_build
+
+        lanes = bloom_build(
+            batch_df, key_col=key_col, n_bits=n_bits, k=k
+        )
+        lanes.write.mode("overwrite").parquet(
+            f"{state_path}/batch={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged Bloom lanes across all committed batch dirs."""
+    from pyspark.sql import functions as F
+
+    lanes = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*"
+    )
+    return lanes.groupBy("lane").agg(F.bit_or("bits").alias("bits"))

@@ -5862,6 +5862,76 @@ def m06_video_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_plane_sums(media)
 
 
+@query(
+    "v25_mips_knn",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_PANEL})),
+d AS (SELECT q.qid, e.vec_id, {_dot_sql('e.embedding', 'q.qv')} AS ip
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT qid, vec_id, ip,
+             row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id)
+               AS rank
+      FROM d)
+SELECT qid, vec_id, rank::BIGINT AS rank, ip
+FROM r WHERE rank <= {KNN_K}
+""",
+)
+def v25_mips_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product kNN (`search.knn(metric='dot')`) — the
+    retrieval metric for UNNORMALIZED embeddings (learned relevance
+    scales with magnitude, so neither L2 nor cosine ranks it
+    correctly). Negated dot rides the shared two-phase top-k
+    machinery unchanged; the inner products ship unrounded because
+    the fold is the engine-portable left-to-right sum."""
+    vecs = _embeddings(spark, sf_dir)
+    res = knn(vecs, _panel(spark, sf_dir), KNN_K, metric="dot")
+    return res.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        (-F.col("dist")).alias("ip"),
+    )
+
+
+MICROS = 1_000_000
+_E22_WIDTH_S = 21600
+
+
+@query(
+    "e22_ohlc_bars",
+    oracle=f"""
+WITH b AS (SELECT event_type,
+                  ((epoch_us(ts) - (((epoch_us(ts) % {_E22_WIDTH_S * MICROS})
+                    + {_E22_WIDTH_S * MICROS}) % {_E22_WIDTH_S * MICROS}))
+                   // {_E22_WIDTH_S * MICROS}) * {_E22_WIDTH_S} AS bucket_s,
+                  epoch_us(ts) AS x, event_id, value,
+                  CAST(floor(value * 1000000) AS BIGINT) AS u
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type, bucket_s::BIGINT AS bucket_s,
+       first(value ORDER BY x, event_id) AS open,
+       last(value ORDER BY x, event_id) AS close,
+       max(value) AS high, min(value) AS low,
+       count(*)::BIGINT AS n_events,
+       sum(u)::BIGINT AS vol_units
+FROM b GROUP BY event_type, bucket_s
+""",
+)
+def e22_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (`ts_ops.ohlc_bars`): open/close are
+    value SELECTIONS at the (ts, id) order extremes (DuckDB ordered
+    first/last == Spark orderable-struct min/max when the order key
+    is unique — the e08 rule), high/low are extrema, volume is the
+    exact floor(value·1e6) micro-unit sum. One mergeable aggregate,
+    no window — bars compose across shards and time."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.ohlc_bars(ev, width_s=_E22_WIDTH_S)
+    return out.select(
+        "event_type", "bucket_s", "open", "close", "high", "low",
+        "n_events", "vol_units",
+    )
+
+
 _A08_CELLS, _A08_NPROBE, _A08_K, _A08_NQ = 8, 2, 5, 50
 
 
@@ -6542,6 +6612,8 @@ _DRIVER_TAIL = [
     "s12_bloom_filter",       # sketch family: s01/s03 stay in the head
     "g09_weighted_paths",     # graph family: g02 stays in the head
     "a08_knn_join",           # ANN family: a01 IVF stays in the head
+    "v25_mips_knn",           # kNN family: v03 (L2) stays in the head
+    "e22_ohlc_bars",          # events/rollup family: e01/e08 stay
 ]
 
 
