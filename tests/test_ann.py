@@ -801,3 +801,60 @@ def test_knn_join_full_probe_equals_exact_knn(spark, embeddings):
     by_q = {t[0]: t for t in g if t[2] == 1}
     for qid, row in by_q.items():
         assert row[1] == qid  # rank 1 is the query's own corpus row
+
+
+def test_mips_knn_full_probe_equals_exact_dot(spark, embeddings):
+    """nprobe = n_cells probes every cell, so the norm-augmented IVF
+    MIPS must equal the exact full-scan `search.knn(metric='dot')`
+    (v25's tier) id-for-id, rank-for-rank — the augmented distance
+    only prunes, scoring is the exact inner product."""
+    from vector_database_spark.operators.ann import mips_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    qids = [1, 44, 307]
+    qdf = _queries_df(spark, vecs, qids)
+    got = mips_knn(vecs, qdf, 10, n_cells=6, nprobe=6, method="dgemm")
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    want = knn(vecs, panel, 10, metric="dot")
+    g = [
+        (r["qid"], r["id"], r["rank"])
+        for r in got.orderBy("qid", "rank").collect()
+    ]
+    w = [
+        (r["qid"], r["id"], r["rank"])
+        for r in want.orderBy("qid", "rank").collect()
+    ]
+    assert g == w
+
+
+def test_mips_knn_expr_matches_dgemm(spark, embeddings):
+    """Augmented-space assignment: the Arrow BLAS kernel == the
+    Catalyst fold path cell-for-cell on the seeded-centroid rig
+    (the a01 kernel==expr rule applied to the MIPS reduction)."""
+    import math
+
+    from vector_database_spark.operators.ann import mips_knn, mips_max_norm2
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    m2 = mips_max_norm2(vecs)
+    cents = _seeded_rows(vecs, "v26", 6)
+
+    def aug(c):
+        s = 0.0
+        for x in c:
+            s += x * x
+        return list(c) + [math.sqrt(max(0.0, m2 - s))]
+
+    caug = [aug(c) for c in cents]
+    qdf = _queries_df(spark, vecs, [5, 123])
+    a = mips_knn(
+        vecs, qdf, 8, centroids=caug, nprobe=3, method="expr", m2=m2
+    )
+    b = mips_knn(
+        vecs, qdf, 8, centroids=caug, nprobe=3, method="dgemm", m2=m2
+    )
+    ka = [(r["qid"], r["id"], r["rank"]) for r in a.orderBy("qid", "rank").collect()]
+    kb = [(r["qid"], r["id"], r["rank"]) for r in b.orderBy("qid", "rank").collect()]
+    assert ka == kb and len(ka) == 16

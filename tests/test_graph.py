@@ -409,15 +409,98 @@ def test_blocked_hot_cell_cap_is_bit_identical(spark, embeddings):
         .alias("vector"),
     )
     data = vecs.unionByName(clones)
+    # collapse_dups=False: this test targets the CAP machinery itself
+    # (the collapse path would fold the clone pile away before the
+    # cap ever sees it — it has its own bit-identity test below)
     uncapped = knn_graph_blocked(
-        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=10**9
+        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=10**9,
+        collapse_dups=False,
     )
     capped = knn_graph_blocked(
-        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=32
+        data, 4, n_cells=8, nprobe=2, seed=5, cell_cap=32,
+        collapse_dups=False,
     )
     a = sorted(map(tuple, uncapped.collect()))
     b = sorted(map(tuple, capped.collect()))
     assert a == b and len(a) == 600 * 4
+
+
+def test_blocked_collapse_dups_is_bit_identical(spark, embeddings):
+    """Round-8 verdict item 1: collapsing bit-identical vectors to a
+    representative before pair generation must not change a single
+    edge. Clone-heavy data (three clone piles of different sizes —
+    one bigger than k+1, one exactly k, one a pair — plus uniques):
+    the collapsed build == the uncollapsed build == the expr oracle
+    path, edge-for-edge bit-for-bit, including the dist-0 own-group
+    edges ranked by dst id and cross-group expansion order at equal
+    distance."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.graph import knn_graph_blocked
+
+    vecs = _vecs(embeddings).where(F.col("id") < 300)
+    piles = []
+    for base_id, src_id, g in ((1000, 0, 40), (2000, 1, 4), (3000, 2, 2)):
+        proto = vecs.where(F.col("id") == src_id).select("vector").first()[
+            "vector"
+        ]
+        piles.append(
+            spark.range(g).select(
+                (F.col("id") + base_id).alias("id"),
+                F.lit([float(x) for x in proto])
+                .cast("array<double>")
+                .alias("vector"),
+            )
+        )
+    data = vecs
+    for p in piles:
+        data = data.unionByName(p)
+    kwargs = dict(n_cells=8, nprobe=2, seed=5)
+    collapsed = knn_graph_blocked(data, 4, collapse_dups=True, **kwargs)
+    plain = knn_graph_blocked(data, 4, collapse_dups=False, **kwargs)
+    a = sorted(map(tuple, collapsed.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) == (300 + 40 + 4 + 2) * 4
+
+
+def test_knn_join_collapse_dups_is_identical(spark, embeddings):
+    """knn_join's collapse path (both sides collapsed, no own-group
+    handling) == the uncollapsed join on clone-heavy query AND corpus
+    sides, row-for-row."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import knn_join
+
+    vecs = _vecs(embeddings)
+    corpus = vecs.where(F.col("id") < 200)
+    clone = corpus.where(F.col("id") == 7).select("vector").first()["vector"]
+    corpus = corpus.unionByName(
+        spark.range(30).select(
+            (F.col("id") + 5000).alias("id"),
+            F.lit([float(x) for x in clone])
+            .cast("array<double>")
+            .alias("vector"),
+        )
+    )
+    # query side: 20 unique + 10 clones of one query vector
+    q = vecs.where(F.col("id") < 20)
+    qclone = vecs.where(F.col("id") == 3).select("vector").first()["vector"]
+    q = q.unionByName(
+        spark.range(10).select(
+            (F.col("id") + 9000).alias("id"),
+            F.lit([float(x) for x in qclone])
+            .cast("array<double>")
+            .alias("vector"),
+        )
+    )
+    kwargs = dict(n_cells=8, nprobe=3, seed=11)
+    a = sorted(
+        map(tuple, knn_join(q, corpus, 5, collapse_dups=True, **kwargs).collect())
+    )
+    b = sorted(
+        map(tuple, knn_join(q, corpus, 5, collapse_dups=False, **kwargs).collect())
+    )
+    assert a == b and len(a) == 30 * 5
 
 
 def test_bfs_distances_match_python_bfs(spark):
@@ -501,12 +584,9 @@ def test_subtree_rollup_matches_python(spark):
         r["node"]: (r["subtree_sum"], r["n_subtree"])
         for r in subtree_rollup(e, vdf).collect()
     }
-    # roots 0..2 have no edges at all only if nothing points at them;
-    # compare on the nodes the closure covers (every edge endpoint)
-    covered = {c for c, _ in edges} | {p for _, p in edges}
-    assert got == {
-        i: (want_sum[i], want_cnt[i]) for i in sorted(covered)
-    }
+    # the closure base is seeded with the values table's nodes, so
+    # EVERY valued node is covered — edges or not (round-8 ADVICE)
+    assert got == {i: (want_sum[i], want_cnt[i]) for i in range(n)}
 
     clo = ancestor_closure(e).collect()
     depths = {(r["node"], r["anc"]): r["depth"] for r in clo}
@@ -529,6 +609,76 @@ def test_ancestor_closure_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="max_depth"):
         ancestor_closure(e, max_depth=5)
+    with pytest.raises(ValueError, match="max_depth"):
+        ancestor_closure(e, max_depth=5, method="double")
+
+
+def test_ancestor_closure_depth_equals_max_depth_ok(spark):
+    """Round-8 ADVICE: a chain of EXACTLY max_depth edges must be
+    accepted — completion is proven by the probe round past the
+    bound, not assumed to have failed."""
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child long, parent long"
+    )  # 0->1->...->5: deepest chain is 5 edges
+    clo = {
+        (r["node"], r["anc"]): r["depth"]
+        for r in ancestor_closure(e, max_depth=5).collect()
+    }
+    assert clo[(0, 5)] == 5 and clo[(0, 0)] == 0
+    assert len(clo) == 6 * 7 // 2
+
+
+def test_ancestor_closure_isolated_valued_node(spark):
+    """A node in the values table with no edges still rolls up its
+    own value (round-8 ADVICE: closure base seeded from values)."""
+    from vector_database_spark.operators.graph import subtree_rollup
+
+    e = spark.createDataFrame([(1, 0)], "child long, parent long")
+    v = spark.createDataFrame(
+        [(0, 10), (1, 20), (99, 7)], "node long, value long"
+    )
+    got = {
+        r["node"]: (r["subtree_sum"], r["n_subtree"])
+        for r in subtree_rollup(e, v).collect()
+    }
+    assert got == {0: (30, 2), 1: (20, 1), 99: (7, 1)}
+
+
+def test_ancestor_closure_doubling_matches_walk(spark):
+    """Path doubling == the level-synchronous walk, row-for-row, on a
+    random forest (verdict item 8's O(log depth) tier)."""
+    import random as _random
+
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    rng = _random.Random(77)
+    edges = [(i, rng.randrange(0, i)) for i in range(1, 60)]
+    e = spark.createDataFrame(edges, "child long, parent long")
+    a = sorted(map(tuple, ancestor_closure(e, method="walk").collect()))
+    b = sorted(map(tuple, ancestor_closure(e, method="double").collect()))
+    assert a == b
+
+
+def test_ancestor_closure_doubling_deep_chain(spark):
+    """A 1024-deep chain closes in O(log depth) rounds: the doubling
+    path runs ~10 composition rounds where the walk would run 1024.
+    Depth values and pair count are exact."""
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    n = 1024
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "child long, parent long"
+    )
+    from pyspark.sql import functions as F
+
+    clo = ancestor_closure(e, max_depth=4096, method="double")
+    assert clo.count() == (n + 1) * (n + 2) // 2
+    top = clo.where(
+        (F.col("node") == 0) & (F.col("anc") == n)
+    ).first()
+    assert top["depth"] == n
 
 
 def test_bellman_ford_matches_python(spark):

@@ -20,7 +20,14 @@ A small-scale bit-identity sweep (capped == uncapped edge-for-edge)
 runs first unless --skip-identity; the full-scale identity is pinned
 by tests/test_graph.py::test_blocked_hot_cell_cap_is_bit_identical.
 
-Usage: python tools/graph_hotcell_probe.py [n] [dim] [cell_cap]
+Round 9: the default build now collapses bit-identical vectors to
+one representative before pair generation (round-8 verdict item 1 —
+the cap bounds kernel MEMORY, but pair COMPUTE inside a clone cell
+was still quadratic: 2,559 s at 1M x 32 in r8). The optional 4th arg
+is the clone percentage (default 50); run with 0 for the
+uniform-control number the clone run should now match.
+
+Usage: python tools/graph_hotcell_probe.py [n] [dim] [cell_cap] [clone_pct]
 Prints one JSON line.
 """
 
@@ -41,6 +48,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     cap = int(sys.argv[3]) if len(sys.argv) > 3 else 32_768
+    clone_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 50
 
     spark = get_spark(app_name="graph-hotcell-probe")
     from pyspark.sql import functions as F
@@ -56,7 +64,8 @@ def main() -> int:
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda j: (
                 F.when(
-                    F.col("id") % 2 == 0,  # clone half: constant vector
+                    # clone share: constant vector
+                    F.col("id") % 100 < clone_pct,
                     (j * 37 % 101).cast("double") / 101.0,
                 ).otherwise(
                     (
@@ -89,11 +98,12 @@ def main() -> int:
     n_edges = edges.count()
     dt = time.time() - t0
 
-    hot = n // 2
+    hot = n * clone_pct // 100
     out = {
-        "metric": "blocked kNN-graph build, 50% clone rows (hot cell)",
+        "metric": "blocked kNN-graph build, clone-heavy hot cell",
         "n": n,
         "dim": dim,
+        "clone_pct": clone_pct,
         "cell_cap": cap,
         "hot_cell_rows": hot,
         "sub_buckets": math.ceil(hot / cap),

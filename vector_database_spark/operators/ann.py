@@ -1781,6 +1781,162 @@ def bq_knn(
     )
 
 
+def mips_augment(vec_col, m2: float):
+    """The Neyshabur–Srebro norm-augmentation coordinate: append
+    sqrt(max(0, M² − ‖x‖²)) so L2 distance in the augmented space is
+    ‖q‖² + M² − 2⟨q,x⟩ — monotone-decreasing in the inner product.
+    Every op is the engine-portable left-to-right fold / exact-rounded
+    sqrt, so a DuckDB replay matches bit-for-bit (the gate relies on
+    it). ``greatest(0, ·)`` guards the max-norm row, where the
+    subtraction is exactly 0 when m2 came from the same fold but may
+    be −ulp for a user-supplied bound."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    return F.concat(
+        v,
+        F.array(
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(float(m2)) - dot(v, v)))
+        ),
+    )
+
+
+def mips_max_norm2(vecs: DataFrame, *, vector_col: str = "vector") -> float:
+    """max ‖x‖² over the corpus — the augmentation constant. One
+    aggregate job; the fold is `functions.vector.dot`, the same
+    left-to-right sum a DuckDB `list_sum` replay produces."""
+    r = vecs.agg(F.max(dot(vector_col, vector_col)).alias("m")).first()
+    if r is None or r["m"] is None:
+        raise ValueError("mips_max_norm2: empty input")
+    return float(r["m"])
+
+
+def mips_knn(
+    vecs_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+    method: str = "dgemm",
+    m2: float | None = None,
+) -> DataFrame:
+    """Sub-scan MIPS kNN (round-8 verdict item 3): maximum-inner-
+    product retrieval served by the existing IVF machinery through
+    the public norm-augmentation reduction (Neyshabur & Srebro 2015 /
+    Bachrach et al. 2014): append a ‖x‖-completing coordinate to each
+    corpus vector (`mips_augment`) and a 0 to each query, and L2
+    proximity in the augmented space orders exactly by inner product
+    — so the L2-trained cell layout prunes dot-product search, which
+    neither the angular BQ sign bits nor a raw L2 IVF can do for
+    unnormalized embeddings. `search.knn(metric='dot')` (v25) stays
+    the exact full-scan tier; this is the pruned tier above it.
+
+    Candidate generation probes the ``nprobe`` augmented-nearest
+    cells per query; candidates are then ranked by the EXACT inner
+    product on the ORIGINAL vectors (desc, id asc) — the augmented
+    distance only prunes, it never scores, so results within the
+    probed cells are exact-by-dot and the usual IVF recall contract
+    applies (nprobe = n_cells is brute-exact; pytest-pinned against
+    v25's full scan). Queries are a broadcastable panel (the ivf_knn
+    contract — (qid, qvec) columns); use `knn_join` when the query
+    side is corpus-sized.
+
+    ``method='expr'`` runs assignment/probing as the bit-exact
+    Catalyst folds (the a01 oracle rig; centroids must then be
+    AUGMENTED-space lists, e.g. seeded rows augmented driver-side);
+    ``method='dgemm'`` assigns with the Arrow BLAS kernel and Lloyd-
+    trains on the augmented sample when centroids is None. Returns
+    ``(qid, id, ip, rank)`` with ip the unrounded portable fold."""
+    from vector_database_spark.functions.vector import euclidean
+
+    if method not in ("expr", "dgemm"):
+        raise ValueError(f"method must be expr|dgemm, got {method!r}")
+    vv = vecs_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
+    if m2 is None:
+        m2 = mips_max_norm2(vv)
+    av = vv.withColumn("avec", mips_augment("vector", m2))
+    if centroids is None:
+        first = vv.select(F.size("vector").alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError("mips_knn: empty input")
+        X, _n = _train_sample(
+            av.select("id", F.col("avec").alias("vector")),
+            dims=int(first["d"]) + 1,
+            train_rows=train_rows,
+            seed=seed,
+            floor_rows=n_cells * 4,
+        )
+        centroids = [[float(x) for x in c] for c in _lloyd(X, n_cells, iters)]
+    else:
+        centroids = [[float(x) for x in c] for c in centroids]
+    if method == "dgemm":
+        assigned = _assign_cells(
+            av.select(
+                "id",
+                F.col("avec").alias("vector"),
+                F.col("vector").alias("ovec"),
+            ),
+            centroids,
+        ).select("id", F.col("ovec").alias("vector"), "cell")
+    else:
+        dists = F.array(
+            *[
+                euclidean(
+                    F.col("avec"), F.array(*[F.lit(float(x)) for x in c])
+                )
+                for c in centroids
+            ]
+        )
+        assigned = (
+            av.withColumn("_ds", dists)
+            .withColumn(
+                "cell",
+                (F.expr("array_position(_ds, array_min(_ds))") - 1).cast(
+                    "int"
+                ),
+            )
+            .select("id", "vector", "cell")
+        )
+    spark = vecs_df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    qdf = queries_df.select(
+        "qid", F.col("qvec").cast("array<double>").alias("qvec")
+    ).withColumn("aqv", F.concat(F.col("qvec"), F.array(F.lit(0.0))))
+    qc = qdf.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", euclidean(F.col("aqv"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wp))
+        .where(F.col("_r") <= int(nprobe))
+        .select("qid", "qvec", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("ip").desc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("ip", dot(F.col("vector"), F.col("qvec")))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "id", "ip", "rank")
+    )
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -1798,6 +1954,7 @@ def knn_join(
     train_rows: int = 262_144,
     method: str = "dgemm",
     cell_cap: int | None = None,
+    collapse_dups: bool = True,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of a (large) query table,
     the k nearest corpus rows — ``(qid, id, dist, rank)``. The
@@ -1819,15 +1976,31 @@ def knn_join(
 
     APPROXIMATE with the standard IVF probe contract: a true neighbor
     outside the query's nprobe cells is missed; nprobe = n_cells is
-    exact (pytest-pinned against `search.knn`). ``method='expr'``
-    is the bit-exact oracle path (gate on expr, scale on dgemm — the
-    g04/g07 rule)."""
+    exact (pytest-pinned against `search.knn`). A query whose probed
+    cells hold fewer than k corpus rows returns fewer than k rows —
+    the contract is "k nearest WITHIN the probed cells"; raise nprobe
+    (or use `ivf_knn(ensure_k=True)` for panel-sized query sets) when
+    a hard row-count floor matters. ``method='expr'`` is the
+    bit-exact oracle path (gate on expr, scale on dgemm — the
+    g04/g07 rule).
+
+    ``collapse_dups`` (default, dgemm only — round-8 verdict item 1):
+    bit-identical vectors on BOTH sides collapse to one
+    representative before the pair stage (clone corpora are exactly
+    what a dedup pipeline feeds this join) and results fan back out,
+    output-identical to the uncollapsed join (pytest-pinned)."""
     from vector_database_spark.operators.graph import (
         _blocked_narrow,
         _blocked_probes,
         _CELL_CAP,
+        _collapse_dup_vectors,
+        _expand_collapsed_edges,
+        _probe_cells_kernel,
+        _rank_topk_edges,
     )
     from pyspark.sql.window import Window as _W
+
+    from vector_database_spark.operators.search import _grouped_topk
 
     if method not in ("expr", "dgemm"):
         raise ValueError(f"method must be expr|dgemm, got {method!r}")
@@ -1839,6 +2012,54 @@ def knn_join(
         F.col(query_id_col).cast("long").alias("id"),
         F.col(query_vector_col).cast("array<double>").alias("vector"),
     )
+    cap = _CELL_CAP if cell_cap is None else int(cell_cap)
+    if method == "dgemm" and collapse_dups:
+        if centroids is None:
+            first = cc.select(F.size("vector").alias("d")).first()
+            if first is None or first["d"] is None:
+                raise ValueError("knn_join: empty corpus")
+            X, _n = _train_sample(
+                cc,
+                dims=int(first["d"]),
+                train_rows=train_rows,
+                seed=seed,
+                floor_rows=n_cells * 4,
+            )
+            centroids = [
+                [float(x) for x in c] for c in _lloyd(X, n_cells, iters)
+            ]
+        else:
+            centroids = [[float(x) for x in c] for c in centroids]
+        c_ann, c_reps, c_near = _collapse_dup_vectors(cc, k)
+        q_ann, q_reps, _q_near = _collapse_dup_vectors(qq, k)
+        members = _assign_cells(c_reps, centroids).localCheckpoint(
+            eager=False
+        )
+        probes = _probe_cells_kernel(q_reps, centroids, nprobe)
+        rep_edges = _rank_topk_edges(
+            _blocked_narrow(
+                members, probes, k, "dgemm", cell_cap=cap,
+                exclude_self=False,
+            ),
+            k,
+        )
+        expanded = _expand_collapsed_edges(
+            rep_edges, q_ann, c_near, k, own_group=False
+        )
+        local = _grouped_topk(expanded, int(k), "src", "dst")
+        w = _W.partitionBy("src").orderBy(
+            F.col("dist").asc(), F.col("dst").asc()
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(
+                F.col("src").alias("qid"),
+                F.col("dst").alias("id"),
+                "dist",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
     if centroids is None:
         assigned, centroids = ivf_build(
             cc, n_cells=n_cells, iters=iters, seed=seed,
@@ -1861,8 +2082,6 @@ def knn_join(
         cell_cap=_CELL_CAP if cell_cap is None else int(cell_cap),
         exclude_self=False,
     )
-    from vector_database_spark.operators.search import _grouped_topk
-
     local = _grouped_topk(narrow, int(k), "src", "dst")
     w = _W.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
     return (

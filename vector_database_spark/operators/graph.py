@@ -623,6 +623,7 @@ def knn_graph_blocked(
     train_rows: int = 262_144,
     method: str = "dgemm",
     cell_cap: int = None,
+    collapse_dups: bool = True,
 ) -> DataFrame:
     """Scale-safe kNN-graph construction (round-6 verdict item 1 —
     replaces `knn_graph(method='dgemm')`'s driver-collected corpus
@@ -652,9 +653,22 @@ def knn_graph_blocked(
     computes every distance as the bit-exact Catalyst fold — the g07
     oracle path (gate on expr, scale on dgemm, pin parity: the g04
     rule). ``centroids`` (e.g. seeded rows) skips Lloyd for
-    deterministic replay."""
+    deterministic replay.
+
+    ``collapse_dups`` (default, dgemm only — round-8 verdict item 1):
+    bit-identical vectors collapse to one representative before pair
+    generation and edges fan back out afterwards
+    (`_collapse_dup_vectors` / `_expand_collapsed_edges`), turning a
+    clone pile's quadratic pair work linear while staying
+    edge-for-edge identical to the uncollapsed build (pytest-pinned;
+    the hot-cell cap still bounds kernel memory for many-DISTINCT hot
+    cells). Costs one extra corpus-wide exchange on the vector key —
+    the same order as the assignment pass, always worth it ahead of
+    an n²-shaped stage."""
     from vector_database_spark.operators.ann import (
         _assign_cells,
+        _lloyd,
+        _train_sample,
         ivf_assign_expr,
         ivf_build,
     )
@@ -665,6 +679,37 @@ def knn_graph_blocked(
         F.col(id_col).cast("long").alias("id"),
         F.col(vector_col).cast("array<double>").alias("vector"),
     )
+    cap = _CELL_CAP if cell_cap is None else int(cell_cap)
+    if method == "dgemm" and collapse_dups:
+        if centroids is None:
+            # train exactly as ivf_build does (bounded sample of the
+            # FULL table — same centroids as the uncollapsed/expr
+            # paths, so the dgemm==expr parity pytest pins this path)
+            first = vv.select(F.size("vector").alias("d")).first()
+            if first is None or first["d"] is None:
+                raise ValueError("knn_graph_blocked: empty input")
+            X, _n = _train_sample(
+                vv,
+                dims=int(first["d"]),
+                train_rows=train_rows,
+                seed=seed,
+                floor_rows=n_cells * 4,
+            )
+            centroids = [
+                [float(x) for x in c] for c in _lloyd(X, n_cells, iters)
+            ]
+        else:
+            centroids = [[float(x) for x in c] for c in centroids]
+        ann_c, reps, near = _collapse_dup_vectors(vv, k)
+        members = _assign_cells(reps, centroids).localCheckpoint(eager=False)
+        probes = _probe_cells_kernel(reps, centroids, nprobe)
+        rep_edges = _rank_topk_edges(
+            _blocked_narrow(members, probes, k, "dgemm", cell_cap=cap), k
+        )
+        expanded = _expand_collapsed_edges(
+            rep_edges, ann_c, near, k, own_group=True
+        )
+        return _rank_topk_edges(expanded, k)
     if centroids is None:
         assigned, centroids = ivf_build(
             vv, n_cells=n_cells, iters=iters, seed=seed, train_rows=train_rows
@@ -681,10 +726,7 @@ def knn_graph_blocked(
     # the candidate join) — pin so the assignment kernel runs once
     members = members.localCheckpoint(eager=False)
     probes = _blocked_probes(vv, centroids, nprobe, method)
-    narrow = _blocked_narrow(
-        members, probes, k, method,
-        cell_cap=_CELL_CAP if cell_cap is None else int(cell_cap),
-    )
+    narrow = _blocked_narrow(members, probes, k, method, cell_cap=cap)
     return _rank_topk_edges(narrow, k)
 
 
@@ -879,6 +921,138 @@ def _rank_topk_edges(narrow: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= kk)
         .select("src", "dst", "dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse (round-8 verdict item 1)
+# ---------------------------------------------------------------------------
+
+
+def _collapse_dup_vectors(vv: DataFrame, k: int):
+    """Collapse bit-identical vectors to one representative per group
+    BEFORE pair generation — the structural fix for clone piles that
+    the hot-cell sub-bucket cap cannot reach: the cap bounds kernel
+    MEMORY but a 500k-clone cell is still 500k probes × 500k members
+    of pair COMPUTE (measured 2,559 s at 1M×32 —
+    data/probes/hotcell_1m_r8.json). k nearest of a clone == k
+    nearest of its representative (identical vector ⇒ identical
+    distances), so the pair stage runs on one row per DISTINCT
+    vector and edges fan back out to members afterwards
+    (`_expand_collapsed_edges`). Reference analog: the stdev=0 →
+    id-split degenerate-data rule (DDL.sql:100) — recognize
+    degenerate mass and handle it structurally.
+
+    ONE wide exchange (window partitioned by the vector column —
+    Spark hash-partitions array keys and normalizes -0.0/NaN, so
+    value-equal vectors land in one group; the per-group sort is
+    Spark's spillable window sort, never an agg buffer) annotates
+    every member with its group's representative (min id), the group
+    size, and a row number. Returns ``(ann, reps, near)``:
+
+    - ``ann``   (id, vector, rep, g, _rn) — full membership map,
+    - ``reps``  (id, vector) — one row per distinct vector (id=rep),
+    - ``near``  (rep, _near, g) — the k+1 smallest member ids per
+      group, sorted ascending (k+1 so any member can drop itself and
+      still have k own-group neighbours; bounded array, ≤ k+1 longs).
+    """
+    kk = int(k)
+    wv = Window.partitionBy("vector")
+    ann = (
+        vv.select(F.col("id").cast("long").alias("id"), "vector")
+        .withColumn("rep", F.min("id").over(wv))
+        .withColumn("g", F.count(F.lit(1)).over(wv))
+        .withColumn("_rn", F.row_number().over(wv.orderBy("id")))
+        .localCheckpoint(eager=False)
+    )
+    reps = ann.where(F.col("_rn") == 1).select("id", "vector")
+    near = (
+        ann.where(F.col("_rn") <= kk + 1)
+        .groupBy("rep")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("_near"),
+            F.max("g").alias("g"),
+        )
+    )
+    return ann, reps, near
+
+
+def _expand_collapsed_edges(
+    rep_edges: DataFrame,
+    src_members: DataFrame,
+    near: DataFrame,
+    k: int,
+    *,
+    own_group: bool,
+) -> DataFrame:
+    """Fan rep-level top-k edges back out to clone-group members,
+    EXACTLY reproducing the uncollapsed build (pytest-pinned):
+
+    - top-k rep edges suffice: groups ranked by (dist, rep) with
+      rep = min member id means any group contributing to a member's
+      expanded top-k is preceded by ≥1 expanded candidate per
+      earlier group, so it sits within the first k groups;
+    - a single dst group never contributes more than k candidates,
+      so its k smallest member ids (`_near`) cover every expansion;
+    - the cumulative cut (``_cum < k``) keeps ≤ 2k expanded rows per
+      src: groups are consumed in rank order and dropped once
+      min(g,k) contributions from earlier groups (plus, in the
+      self-graph case, the min(g_src−1, k) own-group candidates at
+      dist 0, which precede every cross candidate) already fill k;
+    - distances are bit-identical by construction: cross-group dist
+      is the rep pair's shape-independent per-pair recompute (clone
+      bits == rep bits), own-group dist is exactly 0.0 (sqrt(0)).
+
+    ``own_group=True`` is the self-graph case (`knn_graph_blocked`);
+    ``knn_join`` passes False — query/corpus id spaces are unrelated
+    and the rep build ran with ``exclude_self=False``."""
+    kk = int(k)
+    e = rep_edges.join(
+        near.select(
+            F.col("rep").alias("dst"),
+            F.col("_near").alias("_dn"),
+            F.col("g").alias("_gd"),
+        ),
+        "dst",
+    )
+    wcum = (
+        Window.partitionBy("src")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn("_take", F.least(F.col("_gd"), F.lit(kk))).withColumn(
+        "_cum", F.coalesce(F.sum("_take").over(wcum), F.lit(0))
+    )
+    if own_group:
+        e = e.join(
+            near.select(F.col("rep").alias("src"), F.col("g").alias("_gs")),
+            "src",
+        ).withColumn(
+            "_cum", F.col("_cum") + F.least(F.col("_gs") - 1, F.lit(kk))
+        )
+    e = e.where(F.col("_cum") < kk).select(
+        "src", F.slice("_dn", 1, kk).alias("_ids"), "dist"
+    )
+    cross = e.join(
+        src_members.select(
+            F.col("id").alias("_m"), F.col("rep").alias("src")
+        ),
+        "src",
+    ).select(
+        F.col("_m").alias("src"), F.explode("_ids").alias("dst"), "dist"
+    )
+    if not own_group:
+        return cross
+    own = (
+        src_members.where(F.col("g") > 1)
+        .join(near.select("rep", "_near"), "rep")
+        .select(
+            F.col("id").alias("src"),
+            F.explode("_near").alias("dst"),
+            F.lit(0.0).alias("dist"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return cross.unionByName(own)
 
 
 # ---------------------------------------------------------------------------
@@ -1415,49 +1589,113 @@ def ancestor_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_depth: int = 64,
+    nodes: DataFrame | None = None,
+    method: str = "walk",
 ) -> DataFrame:
-    """Transitive ancestor closure of a forest/DAG-shaped hierarchy:
+    """Transitive ancestor closure of a forest-shaped hierarchy:
     one (node, anc, depth) row per ancestor of every node, including
-    (node, node, 0). Level-synchronous parent-chain walk — round h
-    extends every chain frontier by one parent hop (equi-join on the
-    child key), stopping when a round adds nothing; ``max_depth``
-    bounds runaway cycles with a clear error instead of an infinite
-    loop. Integer depths, no floats — exactly replayable by a
+    (node, node, 0). ``method='walk'`` (default) is the
+    level-synchronous parent-chain walk — round h extends every chain
+    frontier by one parent hop (equi-join on the child key), stopping
+    when a round adds nothing; ``max_depth`` bounds runaway cycles
+    with a clear error instead of an infinite loop (a hierarchy whose
+    deepest chain is EXACTLY max_depth edges is accepted — the error
+    fires only if the probe round past it still produces rows).
+    Integer depths, no floats — exactly replayable by a
     recursive-CTE twin.
 
-    Scale: rounds = hierarchy depth (an org chart or BOM is O(10-20)
-    deep regardless of row count); each round is one broadcast-able
-    equi-join on the frontier, and the frontier shrinks as chains hit
-    their roots. For pathological million-deep chains use iterative
-    doubling instead (O(log depth) self-joins of the closure) — depth
-    is the contract here, matching the reference's recursive tree
-    descent bound (SURVEY §2.1 O13).
-    """
+    ``nodes`` (optional, single node column) seeds additional
+    isolated nodes into the closure base: a node present in a values
+    table but in no edge still gets its (node, node, 0) row —
+    without it the base is edge endpoints only and valued leaves
+    with no edges silently vanish from rollups.
+
+    Scale: walk rounds = hierarchy depth (an org chart or BOM is
+    O(10-20) deep regardless of row count); each round is one
+    broadcast-able equi-join on the frontier, and the frontier
+    shrinks as chains hit their roots. ``method='double'`` is the
+    pathological-chain tier: iterative path doubling — round i
+    composes the exact-depth-2^i jump table with the closure built
+    so far, closing a depth-D chain in O(log D) joins instead of D
+    (property-tested equal to the walk; needs unique parents — a
+    forest — so (node, anc) pairs stay unique under composition).
+    The closure itself is Σ depth(node) rows either way — that's the
+    output's size, not overhead."""
     e = edges.select(
         F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
     ).dropDuplicates(["_c", "_p"]).localCheckpoint(eager=False)
-    nodes = (
+    base = (
         e.select(F.col("_c").alias("node"))
         .unionByName(e.select(F.col("_p").alias("node")))
-        .distinct()
     )
-    closure = nodes.select(
+    if nodes is not None:
+        base = base.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    base = base.distinct()
+    closure = base.select(
         "node", F.col("node").alias("anc"), F.lit(0).alias("depth")
     ).localCheckpoint(eager=True)
+    if method == "double":
+        # jump = pairs at depth exactly 2^i (unique per node on a
+        # forest); closure holds all depths < 2^i. Compose jump with
+        # the closure for depths 2^i .. 2^{i+1}-1 (disjoint — no
+        # dedup needed), then square the jump. Rounds = ceil(log2 D).
+        jump = e.select(
+            F.col("_c").alias("node"), F.col("_p").alias("anc")
+        ).localCheckpoint(eager=True)
+        depth = 1  # jump rows are exactly this deep
+        while jump.take(1):
+            if depth > int(max_depth):
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+                )
+            ext = (
+                jump.select(
+                    F.col("node").alias("_n"), F.col("anc").alias("_m")
+                )
+                .join(closure, F.col("_m") == closure["node"])
+                .select(
+                    F.col("_n").alias("node"),
+                    "anc",
+                    (F.col("depth") + F.lit(depth)).alias("depth"),
+                )
+            )
+            closure = closure.unionByName(ext).localCheckpoint(eager=True)
+            jump = (
+                jump.select(
+                    F.col("node").alias("_n"), F.col("anc").alias("_m")
+                )
+                .join(
+                    jump.select(
+                        F.col("node").alias("_m"), F.col("anc").alias("anc")
+                    ),
+                    "_m",
+                )
+                .select(F.col("_n").alias("node"), "anc")
+            ).localCheckpoint(eager=True)
+            depth *= 2
+        return closure.select(
+            "node", "anc", F.col("depth").cast("long").alias("depth")
+        )
     frontier = closure
-    for h in range(1, int(max_depth) + 1):
+    # max_depth + 1 rounds: a chain of exactly max_depth edges fills
+    # every round with a non-empty frontier, so completion can only
+    # be proven by the emptiness probe ONE round past the bound
+    # (round 8 ADVICE: the for/else raised on legal depth==max_depth)
+    for h in range(1, int(max_depth) + 2):
         nxt = (
             frontier.join(e, frontier["anc"] == e["_c"])
             .select("node", F.col("_p").alias("anc"), F.lit(h).alias("depth"))
         ).localCheckpoint(eager=True)
         if not nxt.take(1):
             break
+        if h > int(max_depth):
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+            )
         closure = closure.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    else:
-        raise ValueError(
-            f"hierarchy deeper than max_depth={max_depth} (cycle?)"
-        )
     return closure.select(
         "node", "anc", F.col("depth").cast("long").alias("depth")
     )
@@ -1484,10 +1722,15 @@ def subtree_rollup(
     — Σ depth(node) rows, the same asymptotics every hierarchical
     query engine pays; the aggregate itself is map-side combined, so
     the root's popularity costs partial-sum merges, not a hot-key
-    shuffle of raw rows."""
+    shuffle of raw rows.
+
+    The closure base is seeded with the values table's node column
+    (round-8 ADVICE): a valued node with no edges — a single-node
+    tree — still contributes its own (node, node, 0) row, matching
+    the r29 oracle's seed-from-all-documents shape."""
     clo = ancestor_closure(
         edges, child_col=child_col, parent_col=parent_col,
-        max_depth=max_depth,
+        max_depth=max_depth, nodes=values.select(node_col),
     )
     v = values.select(
         F.col(node_col).alias("node"),

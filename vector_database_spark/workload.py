@@ -140,6 +140,15 @@ def _l2_sql(a: str, b: str) -> str:
     return f"sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {d} * {d})))"
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    """`_l2_sql` without the sqrt — the squared-sum fold, used where
+    an augmented coordinate's term is appended INSIDE the sqrt (v26:
+    Spark folds all dims+1 terms left-to-right, so the replay is
+    sqrt(list_sum(dims terms) + extra_term) — identical grouping)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range(1, len({a})+1), i -> {d} * {d}))"
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(range(1, len({a})+1), "
@@ -5894,6 +5903,98 @@ def v25_mips_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V26_CELLS = 8
+_V26_NPROBE = 3
+
+
+@query(
+    "v26_mips_ivf",
+    oracle=f"""
+WITH m AS MATERIALIZED (
+  SELECT max({_dot_sql('embedding', 'embedding')}) AS m2 FROM embeddings),
+ax AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(greatest(0.0::DOUBLE,
+              (SELECT m2 FROM m) - {_dot_sql('embedding', 'embedding')}))
+           AS a
+  FROM embeddings),
+h AS (SELECT vec_id, embedding, a,
+             row_number() OVER (ORDER BY md5(vec_id || ':v26'), vec_id) AS rn
+      FROM ax),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec, a AS ca FROM h
+         WHERE rn <= {_V26_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}
+                   + (e.a - c.ca) * (e.a - c.ca)) AS d
+       FROM ax e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}
+                              + (0.0::DOUBLE - c.ca) * (0.0::DOUBLE - c.ca)),
+                         c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cand AS (SELECT p.qid, a.id FROM pc p JOIN asg a ON a.cell = p.cell
+         WHERE p.pr <= {_V26_NPROBE}),
+d AS (SELECT c.qid, c.id, {_dot_sql('e.embedding', 'q.qv')} AS ip
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+      JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, id, ip,
+             row_number() OVER (PARTITION BY qid ORDER BY ip DESC, id)
+               AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, ip
+FROM r WHERE rank <= 10
+""",
+)
+def v26_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-SCAN MIPS (round-8 verdict item 3): inner-product retrieval
+    pruned by the existing IVF machinery via the public
+    norm-augmentation reduction (`ann.mips_knn` — append
+    sqrt(M²−‖x‖²) to corpus rows, 0 to queries, and augmented-L2
+    proximity orders exactly by dot product). v25 stays the exact
+    full-scan tier; this gate pins the PRUNED tier end-to-end with
+    the a01 exact-oracle rig: m2 is the portable max-of-fold, coarse
+    centroids are the {_V26_CELLS} seeded-md5 rows augmented
+    driver-side (python left-to-right sum + exact-rounded sqrt ==
+    the SQL replay), assignment/probing run the Catalyst folds over
+    the dims+1 arrays (replay = sqrt(list_sum(dims terms) + aug
+    term) — the identical grouping), and candidates re-rank by the
+    EXACT inner product on the original vectors, so the augmented
+    space only ever prunes. The Lloyd-trained dgemm path is pinned
+    to this path by pytest and probed at 1M×64
+    (tools/mips_probe.py)."""
+    import math
+
+    from vector_database_spark.operators.ann import mips_knn, mips_max_norm2
+
+    vecs = _embeddings(spark, sf_dir)
+    m2 = mips_max_norm2(vecs)
+    cents = _seeded_rows(vecs, "v26", _V26_CELLS)
+    caug = []
+    for c in cents:
+        s = 0.0
+        for x in c:
+            s += x * x
+        caug.append(list(c) + [math.sqrt(max(0.0, m2 - s))])
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = mips_knn(
+        vecs, qdf, 10, centroids=caug, nprobe=_V26_NPROBE, method="expr",
+        m2=m2,
+    )
+    return res.select(
+        "qid", "id", F.col("rank").cast("long").alias("rank"), "ip"
+    )
+
+
 MICROS = 1_000_000
 _E22_WIDTH_S = 21600
 
@@ -6614,6 +6715,7 @@ _DRIVER_TAIL = [
     "a08_knn_join",           # ANN family: a01 IVF stays in the head
     "v25_mips_knn",           # kNN family: v03 (L2) stays in the head
     "e22_ohlc_bars",          # events/rollup family: e01/e08 stay
+    "v26_mips_ivf",           # ANN/MIPS family: a01/v25 stay in the head
 ]
 
 
