@@ -858,3 +858,29 @@ def test_mips_knn_expr_matches_dgemm(spark, embeddings):
     ka = [(r["qid"], r["id"], r["rank"]) for r in a.orderBy("qid", "rank").collect()]
     kb = [(r["qid"], r["id"], r["rank"]) for r in b.orderBy("qid", "rank").collect()]
     assert ka == kb and len(ka) == 16
+
+
+def test_knn_join_layout_served_equals_inline(spark, embeddings):
+    """Round-8 verdict item 4: a join served off a stored `ivf_write`
+    layout == the inline-built join with the same centroids,
+    row-for-row — repeated joins skip the per-call corpus assignment
+    entirely (the bq_knn(codes=)/graph-layout store-once pattern)."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        ivf_write,
+        knn_join,
+        _assign_cells,
+    )
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    cents = _seeded_rows(vecs, "a08", 8)
+    path = tempfile.mkdtemp() + "/layout"
+    ivf_write(_assign_cells(vecs, cents), cents, path)
+    q = vecs.where(F.col("id") < 25)
+    inline = knn_join(q, vecs, 5, centroids=cents, nprobe=3)
+    served = knn_join(q, None, 5, nprobe=3, layout_path=path)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b and len(a) == 25 * 5

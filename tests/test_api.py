@@ -394,7 +394,10 @@ def test_facade_foreach_batch_all_types_equals_batch_twin(spark):
     )
     first = rows.where(F.col("text_id") < 40)
     second = rows.where(F.col("text_id") >= 40)
-    for t in ("bsp", "ivf", "ivfadc"):
+    # 'bq' rides the same contract; bq_m=1024 > 60 rows makes the
+    # Hamming stage exhaustive here, so == brute holds exactly (the
+    # approximate regime has its own lifecycle test)
+    for t in ("bsp", "ivf", "ivfadc", "bq"):
         tmp = tempfile.mkdtemp()
         src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
         sdb = VectorDatabase(
@@ -438,3 +441,107 @@ def test_facade_foreach_batch_all_types_equals_batch_twin(spark):
             for r in bdb.brute_force(q, 0.8).collect()
         )
         assert got == want == brute and got, t
+
+
+def test_facade_ingest_guard_fails_loud_on_transient_read_error(spark):
+    """Round-8 verdict item 6: the first-batch guard is narrow. A
+    transient text-table read failure on a NON-first batch must fail
+    the batch loudly (the stream retries) — swallowing it would skip
+    the idempotence anti-join and double-ingest under at-least-once
+    redelivery. Only the missing-table analysis error is absorbed."""
+    import tempfile
+
+    import pytest
+
+    rows = (
+        random_uniform(spark, 20, 4, seed=44)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    sdb = VectorDatabase(spark, f"{tmp}/s", local_threshold=32)
+    # first batch: no text table yet -> the PATH_NOT_FOUND absorb path
+    sdb._ingest_micro_batch(rows.where(F.col("text_id") < 10), reindex=True)
+    assert sdb.text().count() == 10
+
+    # non-first batch with a transient read failure: loud, no ingest
+    class _Boom(Exception):
+        pass
+
+    orig = sdb.text
+    sdb.text = lambda: (_ for _ in ()).throw(_Boom("transient"))
+    with pytest.raises(_Boom):
+        sdb._ingest_micro_batch(
+            rows.where(F.col("text_id") >= 10), reindex=True
+        )
+    sdb.text = orig
+    assert sdb.text().count() == 10  # nothing double-ingested
+    # recovery: the retried batch lands once
+    sdb._ingest_micro_batch(rows.where(F.col("text_id") >= 10), reindex=True)
+    sdb._ingest_micro_batch(rows.where(F.col("text_id") >= 10), reindex=True)
+    assert sdb.text().count() == 20
+
+
+def test_facade_bq_lifecycle_approximate_contract(spark):
+    """Round-8 verdict item 5: the 'bq' facade backend's lifecycle in
+    its APPROXIMATE regime (bq_m < store size). Contract: every hit
+    carries the exact distance and satisfies the ball predicate
+    (candidates are reranked off the text store — no false
+    distances), deletes drop rows from both the text store and the
+    code table, appends are encode-on-append, and bq_m >= store size
+    recovers the exhaustive == brute result."""
+    import tempfile
+
+    q = [0.2, -0.1, 0.05, 0.3]
+    rows = (
+        random_uniform(spark, 120, 4, seed=55)
+        .select(
+            (F.col("id") % 4).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(spark, f"{tmp}/s", index_type="bq", bq_m=24)
+    db.add_documents(rows.where(F.col("text_id") < 80))
+    db.add_documents(rows.where(F.col("text_id") >= 80))  # encode-on-append
+    assert db.tail().count() == 0  # every row coded
+
+    brute = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.brute_force(q, 0.9).collect()
+    }
+    got = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.search(q, 0.9).collect()
+    }
+    # approximate recall, exact distances: hits are a SUBSET of brute
+    # with identical values, and the Hamming budget bounds the set
+    assert got and set(got) <= set(brute)
+    assert all(brute[i] == d for i, d in got.items())
+    assert len(got) <= 24
+
+    # exhaustive budget == brute exactly
+    db_full = VectorDatabase(spark, f"{tmp}/s", index_type="bq", bq_m=4096)
+    full = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db_full.search(q, 0.9).collect()
+    }
+    assert full == brute
+
+    # vicinity delete drops rows from text AND codes; searches never
+    # return a deleted id
+    n_before = db.text().count()
+    removed = db_full.delete_vectors(q, 0.5)
+    assert removed > 0 and db.text().count() == n_before - removed
+    assert db._ann_vectors().count() == n_before - removed
+    survivors = {
+        int(r.text_id) for r in db_full.search(q, 0.9).collect()
+    }
+    gone = {i for i, d in brute.items() if d <= 0.5}
+    assert not (survivors & gone)

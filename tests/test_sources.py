@@ -769,7 +769,10 @@ def test_bloom_filter_contracts(spark):
     a = sk.bloom_build(keys.where(F.col("key") < n // 2), n_bits=nb, k=k)
     b = sk.bloom_build(keys.where(F.col("key") >= n // 2), n_bits=nb, k=k)
     merged = (
-        a.unionByName(b).groupBy("lane").agg(F.bit_or("bits").alias("bits"))
+        a.unionByName(b)
+        .groupBy("lane", "n_bits", "k")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("lane", "bits", "n_bits", "k")
     )
     assert (
         merged.exceptAll(filt).count() == 0
@@ -778,6 +781,14 @@ def test_bloom_filter_contracts(spark):
 
     probes = spark.range(2 * n).select(F.col("id").alias("key"))
     res = sk.bloom_probe(filt, probes, n_bits=nb, k=k)
+    # carried-geometry contract (round-8 ADVICE): a mismatched
+    # explicit geometry is refused, never silently false-negative
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry"):
+        sk.bloom_probe(filt, probes, n_bits=nb * 2, k=k)
+    with _pytest.raises(ValueError, match="geometry"):
+        sk.bloom_probe(filt, probes, k=k + 1)
     misses_in = res.where(
         (F.col("key") < n) & ~F.col("present")
     ).count()

@@ -68,6 +68,31 @@ def main():
         f"{query_n * k} edges, every query served k rows"
     )
 
+    # layout-served mode (round-8 verdict item 4): assignment is
+    # stored ONCE (ivf_write), every subsequent join skips it
+    import tempfile
+
+    from vector_database_spark.operators.ann import ivf_build, ivf_write
+
+    lp = tempfile.mkdtemp() + "/layout"
+    t0 = time.time()
+    assigned, cents = ivf_build(corpus, n_cells=n_cells, iters=3)
+    ivf_write(assigned, cents, lp)
+    t_store = time.time() - t0
+    lt = []
+    for _ in range(2):
+        t0 = time.time()
+        n_out2 = knn_join(
+            queries, None, k, nprobe=nprobe, layout_path=lp
+        ).count()
+        lt.append(time.time() - t0)
+    assert n_out2 == query_n * k, (n_out2, query_n * k)
+    print(
+        f"layout-served: store-once {t_store:.1f}s, per-join best "
+        f"{min(lt):.1f}s (runs {' '.join(f'{t:.1f}' for t in lt)}) "
+        f"vs inline {min(times):.1f}s — assignment pass off the hot path"
+    )
+
     # recall on a 16-query sample vs the exact scan
     sample = queries.orderBy(F.md5(F.col("id").cast("string"))).limit(16)
     panel = [(int(r.id), [float(x) for x in r.vector])

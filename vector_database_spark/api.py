@@ -18,6 +18,7 @@ Storage layout under `root_path`:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,14 +51,26 @@ class VectorDatabase:
       coarse pruning contract (codes keep vectors for exact refine);
       the ADC codes additionally serve `ann.ivfadc_knn` style
       ranking outside the facade.
+    * ``'bq'`` (round-8 verdict item 5) — sign-bit binary
+      quantization (`ann.bq_encode`): a 32-64x-compressed code table
+      stored alongside the text table; search scans ONLY the integer
+      codes for the Hamming top-``bq_m`` candidates, then reranks
+      with exact distances off the text store. THE FACADE'S ONLY
+      APPROXIMATE BACKEND: reported distances are exact and results
+      are deterministic, but a true match outside the Hamming
+      top-``bq_m`` is missed (recall is the bq_probe's measured
+      trade; ``bq_m`` >= store size is exhaustive). bsp/ivf/ivfadc
+      keep the exact-recall contract; pick 'bq' when the corpus scan
+      budget, not recall, is the constraint.
 
-    All three share the text store as source of truth, the un-indexed
+    All four share the text store as source of truth, the un-indexed
     LSM tail (exact brute-force refined), `reindex=True/False/'auto'`
     ingest, and filtered search (``where=``). The IVF-family coarse
     model is corpus-global, so `index_documents` rebuilds the whole
     layout; incremental adds go assign-on-append (`ann.ivf_append` /
     `ivfadc_append`, retrain='never' inside the facade — rebuilds are
-    explicit maintenance, the streaming-ingest rule)."""
+    explicit maintenance, the streaming-ingest rule; BQ adds are
+    encode-on-append — the code table has no trained state at all)."""
 
     def __init__(
         self,
@@ -68,10 +81,11 @@ class VectorDatabase:
         index_type: str = "bsp",
         n_cells: int = 16,
         pq_m: int = 4,
+        bq_m: int = 1024,
     ):
-        if index_type not in ("bsp", "ivf", "ivfadc"):
+        if index_type not in ("bsp", "ivf", "ivfadc", "bq"):
             raise ValueError(
-                f"index_type must be bsp|ivf|ivfadc, got {index_type!r}"
+                f"index_type must be bsp|ivf|ivfadc|bq, got {index_type!r}"
             )
         self.spark = spark
         self.root = root_path.rstrip("/")
@@ -79,6 +93,7 @@ class VectorDatabase:
         self.index_type = index_type
         self.n_cells = int(n_cells)
         self.pq_m = int(pq_m)
+        self.bq_m = int(bq_m)
         self._idx_cache: DataFrame | None = None
         self._tail_known_empty: bool | None = None
 
@@ -120,8 +135,9 @@ class VectorDatabase:
         return f"{self.root}/{self.index_type}_index"
 
     def _ann_exists(self) -> bool:
+        sub = "codes" if self.index_type == "bq" else "centroids"
         try:
-            self.spark.read.parquet(f"{self.ann_path}/centroids").limit(
+            self.spark.read.parquet(f"{self.ann_path}/{sub}").limit(
                 1
             ).collect()
             return True
@@ -129,8 +145,79 @@ class VectorDatabase:
             return False
 
     def _ann_vectors(self) -> DataFrame:
-        sub = "codes" if self.index_type == "ivfadc" else "vectors"
+        sub = (
+            "codes"
+            if self.index_type in ("ivfadc", "bq")
+            else "vectors"
+        )
         return self.spark.read.parquet(f"{self.ann_path}/{sub}")
+
+    # -- BQ internals (round-8 verdict item 5) ----------------------------
+    def _bq_dim(self) -> int:
+        return int(
+            self.spark.read.parquet(f"{self.ann_path}/meta").first()["dim"]
+        )
+
+    def _bq_codes_write(self, codes: DataFrame, *, mode: str) -> None:
+        codes.write.mode(mode).parquet(f"{self.ann_path}/codes")
+
+    def _bq_build_all(self) -> None:
+        from vector_database_spark.operators import ann
+
+        vecs = self.text().select(
+            F.col("text_id").alias("id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+        )
+        first = vecs.select(F.size("vector").alias("d")).first()
+        if first is None or first["d"] is None:
+            return
+        dim = int(first["d"])
+        codes = ann.bq_encode(vecs, dim=dim).localCheckpoint(eager=True)
+        self._bq_codes_write(codes, mode="overwrite")
+        self.spark.createDataFrame([(dim,)], "dim int").write.mode(
+            "overwrite"
+        ).parquet(f"{self.ann_path}/meta")
+
+    def _bq_append(self, df: DataFrame) -> dict:
+        from vector_database_spark.operators import ann
+
+        batch = df.select(
+            F.col("text_id").alias("id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+        )
+        codes = ann.bq_encode(batch, dim=self._bq_dim())
+        self._bq_codes_write(codes, mode="append")
+        return {"appended": True}
+
+    def _bq_candidate_ids(self, vector: list) -> DataFrame:
+        """Hamming top-``bq_m`` candidate ids for one query: the
+        corpus-sized scan touches only the integer code column, the
+        query's code is computed driver-side (pure integer
+        arithmetic, identical to `ann.bq_lane_exprs`), and the cut
+        plans as TakeOrdered — never a full sort. APPROXIMATE: a true
+        match outside the top-``bq_m`` codes is missed (the facade's
+        documented 'bq' trade)."""
+        from vector_database_spark.operators.ann import (
+            BQ_LANE_BITS,
+            bq_hamming,
+        )
+
+        q = [float(x) for x in vector]
+        qcode = []
+        for lo in range(0, len(q), BQ_LANE_BITS):
+            lane = 0
+            for i in range(lo, min(lo + BQ_LANE_BITS, len(q))):
+                if q[i] >= 0:
+                    lane += 1 << (i - lo)
+            qcode.append(lane)
+        qlit = F.array(*[F.lit(x).cast("long") for x in qcode])
+        return (
+            self._ann_vectors()
+            .select("id", bq_hamming(F.col("code"), qlit).alias("_h"))
+            .orderBy(F.col("_h").asc(), F.col("id").asc())
+            .limit(self.bq_m)
+            .select(F.col("id").alias("text_id"))
+        )
 
     def _ann_centroids(self) -> list[list[float]]:
         return [
@@ -167,6 +254,9 @@ class VectorDatabase:
         `index_documents` analog regardless of doc scope."""
         from vector_database_spark.operators import ann
 
+        if self.index_type == "bq":
+            self._bq_build_all()
+            return
         vecs = self.text().select(
             F.col("text_id").alias("id"),
             F.col("vector").cast("array<double>").alias("vector"),
@@ -196,6 +286,8 @@ class VectorDatabase:
         from vector_database_spark.functions.vector import euclidean
         from vector_database_spark.operators import ann
 
+        if self.index_type == "bq":
+            return self._bq_append(df)
         batch = df.select(
             F.col("text_id").alias("id"),
             F.col("vector").cast("array<double>").alias("vector"),
@@ -243,13 +335,18 @@ class VectorDatabase:
 
         if not self._ann_exists():
             return
-        sub = "codes" if self.index_type == "ivfadc" else "vectors"
         ids = self.text().select(F.col("text_id").alias("id"))
         keep = (
             self._ann_vectors()
             .join(ids, "id", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if self.index_type == "bq":
+            # codes are unpartitioned (no trained layout) — plain
+            # overwrite of the pinned survivors
+            self._bq_codes_write(keep, mode="overwrite")
+            return
+        sub = "codes" if self.index_type == "ivfadc" else "vectors"
         keep.repartition("cell").write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
         ).partitionBy("cell").parquet(f"{self.ann_path}/{sub}")
@@ -263,8 +360,13 @@ class VectorDatabase:
         a cell whose centroid is within domain + radius(cell) of q.
         The 1e-9 slack absorbs driver-float vs fold-eval ulp at the
         boundary. Probed cells map to partition-pruned reads of the
-        per-cell layout."""
+        per-cell layout. The 'bq' backend has no cells: its candidate
+        set is the Hamming top-``bq_m`` (the facade's documented
+        APPROXIMATE trade — exact distances, bounded recall)."""
         import math
+
+        if self.index_type == "bq":
+            return self._bq_candidate_ids(vector)
 
         cents = self._ann_centroids()
         rad = {
@@ -403,29 +505,7 @@ class VectorDatabase:
         Returns the started StreamingQuery."""
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            fresh = batch_df
-            try:
-                existing = (
-                    self.text()
-                    .join(
-                        batch_df.select("doc_id").distinct(),
-                        "doc_id",
-                        "left_semi",
-                    )
-                    .select("doc_id", "text_id")
-                )
-                # pin BEFORE add_documents appends to the text table
-                # (the anti-join plan reads it — read-under-write)
-                fresh = batch_df.join(
-                    existing, ["doc_id", "text_id"], "left_anti"
-                ).localCheckpoint(eager=True)
-                if fresh.isEmpty():
-                    return
-            except Exception:
-                pass  # first batch: no text table yet
-            self.add_documents(fresh, reindex=reindex)
+            self._ingest_micro_batch(batch_df, reindex=reindex)
 
         writer = stream_df.writeStream.foreachBatch(handle).option(
             "checkpointLocation", checkpoint
@@ -433,6 +513,41 @@ class VectorDatabase:
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _ingest_micro_batch(self, batch_df: DataFrame, *, reindex) -> None:
+        """One micro-batch through the `add_documents` contract with
+        the redelivery anti-join. The first-batch guard is NARROW
+        (round-8 verdict item 6): only the missing-text-table
+        analysis error skips the idempotence anti-join — a transient
+        read failure on a later batch fails the batch LOUDLY (the
+        stream retries it) instead of silently double-ingesting
+        under at-least-once redelivery (pytest-pinned)."""
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df
+        try:
+            existing = (
+                self.text()
+                .join(
+                    batch_df.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select("doc_id", "text_id")
+            )
+            # pin BEFORE add_documents appends to the text table
+            # (the anti-join plan reads it — read-under-write)
+            fresh = batch_df.join(
+                existing, ["doc_id", "text_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                return
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise  # real analysis problem — never swallow it
+            fresh = batch_df  # first batch: no text table yet
+        self.add_documents(fresh, reindex=reindex)
 
     def tail(self) -> DataFrame:
         """Un-indexed rows (see `catalog.tail_rows`); for the

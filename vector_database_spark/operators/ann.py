@@ -1939,7 +1939,7 @@ def mips_knn(
 
 def knn_join(
     queries_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     k: int,
     *,
     query_id_col: str = "id",
@@ -1955,6 +1955,7 @@ def knn_join(
     method: str = "dgemm",
     cell_cap: int | None = None,
     collapse_dups: bool = True,
+    layout_path: str | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of a (large) query table,
     the k nearest corpus rows — ``(qid, id, dist, rank)``. The
@@ -1988,7 +1989,18 @@ def knn_join(
     bit-identical vectors on BOTH sides collapse to one
     representative before the pair stage (clone corpora are exactly
     what a dedup pipeline feeds this join) and results fan back out,
-    output-identical to the uncollapsed join (pytest-pinned)."""
+    output-identical to the uncollapsed join (pytest-pinned).
+
+    ``layout_path`` (round-8 verdict item 4): serve the join off a
+    stored `ivf_write` layout — assignments AND centroids come from
+    disk (``corpus_df``/``centroids`` must then be None), so repeated
+    joins against the same corpus skip the per-call assignment pass
+    entirely (the `bq_knn(codes=)` / graph-layout store-once
+    pattern); only the query side is probed per call, and the
+    candidate scan reads the cell-partitioned vectors table.
+    Layout-served output == the inline build with the same centroids
+    (pytest-pinned; the corpus side is served as stored — collapse
+    applies to the query side only)."""
     from vector_database_spark.operators.graph import (
         _blocked_narrow,
         _blocked_probes,
@@ -2004,15 +2016,45 @@ def knn_join(
 
     if method not in ("expr", "dgemm"):
         raise ValueError(f"method must be expr|dgemm, got {method!r}")
-    cc = corpus_df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vector_col).cast("array<double>").alias("vector"),
-    )
     qq = queries_df.select(
         F.col(query_id_col).cast("long").alias("id"),
         F.col(query_vector_col).cast("array<double>").alias("vector"),
     )
     cap = _CELL_CAP if cell_cap is None else int(cell_cap)
+    if layout_path is not None:
+        if corpus_df is not None or centroids is not None:
+            raise ValueError(
+                "knn_join: layout_path replaces corpus_df/centroids — "
+                "pass queries_df, k, and layout_path only"
+            )
+        stored, centroids = ivf_read(queries_df.sparkSession, layout_path)
+        members = stored.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).cast("array<double>").alias("vector"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        probes = _blocked_probes(qq, centroids, nprobe, method)
+        narrow = _blocked_narrow(
+            members, probes, k, method, cell_cap=cap, exclude_self=False
+        )
+        local = _grouped_topk(narrow, int(k), "src", "dst")
+        w = _W.partitionBy("src").orderBy(
+            F.col("dist").asc(), F.col("dst").asc()
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(
+                F.col("src").alias("qid"),
+                F.col("dst").alias("id"),
+                "dist",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    cc = corpus_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
     if method == "dgemm" and collapse_dups:
         if centroids is None:
             first = cc.select(F.size("vector").alias("d")).first()

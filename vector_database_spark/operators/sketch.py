@@ -1318,6 +1318,15 @@ def bloom_build(
     shards/streams build independently and merge losslessly
     (pytest-pinned). One explode (k rows/key) + one
     map-side-combined bit_or aggregate over at most n_bits/32 groups.
+
+    The build GEOMETRY rides the lane table as literal ``n_bits`` /
+    ``k`` columns (round-8 ADVICE): probing with a different
+    geometry than the build silently yields false negatives, so
+    `bloom_probe` reads the carried geometry by default and REFUSES
+    a mismatching explicit one. Merges must group by
+    (lane, n_bits, k) — constant columns, so the groups are
+    unchanged and a geometry mix-up surfaces as duplicate lanes
+    instead of silent bit aliasing.
     """
     nb, kk = int(n_bits), int(k)
     if nb % BLOOM_LANE_BITS:
@@ -1342,6 +1351,12 @@ def bloom_build(
         )
         .groupBy("lane")
         .agg(F.bit_or("_m").alias("bits"))
+        .select(
+            "lane",
+            "bits",
+            F.lit(nb).cast("int").alias("n_bits"),
+            F.lit(kk).cast("int").alias("k"),
+        )
     )
 
 
@@ -1350,8 +1365,8 @@ def bloom_probe(
     probes: DataFrame,
     *,
     key_col: str = "key",
-    n_bits: int = 16384,
-    k: int = 3,
+    n_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Membership test against a `bloom_build` filter:
     ``(key, present)`` per probe — ``present`` iff all ``k`` bit
@@ -1361,8 +1376,42 @@ def bloom_probe(
     filter — broadcast — and one bool_and per key folds the verdict.
     The filter, not the corpus, is the join's small side: probing a
     100 TB candidate stream is one broadcast join + one aggregate.
+
+    Geometry is read from the filter's carried ``n_bits``/``k``
+    columns by default (round-8 ADVICE — a mismatched probe geometry
+    silently breaks the no-false-negative contract); passing them
+    explicitly is validated against the carried values, and a filter
+    from several merged builds with MIXED geometry is rejected.
     """
-    nb, kk = int(n_bits), int(k)
+    carried = None
+    if {"n_bits", "k"} <= set(filt.columns):
+        geos = filt.select("n_bits", "k").distinct().collect()
+        if len(geos) != 1:
+            raise ValueError(
+                "bloom_probe: filter carries mixed geometries "
+                f"{sorted((g['n_bits'], g['k']) for g in geos)} — merged "
+                "lanes from differently-built filters are not a Bloom "
+                "filter"
+            )
+        carried = (int(geos[0]["n_bits"]), int(geos[0]["k"]))
+    if carried is not None:
+        if n_bits is not None and int(n_bits) != carried[0]:
+            raise ValueError(
+                f"bloom_probe: n_bits={n_bits} != the filter's build "
+                f"geometry n_bits={carried[0]} — probing would yield "
+                "false negatives"
+            )
+        if k is not None and int(k) != carried[1]:
+            raise ValueError(
+                f"bloom_probe: k={k} != the filter's build geometry "
+                f"k={carried[1]} — probing would yield false negatives"
+            )
+        nb, kk = carried
+    else:
+        # legacy lane table without carried geometry: explicit values
+        # (or the historical defaults) are the caller's contract
+        nb = int(n_bits) if n_bits is not None else 16384
+        kk = int(k) if k is not None else 3
     from vector_database_spark.functions.hashing import h60
 
     p = probes.select(F.col(key_col).alias("_key"))

@@ -293,4 +293,8 @@ def read_bloom(spark: SparkSession, state_path: str) -> DataFrame:
     lanes = spark.read.option("basePath", state_path).parquet(
         f"{state_path}/batch=*"
     )
-    return lanes.groupBy("lane").agg(F.bit_or("bits").alias("bits"))
+    # geometry columns are constants per build; grouping by them
+    # keeps them on the merged filter (bloom_probe reads + validates)
+    return lanes.groupBy("lane", "n_bits", "k").agg(
+        F.bit_or("bits").alias("bits")
+    ).select("lane", "bits", "n_bits", "k")
