@@ -140,6 +140,19 @@ def main() -> int:
     plan.append(("knn_graph_blocked", _blocked_build))
     plan.append(("beam_search", _beam))
 
+    # sub-scan MIPS tier (round-8 verdict item 3): the norm-augmented
+    # IVF dgemm path — the v26 gate deliberately runs the expr oracle
+    # twin, this benches the shape a user ships
+    def _mips():
+        from vector_database_spark.operators.ann import mips_knn
+
+        vecs = workload._embeddings(spark, sf_dir)
+        panel = workload._panel(spark, sf_dir)
+        qdf = spark.createDataFrame(panel, "qid long, qvec array<double>")
+        _force(mips_knn(vecs, qdf, 10, n_cells=16, nprobe=4))
+
+    plan.append(("mips_knn", _mips))
+
     # unified-facade serving entries (round-7 verdict item 8): one
     # search per backend over ONE prebuilt 100k x 16 store each (the
     # build is setup, like the beam graph — the benchmark times the
@@ -189,7 +202,9 @@ def main() -> int:
             _facades[t] = vdb
         return _facades[t]
 
-    for t in ("bsp", "ivf", "ivfadc"):
+    for t in ("bsp", "ivf", "ivfadc", "bq"):
+        # 'bq' (round-8 verdict item 5): the Hamming-candidate +
+        # exact-rerank serving path — the facade's approximate tier
         def _fsearch(t=t):
             _force(_facade(t).search(_fdata[1], 0.35))
 
@@ -206,7 +221,7 @@ def main() -> int:
     # warm the facade stores BEFORE the timed passes: the build is
     # setup (like the beam graph), and a build-polluted pass-1 sample
     # would break the per-pass anchor-ratio discipline
-    for t in ("bsp", "ivf", "ivfadc"):
+    for t in ("bsp", "ivf", "ivfadc", "bq"):
         _facade(t)
 
     samples: dict[str, list[float]] = {name: [] for name, _ in plan}

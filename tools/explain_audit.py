@@ -362,6 +362,14 @@ CHECKS = {
         "argmax is an aggregate, never a window — the train side "
         "shuffles only per-train partials",
     ),
+    "v26_mips_ivf": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "MIPS via norm augmentation: probes broadcast against the "
+        "assigned corpus (an equi-join on cell), the corpus never "
+        "shuffles for the candidate join; the only crossJoin is the "
+        "panel x centroids probe ranking (both broadcast-tiny)",
+    ),
 }
 
 

@@ -7,14 +7,17 @@ anchor-adjusted — and unlike d03 there was a real code change on the
 path (the hot-cell sub-bucket machinery: a members-count aggregate,
 two broadcast joins, a union, and a two-key groupBy). Round 9 adds
 the exact-duplicate collapse (one corpus-wide window exchange + the
-fan-out joins) as the default. Single-process interleaving is the
+fan-out joins) behind a bounded-sample auto gate. Single-process interleaving is the
 only protocol that separates host throttle from plan cost on this
 rig (the d03/index_build precedent): per round, run the EXACT bench
 thunks back-to-back —
 
     anchor    r01_q1_agg (the cross-round ruler)
-    collapse  knn_graph_blocked default          (r9 shape)
-    plain     knn_graph_blocked collapse_dups=False (r8 shape)
+    auto      knn_graph_blocked default (r9 ship shape: bounded-sample
+              dup detect -> plain path on this all-distinct data)
+    collapse  knn_graph_blocked collapse_dups=True (forced fan-out)
+    plain     knn_graph_blocked collapse_dups=False (r8 shape + the
+              r9 driver-side fast path when no cell exceeds the cap)
 
 min-of-N each, and compare anchor ratios to the committed artifacts:
 
@@ -65,7 +68,7 @@ def main() -> None:
     def anchor():
         force(qs["r01_q1_agg"](spark, sf_dir))
 
-    def build(collapse: bool):
+    def build(collapse):
         force(
             knn_graph_blocked(
                 workload._embeddings(spark, sf_dir),
@@ -77,16 +80,20 @@ def main() -> None:
             )
         )
 
-    # warm all three plans once (JIT + python pool), untimed
+    # warm all plans once (JIT + python pool), untimed
     anchor()
+    build("auto")
     build(True)
     build(False)
 
-    ta, tc, tp = [], [], []
+    ta, tu, tc, tp = [], [], [], []
     for i in range(rounds):
         t0 = time.time()
         anchor()
         ta.append(time.time() - t0)
+        t0 = time.time()
+        build("auto")
+        tu.append(time.time() - t0)
         t0 = time.time()
         build(True)
         tc.append(time.time() - t0)
@@ -94,25 +101,28 @@ def main() -> None:
         build(False)
         tp.append(time.time() - t0)
         print(
-            f"round {i}: anchor {ta[-1]:.3f}s collapse {tc[-1]:.3f}s "
-            f"plain {tp[-1]:.3f}s",
+            f"round {i}: anchor {ta[-1]:.3f}s auto {tu[-1]:.3f}s "
+            f"collapse {tc[-1]:.3f}s plain {tp[-1]:.3f}s",
             flush=True,
         )
 
-    ba, bc, bp = min(ta), min(tc), min(tp)
+    ba, bu, bc, bp = min(ta), min(tu), min(tc), min(tp)
     print(
         json.dumps(
             {
                 "probe": "knn_graph_ab",
                 "rounds": rounds,
                 "anchor_best": round(ba, 3),
+                "auto_best": round(bu, 3),
                 "collapse_best": round(bc, 3),
                 "plain_best": round(bp, 3),
+                "auto_ratio": round(bu / ba, 2),
                 "collapse_ratio": round(bc / ba, 2),
                 "plain_ratio": round(bp / ba, 2),
                 "r7_ratio": 2.84,
                 "r8_ratio": 3.95,
                 "anchor_runs": [round(t, 3) for t in ta],
+                "auto_runs": [round(t, 3) for t in tu],
                 "collapse_runs": [round(t, 3) for t in tc],
                 "plain_runs": [round(t, 3) for t in tp],
             }

@@ -1954,7 +1954,7 @@ def knn_join(
     train_rows: int = 262_144,
     method: str = "dgemm",
     cell_cap: int | None = None,
-    collapse_dups: bool = True,
+    collapse_dups: bool | str = "auto",
     layout_path: str | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of a (large) query table,
@@ -1985,11 +1985,15 @@ def knn_join(
     bit-exact oracle path (gate on expr, scale on dgemm — the
     g04/g07 rule).
 
-    ``collapse_dups`` (default, dgemm only — round-8 verdict item 1):
+    ``collapse_dups`` (dgemm only — round-8 verdict item 1):
     bit-identical vectors on BOTH sides collapse to one
     representative before the pair stage (clone corpora are exactly
     what a dedup pipeline feeds this join) and results fan back out,
-    output-identical to the uncollapsed join (pytest-pinned).
+    output-identical to the uncollapsed join (pytest-pinned). The
+    default ``'auto'`` runs the bounded-sample duplicate check on
+    the corpus side (`graph._sample_has_dup_vectors`) and collapses
+    only when clones are present — either plan is output-identical,
+    so the cheap detector only ever picks the faster one.
 
     ``layout_path`` (round-8 verdict item 4): serve the join off a
     stored `ivf_write` layout — assignments AND centroids come from
@@ -2055,6 +2059,12 @@ def knn_join(
         F.col(id_col).cast("long").alias("id"),
         F.col(vector_col).cast("array<double>").alias("vector"),
     )
+    if method == "dgemm" and collapse_dups == "auto":
+        from vector_database_spark.operators.graph import (
+            _sample_has_dup_vectors,
+        )
+
+        collapse_dups = _sample_has_dup_vectors(cc, seed=seed)
     if method == "dgemm" and collapse_dups:
         if centroids is None:
             first = cc.select(F.size("vector").alias("d")).first()
@@ -2088,12 +2098,13 @@ def knn_join(
         expanded = _expand_collapsed_edges(
             rep_edges, q_ann, c_near, k, own_group=False
         )
-        local = _grouped_topk(expanded, int(k), "src", "dst")
+        # expansion is bounded per src (cum cut) — plain window, no
+        # Arrow pre-reduction stage needed
         w = _W.partitionBy("src").orderBy(
             F.col("dist").asc(), F.col("dst").asc()
         )
         return (
-            local.withColumn("rank", F.row_number().over(w))
+            expanded.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
             .select(
                 F.col("src").alias("qid"),

@@ -623,7 +623,7 @@ def knn_graph_blocked(
     train_rows: int = 262_144,
     method: str = "dgemm",
     cell_cap: int = None,
-    collapse_dups: bool = True,
+    collapse_dups: bool | str = "auto",
 ) -> DataFrame:
     """Scale-safe kNN-graph construction (round-6 verdict item 1 —
     replaces `knn_graph(method='dgemm')`'s driver-collected corpus
@@ -655,16 +655,20 @@ def knn_graph_blocked(
     rule). ``centroids`` (e.g. seeded rows) skips Lloyd for
     deterministic replay.
 
-    ``collapse_dups`` (default, dgemm only — round-8 verdict item 1):
+    ``collapse_dups`` (dgemm only — round-8 verdict item 1):
     bit-identical vectors collapse to one representative before pair
     generation and edges fan back out afterwards
     (`_collapse_dup_vectors` / `_expand_collapsed_edges`), turning a
     clone pile's quadratic pair work linear while staying
     edge-for-edge identical to the uncollapsed build (pytest-pinned;
     the hot-cell cap still bounds kernel memory for many-DISTINCT hot
-    cells). Costs one extra corpus-wide exchange on the vector key —
-    the same order as the assignment pass, always worth it ahead of
-    an n²-shaped stage."""
+    cells). The collapse costs one corpus-wide exchange on the vector
+    key plus the fan-out joins — the right trade on clone-heavy data,
+    dead weight on all-distinct data — so the default ``'auto'``
+    decides with a bounded-sample duplicate check
+    (`_sample_has_dup_vectors`: one ≤16k-row job at any corpus size;
+    sound because either plan is output-identical). True forces it,
+    False disables it."""
     from vector_database_spark.operators.ann import (
         _assign_cells,
         _lloyd,
@@ -680,6 +684,8 @@ def knn_graph_blocked(
         F.col(vector_col).cast("array<double>").alias("vector"),
     )
     cap = _CELL_CAP if cell_cap is None else int(cell_cap)
+    if method == "dgemm" and collapse_dups == "auto":
+        collapse_dups = _sample_has_dup_vectors(vv, seed=seed)
     if method == "dgemm" and collapse_dups:
         if centroids is None:
             # train exactly as ivf_build does (bounded sample of the
@@ -709,7 +715,17 @@ def knn_graph_blocked(
         expanded = _expand_collapsed_edges(
             rep_edges, ann_c, near, k, own_group=True
         )
-        return _rank_topk_edges(expanded, k)
+        # the expansion is bounded (≤ ~3k rows/src by the cum cut),
+        # so the final rank is one plain window — the Arrow
+        # pre-reduction in _rank_topk_edges would be a wasted stage
+        w = Window.partitionBy("src").orderBy(
+            F.col("dist").asc(), F.col("dst").asc()
+        )
+        return (
+            expanded.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("src", "dst", "dist", "rank")
+        )
     if centroids is None:
         assigned, centroids = ivf_build(
             vv, n_cells=n_cells, iters=iters, seed=seed, train_rows=train_rows
@@ -771,7 +787,18 @@ def _blocked_narrow(
     an uncapped build edge-for-edge (pytest-pinned). Kernel memory
     is now ∝ cell_cap, never the largest cell. NOTE: the dgemm path
     consumes `members` twice (bucket counts + the join) — callers
-    pin it (localCheckpoint) so assignment kernels never run twice."""
+    pin it (localCheckpoint) so assignment kernels never run twice.
+
+    FAST PATH (round-8 verdict item 2, A/B-attributed): per-cell
+    counts are collected DRIVER-SIDE (≤ n_cells longs — the same
+    aggregate the in-plan machinery paid, materialized once); when
+    no cell exceeds ``cell_cap`` the bucket machinery (two broadcast
+    joins, probe replication, the two-key groupBy) is skipped and
+    the kernel groups on `cell` alone — the r7 plan shape the
+    interleaved A/B showed the machinery taxing ~0.3 s per build at
+    panel scale (data/probes/knn_graph_ab_r9.json). When buckets ARE
+    needed, the bucket counts join as a literal broadcast frame
+    instead of a second in-plan aggregate."""
     kk = int(k)
     if method == "expr":
         from vector_database_spark.functions.vector import euclidean
@@ -808,26 +835,46 @@ def _blocked_narrow(
         F.col("vector").cast("array<double>").alias("vector"),
         F.lit(0).alias("is_member"),
     )
-    # per-cell sub-bucket counts: n_cells rows, broadcast to both sides
-    counts = mem.groupBy("cell").agg(
-        F.greatest(
-            F.lit(1),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(int(cell_cap)))),
+    # per-cell member counts, driver-side (≤ n_cells longs): decides
+    # the fast path and sizes the sub-buckets without a second
+    # in-plan aggregate
+    import math as _math
+
+    cap = int(cell_cap)
+    cnts = {
+        int(r["cell"]): int(r["n"])
+        for r in mem.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bucketed = bool(cnts) and max(cnts.values()) > cap
+
+    if bucketed:
+        spark = members.sparkSession
+        nb_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (c, max(1, _math.ceil(n / cap)))
+                    for c, n in sorted(cnts.items())
+                ],
+                "cell int, _nb int",
+            )
         )
-        .cast("int")
-        .alias("_nb")
-    )
-    mem_b = mem.join(F.broadcast(counts), "cell").withColumn(
-        "bucket",
-        F.pmod(h60(F.col("id").cast("string")), F.col("_nb")).cast("int"),
-    )
-    # probes replicate into every bucket of a probed cell (inner join
-    # also drops probes into member-less cells — the kernel emitted
-    # nothing for those anyway)
-    prb_b = prb.join(F.broadcast(counts), "cell").withColumn(
-        "bucket", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
-    )
-    both = mem_b.unionByName(prb_b).drop("_nb")
+        mem_b = mem.join(nb_df, "cell").withColumn(
+            "bucket",
+            F.pmod(h60(F.col("id").cast("string")), F.col("_nb")).cast(
+                "int"
+            ),
+        )
+        # probes replicate into every bucket of a probed cell (inner
+        # join also drops probes into member-less cells — the kernel
+        # emitted nothing for those anyway)
+        prb_b = prb.join(nb_df, "cell").withColumn(
+            "bucket", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+        )
+        both = mem_b.unionByName(prb_b).drop("_nb")
+    else:
+        both = mem.unionByName(prb)
 
     _excl = bool(exclude_self)
 
@@ -900,7 +947,8 @@ def _blocked_narrow(
 
         return kern
 
-    return both.groupBy("cell", "bucket").applyInPandas(
+    keys = ["cell", "bucket"] if bucketed else ["cell"]
+    return both.groupBy(*keys).applyInPandas(
         make_cell_kernel(kk), "src long, dst long, dist double"
     )
 
@@ -926,6 +974,34 @@ def _rank_topk_edges(narrow: DataFrame, k: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 # exact-duplicate collapse (round-8 verdict item 1)
 # ---------------------------------------------------------------------------
+
+
+def _sample_has_dup_vectors(vv: DataFrame, *, seed: int = 9) -> bool:
+    """Bounded-sample duplicate detector behind ``collapse_dups=
+    'auto'``: pull the deterministic hash-threshold sample the IVF
+    trainer already uses (≤ 16k rows, one tiny job at ANY corpus
+    size) and check for bit-identical vectors with one np.unique.
+    Sound because the decision is PERFORMANCE-ONLY — collapse is
+    output-identical to the plain build — and a clone pile big
+    enough to hurt (a material fraction of the corpus) collides in
+    a 16k sample with overwhelming probability; a missed micro-pile
+    just runs the plain (still-correct, cap-bounded) path."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import _train_sample
+
+    first = vv.select(F.size("vector").alias("d")).first()
+    if first is None or first["d"] is None:
+        return False
+    X, _n = _train_sample(
+        vv.select("id", "vector"),
+        dims=int(first["d"]),
+        train_rows=16384,
+        seed=seed,
+    )
+    if len(X) < 2:
+        return False
+    return len(np.unique(X, axis=0)) < len(X)
 
 
 def _collapse_dup_vectors(vv: DataFrame, k: int):
