@@ -712,3 +712,50 @@ def test_bellman_ford_matches_python(spark):
     assert got == dist
     assert got[1] == 3  # the light 3-hop path beat the heavy 1-hop one
     assert 5 not in got and 6 not in got
+
+
+def test_knn_graph_write_clone_heavy_append_equals_rebuild(
+    spark, embeddings, tmp_path
+):
+    """Cross-path bit-identity on CLONE-HEAVY data: knn_graph_write's
+    bulk build takes the collapsed path (auto-detected), the append
+    fix-up runs the uncollapsed per-member kernel, and a full
+    collapsed rebuild must still match the stored layout
+    edge-for-edge — the collapse proof is exercised across all three
+    constructions at once."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import ivf_read
+    from vector_database_spark.operators.graph import (
+        knn_graph_append,
+        knn_graph_blocked,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    vecs = _vecs(embeddings).where(F.col("id") < 300)
+    clone = vecs.where(F.col("id") == 4).select("vector").first()["vector"]
+    piles = spark.range(60).select(
+        (F.col("id") + 7000).alias("id"),
+        F.lit([float(x) for x in clone]).cast("array<double>").alias("vector"),
+    )
+    base = vecs.unionByName(piles)
+    batch = _vecs(embeddings).where(
+        (F.col("id") >= 300) & (F.col("id") < 360)
+    )
+    root = str(tmp_path / "kgc")
+    knn_graph_write(base, 4, root, n_cells=8, nprobe=2, method="dgemm", seed=3)
+    _, cents = ivf_read(spark, root)
+    knn_graph_append(spark, root, batch, retrain="never")
+    got_edges, _meta = knn_graph_read(spark, root)
+    got = {
+        (r.src, r.dst, r.rank, round(r.dist, 12)) for r in got_edges.collect()
+    }
+    want = {
+        (r.src, r.dst, r.rank, round(r.dist, 12))
+        for r in knn_graph_blocked(
+            base.unionByName(batch), 4, centroids=cents, nprobe=2,
+            method="dgemm", collapse_dups=True,
+        ).collect()
+    }
+    assert got == want and got

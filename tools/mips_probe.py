@@ -75,11 +75,29 @@ def main() -> int:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # layout built ONCE (the store-once serving rule: per-call
+    # rebuild was measured SLOWER than the exact scan); the timed
+    # passes compare SERVING costs
+    from vector_database_spark.operators.ann import mips_build
+
+    t0 = time.time()
+    assigned, cents, m2 = mips_build(
+        vecs, n_cells=n_cells, seed=11
+    )
+    assigned = assigned.persist()
+    assigned.count()
+    t_build = time.time() - t0
+    print(f"mips_build({n_cells} cells): {t_build:.1f}s", flush=True)
+
+    def serve():
+        return mips_knn(
+            vecs, qdf, k, nprobe=nprobe,
+            assigned=assigned, centroids=cents, m2=m2,
+        )
+
     # warm both plans, untimed
     force(knn(vecs, panel, k, metric="dot"))
-    force(
-        mips_knn(vecs, qdf, k, n_cells=n_cells, nprobe=nprobe, seed=11)
-    )
+    force(serve())
 
     t_brute, t_mips = [], []
     for i in range(passes):
@@ -87,9 +105,7 @@ def main() -> int:
         force(knn(vecs, panel, k, metric="dot"))
         t_brute.append(time.time() - t0)
         t0 = time.time()
-        force(
-            mips_knn(vecs, qdf, k, n_cells=n_cells, nprobe=nprobe, seed=11)
-        )
+        force(serve())
         t_mips.append(time.time() - t0)
         print(
             f"pass {i}: brute {t_brute[-1]:.1f}s mips {t_mips[-1]:.1f}s",
@@ -100,9 +116,7 @@ def main() -> int:
     for r in knn(vecs, panel, k, metric="dot").collect():
         exact.setdefault(r["qid"], set()).add(r["id"])
     got = {}
-    for r in mips_knn(
-        vecs, qdf, k, n_cells=n_cells, nprobe=nprobe, seed=11
-    ).collect():
+    for r in serve().collect():
         got.setdefault(r["qid"], set()).add(r["id"])
     recalls = [
         len(exact[q] & got.get(q, set())) / k for q in exact
@@ -110,7 +124,8 @@ def main() -> int:
     recall = sum(recalls) / len(recalls)
 
     out = {
-        "metric": "MIPS pruned tier vs exact full-scan dot",
+        "metric": "MIPS pruned tier (stored layout) vs exact full-scan dot",
+        "build_sec": round(t_build, 2),
         "n": n,
         "dims": dims,
         "n_cells": n_cells,

@@ -706,26 +706,7 @@ def knn_graph_blocked(
             ]
         else:
             centroids = [[float(x) for x in c] for c in centroids]
-        ann_c, reps, near = _collapse_dup_vectors(vv, k)
-        members = _assign_cells(reps, centroids).localCheckpoint(eager=False)
-        probes = _probe_cells_kernel(reps, centroids, nprobe)
-        rep_edges = _rank_topk_edges(
-            _blocked_narrow(members, probes, k, "dgemm", cell_cap=cap), k
-        )
-        expanded = _expand_collapsed_edges(
-            rep_edges, ann_c, near, k, own_group=True
-        )
-        # the expansion is bounded (≤ ~3k rows/src by the cum cut),
-        # so the final rank is one plain window — the Arrow
-        # pre-reduction in _rank_topk_edges would be a wasted stage
-        w = Window.partitionBy("src").orderBy(
-            F.col("dist").asc(), F.col("dst").asc()
-        )
-        return (
-            expanded.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= int(k))
-            .select("src", "dst", "dist", "rank")
-        )
+        return _collapsed_graph_edges(vv, centroids, k, nprobe, cap)
     if centroids is None:
         assigned, centroids = ivf_build(
             vv, n_cells=n_cells, iters=iters, seed=seed, train_rows=train_rows
@@ -1052,6 +1033,40 @@ def _collapse_dup_vectors(vv: DataFrame, k: int):
     return ann, reps, near
 
 
+def _collapsed_graph_edges(
+    vv: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int,
+    cap: int,
+) -> DataFrame:
+    """The collapsed self-graph build: collapse → rep-level blocked
+    build (cap-bounded) → fan-out → one plain window (the expansion
+    is bounded ≤ ~3k rows/src by the cum cut, so the Arrow
+    pre-reduction in `_rank_topk_edges` would be a wasted stage).
+    Shared by `knn_graph_blocked` and `knn_graph_write`'s bulk edge
+    build so their clone-pile behavior can never drift."""
+    from vector_database_spark.operators.ann import _assign_cells
+
+    ann_c, reps, near = _collapse_dup_vectors(vv, k)
+    members = _assign_cells(reps, centroids).localCheckpoint(eager=False)
+    probes = _probe_cells_kernel(reps, centroids, nprobe)
+    rep_edges = _rank_topk_edges(
+        _blocked_narrow(members, probes, k, "dgemm", cell_cap=cap), k
+    )
+    expanded = _expand_collapsed_edges(
+        rep_edges, ann_c, near, k, own_group=True
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    return (
+        expanded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("src", "dst", "dist", "rank")
+    )
+
+
 def _expand_collapsed_edges(
     rep_edges: DataFrame,
     src_members: DataFrame,
@@ -1208,7 +1223,18 @@ def knn_graph_write(
     # and the stats pass — pin it
     members = members.localCheckpoint()
     probes = _blocked_probes(vv, centroids, nprobe, method).localCheckpoint()
-    edges = _rank_topk_edges(_blocked_narrow(members, probes, k, method), k)
+    # the PERSISTED members/probes stay per-member (the append
+    # contract reads them); the edge BUILD takes the collapsed path
+    # on clone-heavy input (round-8 verdict item 1 — output-identical,
+    # linear instead of quadratic in a clone pile)
+    if method == "dgemm" and _sample_has_dup_vectors(vv, seed=seed):
+        edges = _collapsed_graph_edges(
+            vv, centroids, k, nprobe, _CELL_CAP
+        )
+    else:
+        edges = _rank_topk_edges(
+            _blocked_narrow(members, probes, k, method), k
+        )
     ivf_write(members, centroids, path)
     probes.select("id", "pr", "cell").repartition("cell").write.mode(
         "overwrite"
