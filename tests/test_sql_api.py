@@ -225,3 +225,57 @@ def test_sql_index_document_ivf_family_lifecycle(spark, tmp_path):
         assert {x for x in got if x[0] % 3 != 1} == {
             x for x in after if x[0] % 3 != 1
         }, t
+
+
+def test_sql_index_document_bq_views_and_hamming_sql(spark, tmp_path):
+    """Round-8 verdict item 5, SQL spelling: index_type='bq'
+    registers the code-lane table as `vector_index`; the docstring's
+    pure-SQL Hamming candidate query over it, reranked exactly
+    against `vectors`, equals the facade's own bq search."""
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.operators.ann import bq_lane_exprs
+    from vector_database_spark.sources.generators import random_uniform
+
+    q = [0.2, -0.1, 0.3, 0.05]
+    txt = (
+        random_uniform(spark, 100, 4, seed=37)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    root = str(tmp_path / "sql_bq")
+    txt.createOrReplaceTempView("text")
+    sql_api.sql_build_index(spark, root, index_type="bq")
+    assert spark.table("vector_index").columns == ["id", "code"]
+
+    # query lanes via the same expression the engine uses
+    qdf = spark.createDataFrame([(q,)], "qvec array<double>")
+    qlanes = qdf.select(
+        F.array(*bq_lane_exprs("qvec", 4)).alias("qcode")
+    ).first()["qcode"]
+    lanes_sql = ", ".join(f"{int(x)}L" for x in qlanes)
+    m = 24
+    cand = spark.sql(f"""
+        SELECT id, aggregate(zip_with(code, array({lanes_sql}),
+               (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x) AS h
+        FROM vector_index ORDER BY h, id LIMIT {m}
+    """)
+    cand.createOrReplaceTempView("bq_cand")
+    qlit = "array(" + ", ".join(repr(float(x)) for x in q) + ")"
+    rer = spark.sql(f"""
+        SELECT v.id, sqrt(aggregate(zip_with(v.vector, {qlit},
+               (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+               0.0D, (s, x) -> s + x)) AS dist
+        FROM vectors v JOIN bq_cand c ON c.id = v.id
+    """).where(F.col("dist") <= 0.8)
+    got = {(int(r.id), round(float(r.dist), 9)) for r in rer.collect()}
+
+    vdb = VectorDatabase(spark, root, index_type="bq", bq_m=m)
+    want = {
+        (int(r.text_id), round(float(r.dist), 9))
+        for r in vdb.search(q, 0.8).collect()
+    }
+    assert got == want and got

@@ -234,6 +234,37 @@ def sql_ivf_search(
     )
 
 
+def _sync_text_view(vdb, txt, doc_id) -> None:
+    """Sync a SQL text view's rows into a facade store: cast to the
+    STORED physical types (the add_documents rule — a double-typed
+    view synced into a float-vector store leaves mixed parquet files
+    the reader refuses), pin before overwriting (the view may itself
+    read the store), and swap only the given document's partition
+    (dynamic) or everything (static)."""
+    cols = ["doc_id", "text_id", "vector"]
+    if "text" in txt.columns:
+        cols.insert(2, "text")
+    sync = txt.select(*cols)
+    if doc_id is not None:
+        sync = sync.where(F.col("doc_id") == int(doc_id))
+    try:
+        stored = {f.name: f.dataType for f in vdb.text().schema.fields}
+    except Exception:
+        stored = {}
+    for c in cols:
+        if c in stored:
+            sync = sync.withColumn(c, F.col(c).cast(stored[c]))
+    sync = sync.localCheckpoint(eager=True)
+    mode = "dynamic" if doc_id is not None else "static"
+    (
+        sync.write.mode("overwrite")
+        .option("partitionOverwriteMode", mode)
+        .partitionBy("doc_id")
+        .parquet(vdb.text_path)
+    )
+    vdb._invalidate_index()
+
+
 def sql_index_document(
     spark: SparkSession,
     index_path: str,
@@ -278,10 +309,39 @@ def sql_index_document(
     vector), ``index_view`` (id, cell — the assignment table), and
     ``cells_view`` (cell, cvec, radius — the coarse model). Search
     via `ivf_search_sql_text` / `sql_ivf_search`: exact at any
-    domain, same contract as the BSP recursive-CTE path."""
+    domain, same contract as the BSP recursive-CTE path.
+
+    ``index_type='bq'`` (round-8 verdict item 5) syncs the same way
+    and registers ``vectors_view`` (id, vector) + ``index_view``
+    (id, code — the sign-bit lane table). There is no cells/radius
+    model; SQL-side Hamming candidates are one expression over the
+    code lanes, e.g.::
+
+        SELECT id, aggregate(zip_with(code, array(...query lanes...),
+               (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x) AS h
+        FROM vector_index ORDER BY h, id LIMIT <m>
+
+    then rerank the m ids exactly against ``vectors_view`` — the
+    facade's documented approximate 'bq' contract, spelled in SQL."""
     from vector_database_spark.operators import catalog
 
     txt = spark.table(text_view)
+    if index_type == "bq":
+        from vector_database_spark.api import VectorDatabase
+
+        vdb = VectorDatabase(
+            spark, index_path, local_threshold=local_threshold,
+            index_type="bq",
+        )
+        _sync_text_view(vdb, txt, doc_id)
+        vdb.index_documents()
+        vdb.text().selectExpr(
+            "text_id AS id", "vector"
+        ).createOrReplaceTempView(vectors_view)
+        vdb._ann_vectors().select("id", "code").createOrReplaceTempView(
+            index_view
+        )
+        return
     if index_type in ("ivf", "ivfadc"):
         from vector_database_spark.api import VectorDatabase
 
@@ -293,33 +353,7 @@ def sql_index_document(
             n_cells=n_cells,
             pq_m=pq_m,
         )
-        cols = ["doc_id", "text_id", "vector"]
-        if "text" in txt.columns:
-            cols.insert(2, "text")
-        sync = txt.select(*cols)
-        if doc_id is not None:
-            sync = sync.where(F.col("doc_id") == int(doc_id))
-        # conform to the STORED physical types (the add_documents
-        # rule): a double-typed view synced into a float-vector store
-        # leaves mixed parquet files the reader refuses
-        try:
-            stored = {f.name: f.dataType for f in vdb.text().schema.fields}
-        except Exception:
-            stored = {}
-        for c in cols:
-            if c in stored:
-                sync = sync.withColumn(c, F.col(c).cast(stored[c]))
-        # pin before overwriting: the view may itself read the store
-        sync = sync.localCheckpoint(eager=True)
-        mode_opts = {
-            "partitionOverwriteMode": "dynamic" if doc_id is not None
-            else "static"
-        }
-        w = sync.write.mode("overwrite")
-        for k_, v_ in mode_opts.items():
-            w = w.option(k_, v_)
-        w.partitionBy("doc_id").parquet(vdb.text_path)
-        vdb._invalidate_index()
+        _sync_text_view(vdb, txt, doc_id)
         vdb.index_documents()  # corpus-global coarse model
         vdb.text().selectExpr(
             "text_id AS id", "vector"
@@ -335,7 +369,7 @@ def sql_index_document(
         return
     if index_type != "bsp":
         raise ValueError(
-            f"index_type must be bsp|ivf|ivfadc, got {index_type!r}"
+            f"index_type must be bsp|ivf|ivfadc|bq, got {index_type!r}"
         )
     doc_ids = None if doc_id is None else [int(doc_id)]
     catalog.index_documents(
