@@ -206,3 +206,58 @@ def test_pack_sequences_invariants(spark):
         docs.repartition(13), capacity=64, n_shards=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_phases_exact_ntile(spark):
+    """Distributed exact ntile == the naive single-window reference,
+    including the n % k remainder distribution, descending order, and
+    the n < k degenerate case (one row per phase)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.pipeline import curriculum_phases
+
+    df = spark.range(103).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 31).alias("s")
+    )
+    got = {
+        (r.doc_id, r.rank, r.phase)
+        for r in curriculum_phases(
+            df, score_col="s", id_col="doc_id", n_phases=4, partitions=7
+        ).collect()
+    }
+    rows = sorted(
+        [(int(r.doc_id), int(r.s)) for r in df.collect()],
+        key=lambda t: (t[1], t[0]),
+    )
+    n, k = len(rows), 4
+    base, rem = n // k, n % k
+    want = set()
+    for i, (d, _s) in enumerate(rows):
+        r = i + 1
+        cut = rem * (base + 1)
+        ph = (
+            (r - 1) // (base + 1) + 1
+            if r <= cut
+            else rem + (r - cut - 1) // base + 1
+        )
+        want.add((d, r, ph))
+    assert got == want
+    # remainder: first n%k phases hold base+1 rows
+    sizes = {}
+    for _d, _r, p in got:
+        sizes[p] = sizes.get(p, 0) + 1
+    assert sorted(sizes.values(), reverse=True) == [26, 26, 26, 25]
+
+    # descending order flips the ranking
+    desc = curriculum_phases(
+        df, score_col="s", id_col="doc_id", n_phases=4, ascending=False
+    )
+    top = desc.where(F.col("rank") == 1).first()
+    assert top["s"] == max(s for _d, s in rows)
+
+    # n < k: one row per phase, phase == rank
+    tiny = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("s")
+    )
+    t = curriculum_phases(tiny, score_col="s", id_col="doc_id", n_phases=8)
+    assert {(r.rank, r.phase) for r in t.collect()} == {(1, 1), (2, 2), (3, 3)}

@@ -47,10 +47,14 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="facade_probe_")
     brute = None
     try:
-        for t in ("bsp", "ivf", "ivfadc"):
+        # 'bq' is the facade's documented APPROXIMATE backend: exact
+        # distances on Hamming top-bq_m candidates. The probe asserts
+        # the containment contract (hits ⊆ brute with equal values)
+        # and reports recall instead of demanding == brute.
+        for t in ("bsp", "ivf", "ivfadc", "bq"):
             vdb = VectorDatabase(
                 spark, f"{root}/{t}", index_type=t, n_cells=64,
-                local_threshold=65_536, pq_m=4,
+                local_threshold=65_536, pq_m=4, bq_m=4096,
             )
             t0 = time.time()
             vdb.add_documents(data)
@@ -66,6 +70,29 @@ def main() -> int:
                     (r.text_id, round(r.dist, 9))
                     for r in vdb.brute_force(q, domain).collect()
                 }
+            if t == "bq":
+                # recall is capped at bq_m/|ball| by construction (a
+                # 4096-candidate budget cannot cover a 23k-row ball);
+                # the contracts to assert are CONTAINMENT (every hit
+                # is a true ball member with the exact distance) and
+                # BUDGET EFFICIENCY (the Hamming stage spends its m
+                # candidates on in-ball rows, not wasted ones)
+                contained = got <= brute
+                cap = min(4096, len(brute))
+                eff = len(got) / max(1, cap)
+                print(
+                    f"{t}: build+index {t_build:.1f}s, search "
+                    f"{t_search:.1f}s, hits {len(got)}/{len(brute)} "
+                    f"(budget cap {cap}, efficiency {eff:.3f}), "
+                    f"hits ⊆ brute with exact dists: {contained}"
+                )
+                if not contained:
+                    print("FAIL: bq hit outside brute / wrong distance")
+                    ok = False
+                if eff < 0.5:
+                    print("FAIL: bq wasted its Hamming budget")
+                    ok = False
+                continue
             exact = got == brute
             line = (
                 f"{t}: build+index {t_build:.1f}s, search {t_search:.1f}s, "

@@ -386,3 +386,90 @@ def semantic_decontaminate(
         (-F.col("_b._n")).cast("long").alias("nearest_eval_id"),
         (F.col("_b._cos") >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_phases: int = 4,
+    ascending: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum-learning phase assignment: rank the corpus by a
+    difficulty/quality score (classic curricula order by length —
+    integer, engine-portable) and split the ranking into
+    ``n_phases`` SQL-standard ntile buckets (the first ``n % k``
+    phases get the extra row). Returns
+    ``(id, score, rank, phase)`` with rank 1-based over
+    (score, id) — the deterministic total order.
+
+    SCALE SHAPE — exact global ntile WITHOUT a single-task global
+    window: `repartitionByRange` + `sortWithinPartitions` is Spark's
+    parallel total sort; per-partition counts collect to the driver
+    (≤ #partitions longs), cumulative offsets join back broadcast,
+    and the within-partition `row_number` (parallel — partitioned by
+    the range partition id) plus its offset IS the exact global
+    rank. Phase comes from the rank by integer arithmetic, so a
+    DuckDB row_number replay hash-matches. Range boundaries are
+    sampled, but the output is boundary-independent: any split of
+    the sorted order yields the same offsets + ranks."""
+    if int(n_phases) < 1:
+        raise ValueError("n_phases must be >= 1")
+    spark = df.sparkSession
+    sdf = df.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+    order = [
+        F.col("_s").asc() if ascending else F.col("_s").desc(),
+        F.col("_id").asc(),
+    ]
+    nparts = int(
+        partitions or spark.sparkContext.defaultParallelism or 8
+    )
+    ranged = (
+        sdf.repartitionByRange(nparts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin: counts + ranks must see
+        # the SAME physical partitioning
+    )
+    cnts = {
+        int(r["_pid"]): int(r["c"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(cnts.values())
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, {score_col} long, rank long, phase long"
+        )
+    offs, acc = [], 0
+    for p in sorted(cnts):
+        offs.append((p, acc))
+        acc += cnts[p]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("_pid").orderBy(*order)
+    k = int(n_phases)
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+    ranked = ranged.join(F.broadcast(off_df), "_pid").withColumn(
+        "rank", (F.col("_off") + F.row_number().over(w)).cast("long")
+    )
+    if base == 0:
+        phase = F.col("rank")  # n < k: one row per phase, rank IS it
+    else:
+        phase = F.when(
+            F.col("rank") <= F.lit(cut),
+            F.expr(f"(rank - 1) div {base + 1}") + F.lit(1),
+        ).otherwise(
+            F.lit(rem) + F.expr(f"(rank - {cut} - 1) div {base}") + F.lit(1)
+        )
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_s").alias(score_col),
+        "rank",
+        phase.cast("long").alias("phase"),
+    )

@@ -5995,6 +5995,54 @@ def v26_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P11_PHASES = 5
+
+
+@query(
+    "p11_curriculum",
+    oracle=f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT
+                    AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rank,
+             (SELECT count(*) FROM t) AS n
+      FROM t)
+SELECT doc_id, n_tokens, rank::BIGINT AS rank,
+       (CASE WHEN rank <= (n % {_P11_PHASES}) * (n // {_P11_PHASES} + 1)
+             THEN (rank - 1) // (n // {_P11_PHASES} + 1) + 1
+             ELSE (n % {_P11_PHASES})
+                  + (rank - (n % {_P11_PHASES}) * (n // {_P11_PHASES} + 1) - 1)
+                    // (n // {_P11_PHASES}) + 1
+        END)::BIGINT AS phase
+FROM r
+""",
+)
+def p11_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment
+    (`pipeline.curriculum_phases`): rank the corpus by token count —
+    the classic order-by-length curriculum; integer, so the total
+    order is engine-portable with zero float risk — and split into
+    {_P11_PHASES} SQL-standard ntile phases. The Spark side computes
+    the EXACT global rank WITHOUT a single-task global window
+    (parallel range sort + per-partition offsets — the 100 TB
+    shape); phases come from the rank by pure integer arithmetic, so
+    the DuckDB row_number replay hash-matches (both engines'
+    division is floor here: every operand is nonnegative)."""
+    from vector_database_spark import pipeline as pl
+
+    docs = _t(spark, sf_dir, "documents")
+    st = tx.token_stats(docs).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    out = pl.curriculum_phases(
+        st, score_col="n_tokens", id_col="doc_id", n_phases=_P11_PHASES
+    )
+    return out.select("doc_id", "n_tokens", "rank", "phase")
+
+
 MICROS = 1_000_000
 _E22_WIDTH_S = 21600
 
@@ -6716,6 +6764,7 @@ _DRIVER_TAIL = [
     "v25_mips_knn",           # kNN family: v03 (L2) stays in the head
     "e22_ohlc_bars",          # events/rollup family: e01/e08 stay
     "v26_mips_ivf",           # ANN/MIPS family: a01/v25 stay in the head
+    "p11_curriculum",         # pipeline family: p01/p03 stay in the head
 ]
 
 
