@@ -884,3 +884,52 @@ def test_knn_join_layout_served_equals_inline(spark, embeddings):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, served.collect()))
     assert a == b and len(a) == 25 * 5
+
+
+def test_knn_join_layout_ensure_k_escalates_starved_queries(
+    spark, embeddings
+):
+    """ensure_k on the layout-served join (round-8 ADVICE): a query
+    whose probed cells hold fewer than k corpus rows escalates its
+    nprobe (set-based, no driver qid list) until it has k rows;
+    already-satisfied queries keep their lower-probe results."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_write,
+        knn_join,
+    )
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    # 40-row corpus over 16 cells: ~2.5 rows/cell, so nprobe=1
+    # GUARANTEES starved queries (k=5 > any single cell)
+    corpus = vecs.where(F.col("id") < 40)
+    cents = _seeded_rows(corpus, "a08", 16)
+    path = tempfile.mkdtemp() + "/layout_ek"
+    ivf_write(_assign_cells(corpus, cents), cents, path)
+    q = vecs.where(F.col("id") < 40)
+    plain = knn_join(q, None, 5, nprobe=1, layout_path=path)
+    ek = knn_join(q, None, 5, nprobe=1, layout_path=path, ensure_k=True)
+    counts_plain = {
+        r["qid"]: r["n"]
+        for r in plain.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    counts_ek = {
+        r["qid"]: r["n"]
+        for r in ek.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v == 5 for v in counts_ek.values()) and len(counts_ek) == 40
+    # satisfied-at-nprobe-1 queries answer identically
+    sat = {q_ for q_, n in counts_plain.items() if n >= 5}
+    a = {
+        (r.qid, r.id, r.rank) for r in plain.collect() if r.qid in sat
+    }
+    b = {(r.qid, r.id, r.rank) for r in ek.collect() if r.qid in sat}
+    assert a == b
+    # the rig guarantees starvation (no 16-cell split of 40 rows can
+    # give every query 5 rows at nprobe=1) — the escalation body ran
+    starved = set(counts_plain) - sat
+    assert starved
+    assert all(counts_ek[s] == 5 for s in starved)

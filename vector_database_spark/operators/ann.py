@@ -2045,6 +2045,7 @@ def knn_join(
     cell_cap: int | None = None,
     collapse_dups: bool | str = "auto",
     layout_path: str | None = None,
+    ensure_k: bool = False,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of a (large) query table,
     the k nearest corpus rows — ``(qid, id, dist, rank)``. The
@@ -2093,7 +2094,19 @@ def knn_join(
     candidate scan reads the cell-partitioned vectors table.
     Layout-served output == the inline build with the same centroids
     (pytest-pinned; the corpus side is served as stored — collapse
-    applies to the query side only)."""
+    applies to the query side only).
+
+    ``ensure_k=True`` (layout mode only — round-8 ADVICE): queries
+    whose probed cells hold fewer than k corpus rows are retried with
+    a doubled nprobe until every query has k rows or all cells are
+    probed — `ivf_knn(ensure_k=)`'s result-count contract, but
+    SET-BASED: the starved set stays a DataFrame (anti-join on
+    satisfied qids), never a driver-collected list, so it works at
+    corpus-sized query tables. Satisfied queries keep their
+    lower-probe results (probe supersets never change them). Layout
+    mode only because escalation re-probes against the FIXED stored
+    assignment — the inline build would re-assign the corpus per
+    round; raise nprobe there instead."""
     from vector_database_spark.operators.graph import (
         _blocked_narrow,
         _blocked_probes,
@@ -2114,6 +2127,12 @@ def knn_join(
         F.col(query_vector_col).cast("array<double>").alias("vector"),
     )
     cap = _CELL_CAP if cell_cap is None else int(cell_cap)
+    if ensure_k and layout_path is None:
+        raise ValueError(
+            "knn_join: ensure_k needs layout_path (escalation re-probes "
+            "the FIXED stored assignment; an inline build would re-assign "
+            "the corpus per round — raise nprobe instead)"
+        )
     if layout_path is not None:
         if corpus_df is not None or centroids is not None:
             raise ValueError(
@@ -2126,24 +2145,57 @@ def knn_join(
             F.col(vector_col).cast("array<double>").alias("vector"),
             F.col("cell").cast("int").alias("cell"),
         )
-        probes = _blocked_probes(qq, centroids, nprobe, method)
-        narrow = _blocked_narrow(
-            members, probes, k, method, cell_cap=cap, exclude_self=False
-        )
-        local = _grouped_topk(narrow, int(k), "src", "dst")
-        w = _W.partitionBy("src").orderBy(
-            F.col("dist").asc(), F.col("dst").asc()
-        )
-        return (
-            local.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= int(k))
-            .select(
-                F.col("src").alias("qid"),
-                F.col("dst").alias("id"),
-                "dist",
-                F.col("rank").cast("long").alias("rank"),
+
+        def _ranked(qsub: DataFrame, np_: int) -> DataFrame:
+            probes = _blocked_probes(qsub, centroids, np_, method)
+            narrow = _blocked_narrow(
+                members, probes, k, method, cell_cap=cap,
+                exclude_self=False,
             )
-        )
+            local = _grouped_topk(narrow, int(k), "src", "dst")
+            w = _W.partitionBy("src").orderBy(
+                F.col("dist").asc(), F.col("dst").asc()
+            )
+            return (
+                local.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= int(k))
+                .select(
+                    F.col("src").alias("qid"),
+                    F.col("dst").alias("id"),
+                    "dist",
+                    F.col("rank").cast("long").alias("rank"),
+                )
+            )
+
+        out = _ranked(qq, int(nprobe))
+        if not ensure_k:
+            return out
+        cur, total = int(nprobe), len(centroids)
+        out = out.localCheckpoint(eager=False)
+        while cur < total:
+            sat = (
+                out.groupBy("qid")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= int(k))
+                .select(F.col("qid").alias("id"))
+            )
+            starved_q = qq.join(sat, "id", "left_anti").localCheckpoint(
+                eager=False
+            )
+            if starved_q.isEmpty():
+                break
+            cur = min(cur * 2, total)
+            retry = _ranked(starved_q, cur)
+            out = (
+                out.join(
+                    starved_q.select(F.col("id").alias("qid")),
+                    "qid",
+                    "left_anti",
+                )
+                .unionByName(retry)
+                .localCheckpoint(eager=False)
+            )
+        return out
     cc = corpus_df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vector_col).cast("array<double>").alias("vector"),
