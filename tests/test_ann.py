@@ -933,3 +933,32 @@ def test_knn_join_layout_ensure_k_escalates_starved_queries(
     starved = set(counts_plain) - sat
     assert starved
     assert all(counts_ek[s] == 5 for s in starved)
+
+
+def test_mips_knn_filtered_full_probe_equals_filtered_exact(
+    spark, embeddings
+):
+    """mips_knn(where=) at nprobe = n_cells == the exact dot-product
+    top-k over the PREDICATE-FILTERED corpus (filter-then-rank, the
+    a07/v19 contract on the MIPS tier)."""
+    from vector_database_spark.operators.ann import mips_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    qdf = _queries_df(spark, vecs, [2, 77])
+    got = mips_knn(
+        vecs, qdf, 8, n_cells=6, nprobe=6, method="dgemm",
+        where="id % 2 = 0",
+    )
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    want = knn(vecs.where(F.col("id") % 2 == 0), panel, 8, metric="dot")
+    g = [
+        (r["qid"], r["id"], r["rank"])
+        for r in got.orderBy("qid", "rank").collect()
+    ]
+    w = [
+        (r["qid"], r["id"], r["rank"])
+        for r in want.orderBy("qid", "rank").collect()
+    ]
+    assert g == w and len(g) == 16
+    assert all(i % 2 == 0 for _q, i, _r in g)

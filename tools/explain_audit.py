@@ -370,6 +370,13 @@ CHECKS = {
         "shuffles for the candidate join; the only crossJoin is the "
         "panel x centroids probe ranking (both broadcast-tiny)",
     ),
+    "v27_filtered_mips": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "filtered MIPS: the predicate prunes the assigned table "
+        "BEFORE the candidate join (filter-then-rank); same "
+        "broadcast-probe plan as v26, never a corpus shuffle",
+    ),
 }
 
 

@@ -1826,6 +1826,7 @@ def mips_knn(
     method: str = "dgemm",
     m2: float | None = None,
     assigned: DataFrame | None = None,
+    where=None,
 ) -> DataFrame:
     """Sub-scan MIPS kNN (round-8 verdict item 3): maximum-inner-
     product retrieval served by the existing IVF machinery through
@@ -1884,6 +1885,7 @@ def mips_knn(
             queries_df,
             k,
             nprobe,
+            where=where,
         )
     vv = vecs_df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -1934,7 +1936,7 @@ def mips_knn(
             )
             .select("id", "vector", "cell")
         )
-    return _mips_serve(assigned, centroids, queries_df, k, nprobe)
+    return _mips_serve(assigned, centroids, queries_df, k, nprobe, where=where)
 
 
 def _mips_serve(
@@ -1943,13 +1945,25 @@ def _mips_serve(
     queries_df: DataFrame,
     k: int,
     nprobe: int,
+    where=None,
 ) -> DataFrame:
     """The MIPS serving tail: probe the nprobe augmented-nearest
     cells per query, score candidates by the EXACT inner product on
     the original vectors. ``assigned`` = (id, vector, cell) with
-    ORIGINAL vectors; centroids are augmented-space."""
+    ORIGINAL vectors; centroids are augmented-space.
+
+    ``where`` (Column or SQL string over the assigned table) makes
+    this FILTERED MIPS — the a07/v19 filter-then-rank contract: the
+    predicate prunes the assigned table BEFORE the candidate join
+    (pushes into the per-cell scan at scale), and the exact-dot
+    rerank runs only on qualifying rows. Same probe-recall trade as
+    filtered IVF: a highly selective predicate warrants a larger
+    nprobe."""
     from vector_database_spark.functions.vector import euclidean
 
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        assigned = assigned.where(pred)
     spark = assigned.sparkSession
     cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],

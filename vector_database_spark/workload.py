@@ -5995,6 +5995,89 @@ def v26_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V27_PRED_SQL = "(id % 3 = 0)"
+
+
+@query(
+    "v27_filtered_mips",
+    oracle=f"""
+WITH m AS MATERIALIZED (
+  SELECT max({_dot_sql('embedding', 'embedding')}) AS m2 FROM embeddings),
+ax AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(greatest(0.0::DOUBLE,
+              (SELECT m2 FROM m) - {_dot_sql('embedding', 'embedding')}))
+           AS a
+  FROM embeddings),
+h AS (SELECT vec_id, embedding, a,
+             row_number() OVER (ORDER BY md5(vec_id || ':v26'), vec_id) AS rn
+      FROM ax),
+cent AS (SELECT rn - 1 AS cell, embedding AS cvec, a AS ca FROM h
+         WHERE rn <= {_V26_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}
+                   + (e.a - c.ca) * (e.a - c.ca)) AS d
+       FROM ax e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}
+                              + (0.0::DOUBLE - c.ca) * (0.0::DOUBLE - c.ca)),
+                         c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cand AS (SELECT p.qid, a.id FROM pc p JOIN asg a ON a.cell = p.cell
+         WHERE p.pr <= {_V26_NPROBE} AND {_V27_PRED_SQL.replace('id', 'a.id')}),
+d AS (SELECT c.qid, c.id, {_dot_sql('e.embedding', 'q.qv')} AS ip
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+      JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, id, ip,
+             row_number() OVER (PARTITION BY qid ORDER BY ip DESC, id)
+               AS rank
+      FROM d)
+SELECT qid, id, rank::BIGINT AS rank, ip
+FROM r WHERE rank <= 10
+""",
+)
+def v27_filtered_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED MIPS (`ann.mips_knn(where=)`): the metadata-predicate
+    + inner-product-kNN combination, completing the filtered story
+    across every retrieval tier (tree a07/v19 exact, IVF ensure_k,
+    and now the MIPS reduction). Filter-then-rank: the predicate
+    prunes the ASSIGNED table before the candidate join — pushed
+    into the per-cell scan at scale — and the exact-dot rerank runs
+    only on qualifying rows. Same v26 exact-oracle rig; the oracle
+    applies the identical predicate to the assignment table."""
+    import math
+
+    from vector_database_spark.operators.ann import mips_knn, mips_max_norm2
+
+    vecs = _embeddings(spark, sf_dir)
+    m2 = mips_max_norm2(vecs)
+    cents = _seeded_rows(vecs, "v26", _V26_CELLS)
+    caug = []
+    for c in cents:
+        s = 0.0
+        for x in c:
+            s += x * x
+        caug.append(list(c) + [math.sqrt(max(0.0, m2 - s))])
+    qdf = spark.createDataFrame(
+        _panel(spark, sf_dir), "qid long, qvec array<double>"
+    )
+    res = mips_knn(
+        vecs, qdf, 10, centroids=caug, nprobe=_V26_NPROBE, method="expr",
+        m2=m2, where="id % 3 = 0",
+    )
+    return res.select(
+        "qid", "id", F.col("rank").cast("long").alias("rank"), "ip"
+    )
+
+
 _P11_PHASES = 5
 
 
@@ -6765,6 +6848,7 @@ _DRIVER_TAIL = [
     "e22_ohlc_bars",          # events/rollup family: e01/e08 stay
     "v26_mips_ivf",           # ANN/MIPS family: a01/v25 stay in the head
     "p11_curriculum",         # pipeline family: p01/p03 stay in the head
+    "v27_filtered_mips",      # filtered-ANN family: a07/v19 stay in the head
 ]
 
 
