@@ -962,3 +962,42 @@ def test_mips_knn_filtered_full_probe_equals_filtered_exact(
     ]
     assert g == w and len(g) == 16
     assert all(i % 2 == 0 for _q, i, _r in g)
+
+
+def test_mips_layout_roundtrip_serving(spark, embeddings):
+    """mips_write/mips_read + mips_knn(assigned=) — the durable
+    serving loop: layout-served results == the in-memory build, and
+    the stored vectors table partition-prunes on cell."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        mips_build,
+        mips_knn,
+        mips_read,
+        mips_write,
+    )
+
+    vecs = _emb_vecs(embeddings)
+    qdf = _queries_df(spark, vecs, [9, 200])
+    assigned, cents, m2 = mips_build(vecs, n_cells=6, seed=13)
+    want = [
+        (r.qid, r.id, r.rank)
+        for r in mips_knn(
+            vecs, qdf, 7, nprobe=3, assigned=assigned, centroids=cents,
+            m2=m2,
+        ).orderBy("qid", "rank").collect()
+    ]
+    path = tempfile.mkdtemp() + "/mips"
+    mips_write(assigned, cents, m2, path)
+    a2, c2, m22 = mips_read(spark, path)
+    assert c2 == cents and m22 == m2
+    got = [
+        (r.qid, r.id, r.rank)
+        for r in mips_knn(
+            vecs, qdf, 7, nprobe=3, assigned=a2, centroids=c2, m2=m22
+        ).orderBy("qid", "rank").collect()
+    ]
+    assert got == want and len(got) == 14
+    probe = a2.where(F.col("cell").isin([0, 2]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

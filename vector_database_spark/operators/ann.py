@@ -2040,6 +2040,33 @@ def mips_build(
     return assigned, centroids, m2
 
 
+def mips_write(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    m2: float,
+    path: str,
+) -> None:
+    """Persist the MIPS layout: the (id, vector, cell) assignment
+    partitioned by cell (`ivf_write`'s layout — probe reads prune
+    partitions), the augmented-space centroids, and the norm bound
+    m2 (``{path}/mips_meta``). `mips_read` + `mips_knn(assigned=)`
+    is the durable serving loop."""
+    spark = assigned.sparkSession
+    ivf_write(assigned, centroids, path)
+    spark.createDataFrame([(float(m2),)], "m2 double").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/mips_meta")
+
+
+def mips_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], float]:
+    """Read a `mips_write` layout back: (assigned, centroids, m2)."""
+    assigned, cents = ivf_read(spark, path)
+    m2 = float(spark.read.parquet(f"{path}/mips_meta").first()["m2"])
+    return assigned, cents, m2
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame | None,

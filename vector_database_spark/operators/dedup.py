@@ -1060,6 +1060,15 @@ def embedding_neardup_blocked(
     finer blocking or run the exact block-pair variant when recall
     must be 1. Reported similarities for found pairs are exact-fold
     recomputed — bit-identical to the exact operator's values.
+
+    CLONE PILES: a cell of g bit-identical vectors emits all g·(g−1)
+    pairs — that's the OUTPUT (every clone pair IS a near-dup pair),
+    not avoidable work, so the quadratic blow-up on clone-heavy
+    corpora is inherent to the pair contract. Run `exact_dedup`
+    FIRST (the `pipeline.prepare_training_data` stage order) so only
+    one representative per clone group reaches this operator; the
+    kNN-graph family, whose per-node output is bounded by k, instead
+    collapses clones internally (`graph._collapse_dup_vectors`).
     """
     from vector_database_spark.operators.ann import ivf_build
 
