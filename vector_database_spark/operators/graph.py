@@ -959,29 +959,32 @@ def _rank_topk_edges(narrow: DataFrame, k: int) -> DataFrame:
 
 def _sample_has_dup_vectors(vv: DataFrame, *, seed: int = 9) -> bool:
     """Bounded-sample duplicate detector behind ``collapse_dups=
-    'auto'``: pull the deterministic hash-threshold sample the IVF
-    trainer already uses (≤ 16k rows, one tiny job at ANY corpus
-    size) and check for bit-identical vectors with one np.unique.
-    Sound because the decision is PERFORMANCE-ONLY — collapse is
-    output-identical to the plain build — and a clone pile big
-    enough to hurt (a material fraction of the corpus) collides in
-    a 16k sample with overwhelming probability; a missed micro-pile
-    just runs the plain (still-correct, cap-bounded) path."""
+    'auto'``: one deterministic fixed-rate hash filter + ``limit``
+    (CollectLimit short-circuits — it reads only enough partitions,
+    NEVER a full scan or a count job, so the detector costs O(sample)
+    at ANY corpus size), then one np.unique over ≤ 16k vectors.
+    Small corpora (< ~1M rows) keep every 64th row — piles big
+    enough to matter there still collide; huge corpora fill the 16k
+    cap from a prefix of the hash-uniform sample. Sound because the
+    decision is PERFORMANCE-ONLY — collapse is output-identical to
+    the plain build — and a clone pile big enough to hurt (a
+    material fraction of the corpus) collides in the sample with
+    overwhelming probability; a missed micro-pile just runs the
+    plain (still-correct, cap-bounded) path."""
     import numpy as np
 
-    from vector_database_spark.operators.ann import _train_sample
-
-    first = vv.select(F.size("vector").alias("d")).first()
-    if first is None or first["d"] is None:
-        return False
-    X, _n = _train_sample(
-        vv.select("id", "vector"),
-        dims=int(first["d"]),
-        train_rows=16384,
-        seed=seed,
+    rows = (
+        vv.where(
+            F.pmod(F.xxhash64(F.col("id") + F.lit(int(seed))), F.lit(64))
+            == 0
+        )
+        .select("vector")
+        .limit(16384)
+        .collect()
     )
-    if len(X) < 2:
+    if len(rows) < 2:
         return False
+    X = np.asarray([r["vector"] for r in rows], dtype=np.float64)
     return len(np.unique(X, axis=0)) < len(X)
 
 
