@@ -1087,11 +1087,22 @@ def _expand_collapsed_edges(
       earlier group, so it sits within the first k groups;
     - a single dst group never contributes more than k candidates,
       so its k smallest member ids (`_near`) cover every expansion;
-    - the cumulative cut (``_cum < k``) keeps ≤ 2k expanded rows per
-      src: groups are consumed in rank order and dropped once
-      min(g,k) contributions from earlier groups (plus, in the
-      self-graph case, the min(g_src−1, k) own-group candidates at
-      dist 0, which precede every cross candidate) already fill k;
+    - the cumulative cut (``_cum < k``) drops a group only when the
+      min(g,k) contributions from groups at STRICTLY smaller dist
+      (plus, in the self-graph case, the min(g_src−1, k) own-group
+      candidates at dist exactly 0.0, which precede every cross
+      candidate) already fill k — strictly smaller dist beats the
+      group on the primary sort key regardless of member ids. The
+      prefix must be strict in DIST, not rank: at an exact
+      cross-group distance tie the final (dist, dst) order can
+      interleave a later group's small ids before an earlier
+      group's large non-rep ids, so a rank-prefix cut dropped
+      winning candidates (round-9 ADVICE repro: piles {1,100} and
+      {2} both at dist 1 from src 0, k=2 — the rank cut emitted
+      dst=100 where the plain build emits dst=2). Tied groups share
+      one strict-prefix sum, so the whole boundary level is kept;
+      worst case (all k groups tied) the expansion is k·k rows per
+      src, typical well-separated data stays ≤ ~2k;
     - distances are bit-identical by construction: cross-group dist
       is the rep pair's shape-independent per-pair recompute (clone
       bits == rep bits), own-group dist is exactly 0.0 (sqrt(0)).
@@ -1108,13 +1119,17 @@ def _expand_collapsed_edges(
         ),
         "dst",
     )
-    wcum = (
+    # strict-dist prefix: range frame up to currentRow includes the
+    # whole tied level (RANGE peers = equal dist), subtracting the
+    # level's own total leaves the sum over strictly smaller dists.
+    w_le = (
         Window.partitionBy("src")
-        .orderBy("rank")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("dist")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_lvl = Window.partitionBy("src", "dist")
     e = e.withColumn("_take", F.least(F.col("_gd"), F.lit(kk))).withColumn(
-        "_cum", F.coalesce(F.sum("_take").over(wcum), F.lit(0))
+        "_cum", F.sum("_take").over(w_le) - F.sum("_take").over(w_lvl)
     )
     if own_group:
         e = e.join(
