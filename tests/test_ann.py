@@ -886,6 +886,58 @@ def test_knn_join_layout_served_equals_inline(spark, embeddings):
     assert a == b and len(a) == 25 * 5
 
 
+def test_knn_join_layout_query_collapse_is_identical(spark, embeddings):
+    """Round-9 ADVICE: layout mode collapses the QUERY side — clone
+    query vectors probe once via a representative and results fan
+    back out, identical to the uncollapsed layout-served join
+    row-for-row (with and without ensure_k escalation)."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        ivf_write,
+        knn_join,
+    )
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    corpus = vecs.where(F.col("id") < 200)
+    cents = _seeded_rows(corpus, "a08", 8)
+    path = tempfile.mkdtemp() + "/layout_qc"
+    ivf_write(_assign_cells(corpus, cents), cents, path)
+    # 15 unique queries + 12 clones of one query vector
+    q = vecs.where(F.col("id") < 15)
+    proto = vecs.where(F.col("id") == 4).select("vector").first()["vector"]
+    q = q.unionByName(
+        spark.range(12).select(
+            (F.col("id") + 9000).alias("id"),
+            F.lit([float(x) for x in proto])
+            .cast("array<double>")
+            .alias("vector"),
+        )
+    )
+    for ek in (False, True):
+        a = sorted(
+            map(
+                tuple,
+                knn_join(
+                    q, None, 5, nprobe=2, layout_path=path,
+                    collapse_dups=True, ensure_k=ek,
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                knn_join(
+                    q, None, 5, nprobe=2, layout_path=path,
+                    collapse_dups=False, ensure_k=ek,
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 27 * 5
+
+
 def test_knn_join_layout_ensure_k_escalates_starved_queries(
     spark, embeddings
 ):

@@ -463,6 +463,75 @@ def test_blocked_collapse_dups_is_bit_identical(spark, embeddings):
     assert a == b and len(a) == (300 + 40 + 4 + 2) * 4
 
 
+def test_collapse_dups_exact_tie_cross_group(spark):
+    """Round-9 ADVICE (high): at an EXACT cross-group distance tie the
+    final (dist, dst) order can interleave a later group's small ids
+    before an earlier group's large non-rep ids — a rank-prefix
+    cumulative cut dropped winning candidates. Repro from the ADVICE:
+    src 0=[0,0], clone pile {1,100}=[1,0], single {2}=[0,1], k=2 —
+    piles tie at dist 1.0 and the correct top-2 for src 0 is
+    (1, 2), not (1, 100). Also sweeps an integer-grid corpus (every
+    vector on lattice points, ties everywhere) so the strict-dist
+    prefix is exercised across many srcs, not just the constructed
+    one. Collapsed build must equal the plain build edge-for-edge."""
+    from vector_database_spark.operators.graph import knn_graph_blocked
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (100, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+    ]
+    data = spark.createDataFrame(rows, "id long, vector array<double>")
+    kwargs = dict(n_cells=1, nprobe=1, seed=3)
+    a = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(data, 2, collapse_dups=True, **kwargs).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(data, 2, collapse_dups=False, **kwargs).collect(),
+        )
+    )
+    assert a == b
+    assert (0, 2, 1.0, 2) in a and (0, 100, 1.0, 2) not in a
+
+    # integer grid: 5x5 lattice, ids assigned so some piles carry a
+    # small rep with large non-rep members next to singleton groups
+    # at tied distances — the general form of the repro
+    grid = []
+    nid = 0
+    for x in range(5):
+        for y in range(5):
+            copies = 3 if (x + y) % 3 == 0 else 1
+            for c in range(copies):
+                grid.append(
+                    (
+                        nid if c == 0 else 500 + nid * 10 + c,
+                        [float(x), float(y)],
+                    )
+                )
+            nid += 1
+    gdf = spark.createDataFrame(grid, "id long, vector array<double>")
+    kwargs = dict(n_cells=4, nprobe=4, seed=7)
+    ga = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(gdf, 3, collapse_dups=True, **kwargs).collect(),
+        )
+    )
+    gb = sorted(
+        map(
+            tuple,
+            knn_graph_blocked(gdf, 3, collapse_dups=False, **kwargs).collect(),
+        )
+    )
+    assert ga == gb and len(ga) == len(grid) * 3
+
+
 def test_knn_join_collapse_dups_is_identical(spark, embeddings):
     """knn_join's collapse path (both sides collapsed, no own-group
     handling) == the uncollapsed join on clone-heavy query AND corpus
@@ -679,6 +748,55 @@ def test_ancestor_closure_doubling_deep_chain(spark):
         (F.col("node") == 0) & (F.col("anc") == n)
     ).first()
     assert top["depth"] == n
+
+
+def test_ancestor_closure_doubling_rejects_multi_parent(spark):
+    """method='double' needs unique parents (a forest) — a two-parent
+    node must raise loudly instead of composing a wrong closure
+    (round-9 verdict item 8)."""
+    import pytest
+
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    e = spark.createDataFrame(
+        [(1, 0), (2, 1), (2, 0)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="unique parents"):
+        ancestor_closure(e, method="double")
+
+
+def test_ancestor_closure_doubling_enforces_max_depth(spark):
+    """The doubling loop raises only at jump granularity, so a chain
+    in (max_depth, 2*max_depth) used to complete silently where the
+    walk raises — both methods must now raise on the same input
+    (round-9 ADVICE)."""
+    import pytest
+
+    from vector_database_spark.operators.graph import ancestor_closure
+
+    # depth-6 chain, max_depth=5: 2^2=4 <= 5 so the jump-granularity
+    # check alone would have let depths up to 7 through
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="max_depth=5"):
+        ancestor_closure(e, max_depth=5, method="walk")
+    with pytest.raises(ValueError, match="max_depth=5"):
+        ancestor_closure(e, max_depth=5, method="double")
+    # depth exactly max_depth stays legal on both
+    ok = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child long, parent long"
+    )
+    a = sorted(
+        map(tuple, ancestor_closure(ok, max_depth=5, method="walk").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ancestor_closure(ok, max_depth=5, method="double").collect(),
+        )
+    )
+    assert a == b and len(a) == 21
 
 
 def test_bellman_ford_matches_python(spark):

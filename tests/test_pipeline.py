@@ -261,3 +261,15 @@ def test_curriculum_phases_exact_ntile(spark):
     )
     t = curriculum_phases(tiny, score_col="s", id_col="doc_id", n_phases=8)
     assert {(r.rank, r.phase) for r in t.collect()} == {(1, 1), (2, 2), (3, 3)}
+
+    # empty input: schema must carry the INPUT's score dtype (round-9
+    # ADVICE — a hardcoded long broke unions with double scores)
+    dbl = spark.range(5).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.5).alias("s")
+    )
+    full = curriculum_phases(dbl, score_col="s", id_col="doc_id", n_phases=2)
+    empty = curriculum_phases(
+        dbl.where(F.lit(False)), score_col="s", id_col="doc_id", n_phases=2
+    )
+    assert empty.schema == full.schema and empty.count() == 0
+    assert full.unionByName(empty).count() == 5

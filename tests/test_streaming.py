@@ -713,3 +713,35 @@ def test_streaming_bloom_equals_batch_across_restarts(spark):
     probes = spark.range(4000).select(F.col("id").alias("key"))
     res = bloom_probe(merged, probes)
     assert res.where((F.col("key") < 2000) & ~F.col("present")).count() == 0
+
+
+def test_read_bloom_backfills_legacy_geometry(spark):
+    """State dirs written before round-9 geometry binding carry only
+    (lane, bits); read_bloom must backfill the historical defaults
+    (16384, 3) and merge them with new-format batches instead of
+    failing on the missing columns (round-9 ADVICE)."""
+    from vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+    from vector_database_spark.streaming.monitor import read_bloom
+
+    tmp = tempfile.mkdtemp()
+    df = spark.range(2000).select(F.col("id").alias("key"))
+    # legacy batch: geometry columns stripped (pre-r9 wire format)
+    bloom_build(df.where(F.col("key") < 1000)).select(
+        "lane", "bits"
+    ).write.parquet(f"{tmp}/state/batch=0")
+    # new-format batch with the same (default) geometry
+    bloom_build(df.where(F.col("key") >= 1000)).write.parquet(
+        f"{tmp}/state/batch=1"
+    )
+    merged = read_bloom(spark, f"{tmp}/state")
+    want = bloom_build(df)
+    unpack = lambda d: sorted(  # noqa: E731
+        (r.lane, r.bits, r.n_bits, r.k) for r in d.collect()
+    )
+    assert unpack(merged) == unpack(want)
+    probes = spark.range(3000).select(F.col("id").alias("key"))
+    res = bloom_probe(merged, probes)
+    assert res.where((F.col("key") < 2000) & ~F.col("present")).count() == 0

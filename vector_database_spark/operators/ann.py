@@ -2135,7 +2135,11 @@ def knn_join(
     candidate scan reads the cell-partitioned vectors table.
     Layout-served output == the inline build with the same centroids
     (pytest-pinned; the corpus side is served as stored — collapse
-    applies to the query side only).
+    applies to the QUERY side only: bit-identical query vectors probe
+    once via one representative and the result rows fan back out to
+    every member, exact because identical vectors have identical
+    candidate sets, distances, and deterministic (dist, dst) ranks;
+    ``'auto'`` samples the query side here, pytest-pinned identical).
 
     ``ensure_k=True`` (layout mode only — round-8 ADVICE): queries
     whose probed cells hold fewer than k corpus rows are retried with
@@ -2186,6 +2190,30 @@ def knn_join(
             F.col(vector_col).cast("array<double>").alias("vector"),
             F.col("cell").cast("int").alias("cell"),
         )
+        # query-side collapse (round-9 ADVICE): the corpus is served
+        # as stored, but clone-heavy QUERY tables probe once per
+        # distinct vector — rep results fan back out after (ensure_k
+        # escalation included: members share their rep's row count)
+        if method == "dgemm" and collapse_dups == "auto":
+            from vector_database_spark.operators.graph import (
+                _sample_has_dup_vectors,
+            )
+
+            collapse_dups = _sample_has_dup_vectors(qq, seed=seed)
+        q_ann = None
+        if method == "dgemm" and collapse_dups:
+            q_ann, q_reps, _q_near = _collapse_dup_vectors(qq, k)
+            qq = q_reps
+
+        def _fan_out(res: DataFrame) -> DataFrame:
+            if q_ann is None:
+                return res
+            return res.join(
+                q_ann.select(
+                    F.col("rep").alias("qid"), F.col("id").alias("_m")
+                ),
+                "qid",
+            ).select(F.col("_m").alias("qid"), "id", "dist", "rank")
 
         def _ranked(qsub: DataFrame, np_: int) -> DataFrame:
             probes = _blocked_probes(qsub, centroids, np_, method)
@@ -2210,7 +2238,7 @@ def knn_join(
 
         out = _ranked(qq, int(nprobe))
         if not ensure_k:
-            return out
+            return _fan_out(out)
         cur, total = int(nprobe), len(centroids)
         out = out.localCheckpoint(eager=False)
         while cur < total:
@@ -2236,7 +2264,7 @@ def knn_join(
                 .unionByName(retry)
                 .localCheckpoint(eager=False)
             )
-        return out
+        return _fan_out(out)
     cc = corpus_df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vector_col).cast("array<double>").alias("vector"),

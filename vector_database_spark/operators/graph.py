@@ -1738,7 +1738,10 @@ def ancestor_closure(
     composes the exact-depth-2^i jump table with the closure built
     so far, closing a depth-D chain in O(log D) joins instead of D
     (property-tested equal to the walk; needs unique parents — a
-    forest — so (node, anc) pairs stay unique under composition).
+    forest — so (node, anc) pairs stay unique under composition:
+    multi-parent edge tables are REJECTED with a ValueError, and the
+    walk's depth bound is enforced on the result — both methods raise
+    on any hierarchy deeper than ``max_depth``).
     The closure itself is Σ depth(node) rows either way — that's the
     output's size, not overhead."""
     e = edges.select(
@@ -1757,6 +1760,20 @@ def ancestor_closure(
         "node", F.col("node").alias("anc"), F.lit(0).alias("depth")
     ).localCheckpoint(eager=True)
     if method == "double":
+        # forest precondition is load-bearing (unique (node, anc)
+        # pairs under composition) — reject multi-parent nodes loudly
+        # instead of silently composing a wrong closure on a DAG
+        multi = (
+            e.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
+        if multi.take(1):
+            raise ValueError(
+                "ancestor_closure(method='double') requires unique "
+                "parents (a forest); a node with multiple parents was "
+                "found — use method='walk'"
+            )
         # jump = pairs at depth exactly 2^i (unique per node on a
         # forest); closure holds all depths < 2^i. Compose jump with
         # the closure for depths 2^i .. 2^{i+1}-1 (disjoint — no
@@ -1795,6 +1812,15 @@ def ancestor_closure(
                 .select(F.col("_n").alias("node"), "anc")
             ).localCheckpoint(eager=True)
             depth *= 2
+        # the loop raise fires at JUMP granularity (a 2^i jump can
+        # compose depths up to 2^{i+1}-1 before the next check), so a
+        # chain in (max_depth, 2*max_depth) completed silently where
+        # method='walk' raises — enforce the same bound on the result
+        dmax = closure.agg(F.max("depth").alias("_d")).first()["_d"]
+        if dmax is not None and int(dmax) > int(max_depth):
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+            )
         return closure.select(
             "node", "anc", F.col("depth").cast("long").alias("depth")
         )

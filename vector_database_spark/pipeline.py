@@ -440,10 +440,10 @@ def curriculum_phases(
         .collect()
     }
     n = sum(cnts.values())
-    if n == 0:
-        return spark.createDataFrame(
-            [], f"{id_col} long, {score_col} long, rank long, phase long"
-        )
+    # n == 0 flows through the main path (empty offset frame, base=0
+    # branch): the empty result then carries the INPUT's id/score
+    # dtypes exactly — a hardcoded empty schema disagreed with double
+    # scores in unions (round-9 ADVICE)
     offs, acc = [], 0
     for p in sorted(cnts):
         offs.append((p, acc))

@@ -287,12 +287,30 @@ def streaming_bloom_ingest(
 
 
 def read_bloom(spark: SparkSession, state_path: str) -> DataFrame:
-    """Merged Bloom lanes across all committed batch dirs."""
+    """Merged Bloom lanes across all committed batch dirs.
+
+    State dirs written before geometry binding (round 9) carry only
+    (lane, bits); those batches were all built with the historical
+    defaults (16384, 3), so missing geometry columns are backfilled
+    with them before the merge. Spark's parquet union resolves a
+    column present in SOME batch files as null in the others, so the
+    backfill is per-ROW coalesce, which also merges a state dir
+    mixing old and new batch files correctly — provided the new
+    batches use the same defaults (anything else is a mixed-geometry
+    state dir, and the grouped merge keeps those lanes separate so
+    `bloom_probe`'s validation rejects them loudly)."""
     from pyspark.sql import functions as F
 
     lanes = spark.read.option("basePath", state_path).parquet(
         f"{state_path}/batch=*"
     )
+    for col, default in (("n_bits", 16384), ("k", 3)):
+        if col not in lanes.columns:
+            lanes = lanes.withColumn(col, F.lit(default))
+        else:
+            lanes = lanes.withColumn(
+                col, F.coalesce(F.col(col), F.lit(default))
+            )
     # geometry columns are constants per build; grouping by them
     # keeps them on the merged filter (bloom_probe reads + validates)
     return lanes.groupBy("lane", "n_bits", "k").agg(
