@@ -886,6 +886,65 @@ def test_knn_join_layout_served_equals_inline(spark, embeddings):
     assert a == b and len(a) == 25 * 5
 
 
+def test_bq_cells_full_probe_equals_scan_and_assign_parity(
+    spark, embeddings
+):
+    """Cell-pruned BQ (round-9 verdict item 1): nprobe = n_cells must
+    reproduce the unpruned Hamming scan EXACTLY (cells partition the
+    corpus, a full probe sees every code), the Lloyd-trained dgemm
+    assignment == the expression-path assignment cell-for-cell (the
+    a01 parity rule applied to the code layout), and a sub-full probe
+    still returns k rows per query with exact reported distances."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+    from vector_database_spark.workload import _seeded_rows
+
+    vecs = _emb_vecs(embeddings)
+    panel = [
+        (int(r.id), list(r.vector))
+        for r in vecs.where(F.col("id").isin([3, 99, 250])).collect()
+    ]
+    cents = _seeded_rows(vecs, "bqc", 8)
+    codes_d, _ = bq_build(vecs, dim=64, centroids=cents)
+    codes_e, _ = bq_build(vecs, dim=64, centroids=cents,
+                          assign_method="expr")
+    a = sorted((r.id, r.cell, tuple(r.code)) for r in codes_d.collect())
+    b = sorted((r.id, r.cell, tuple(r.code)) for r in codes_e.collect())
+    assert a == b
+    full = sorted(
+        map(tuple, bq_knn(vecs, panel, 10, dim=64, m=40).collect())
+    )
+    probed_all = sorted(
+        map(
+            tuple,
+            bq_knn(
+                vecs, panel, 10, dim=64, m=40, codes=codes_d,
+                centroids=cents, nprobe=8,
+            ).collect(),
+        )
+    )
+    assert full == probed_all and len(full) == 30
+    # Lloyd-trained layout (no given centroids), sub-full probe:
+    # k rows per query, candidate hamming/cosine exact on survivors
+    codes_t, cents_t = bq_build(vecs, dim=64, n_cells=8, seed=11)
+    sub = bq_knn(
+        vecs, panel, 10, dim=64, m=40, codes=codes_t, centroids=cents_t,
+        nprobe=2,
+    )
+    rows = sub.collect()
+    per_q = {}
+    for r in rows:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    assert per_q == {3: 10, 99: 10, 250: 10}
+    # missing cell column is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="cell"):
+        bq_knn(
+            vecs, panel, 10, dim=64, codes=codes_t.select("id", "code"),
+            centroids=cents_t,
+        )
+
+
 def test_knn_join_layout_query_collapse_is_identical(spark, embeddings):
     """Round-9 ADVICE: layout mode collapses the QUERY side — clone
     query vectors probe once via a representative and results fan
@@ -1053,3 +1112,137 @@ def test_mips_layout_roundtrip_serving(spark, embeddings):
     probe = a2.where(F.col("cell").isin([0, 2]))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_mips_append_equals_rebuild_and_enforces_norm_bound(
+    spark, embeddings
+):
+    """Round-9 verdict item 2: mips_append assigns the batch under
+    the STORED augmented centroids, so append-then-serve == assigning
+    the whole corpus under those centroids at once (row-for-row,
+    served ranks identical). A batch whose max ||x||^2 exceeds the
+    frozen m2 is REFUSED with the retrain escape hatch named;
+    on_overflow='retrain' rebuilds the layout over the union with a
+    new (larger) m2 and serving stays exact at full probe."""
+    import tempfile
+
+    import pytest
+
+    from vector_database_spark.operators.ann import (
+        _assign_cells,
+        mips_append,
+        mips_augment,
+        mips_build,
+        mips_knn,
+        mips_read,
+        mips_write,
+    )
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    base = vecs.where(F.col("id") < 300)
+    batch = vecs.where((F.col("id") >= 300) & (F.col("id") < 400))
+    assigned, cents, m2 = mips_build(base, n_cells=6, seed=13)
+    path = tempfile.mkdtemp() + "/mips_app"
+    mips_write(assigned.localCheckpoint(), cents, m2, path)
+
+    # the embeddings fixture is norm-diverse: only append rows within
+    # the base's norm bound so the append path (not refusal) is hit
+    from vector_database_spark.functions.vector import dot as _dot
+
+    ok_batch = batch.where(_dot("vector", "vector") <= F.lit(m2))
+    n_ok = ok_batch.count()
+    assert n_ok > 0
+    info = mips_append(spark, path, ok_batch)
+    assert info["appended"] == n_ok and not info["retrained"]
+
+    a2, c2, m22 = mips_read(spark, path)
+    assert c2 == cents and m22 == m2
+    # append == whole-corpus re-assignment under the same centroids
+    want = _assign_cells(
+        base.unionByName(ok_batch)
+        .withColumn("avec", mips_augment("vector", m2))
+        .select(
+            "id", F.col("avec").alias("vector"),
+            F.col("vector").alias("ovec"),
+        ),
+        cents,
+    ).select("id", F.col("ovec").alias("vector"), "cell")
+    got_rows = sorted(
+        (r.id, r.cell, tuple(r.vector)) for r in a2.collect()
+    )
+    want_rows = sorted(
+        (r.id, r.cell, tuple(r.vector)) for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+    # overflow refusal: scale one row above the stored norm bound
+    hot = batch.limit(1).select(
+        "id", F.transform("vector", lambda x: x * 10.0).alias("vector")
+    )
+    with pytest.raises(ValueError, match="norm bound|retrain"):
+        mips_append(spark, path, hot)
+
+    # retrain escape hatch: layout rebuilds over the union, new m2
+    info = mips_append(spark, path, hot, on_overflow="retrain")
+    assert info["retrained"] and info["m2"] > m2
+    a3, c3, m23 = mips_read(spark, path)
+    assert m23 == info["m2"] and a3.count() == 300 + n_ok + 1
+    qdf = _queries_df(spark, vecs, [9, 200])
+    got = [
+        (r.qid, r.id, r.rank)
+        for r in mips_knn(
+            vecs, qdf, 7, nprobe=6, assigned=a3, centroids=c3, m2=m23
+        ).orderBy("qid", "rank").collect()
+    ]
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    corpus = base.unionByName(ok_batch).unionByName(hot)
+    want_k = [
+        (r["qid"], r["id"], r["rank"])
+        for r in knn(corpus, panel, 7, metric="dot")
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want_k
+
+
+def test_mips_ensure_k_recall_under_selective_filter(spark, embeddings):
+    """Round-9 verdict item 4: mips_knn(where=, ensure_k=True) on the
+    stored-layout serve path escalates starved queries until k rows —
+    at ~1% selectivity (the a07 regime) escalation runs to the full
+    probe, where filtered MIPS is exact, so recall is 1.0 vs the
+    exact filtered dot-product top-k."""
+    from vector_database_spark.operators.ann import mips_build, mips_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    assigned, cents, m2 = mips_build(vecs, n_cells=8, seed=5)
+    assigned = assigned.localCheckpoint()
+    qdf = _queries_df(spark, vecs, [2, 77, 310])
+    pred = "id % 100 = 0"  # ~1%: 5 of 500 rows qualify
+    # k=8 > the 5 qualifying rows — every proper probe subset is
+    # short, so escalation provably runs to the full probe, where
+    # filtered MIPS is exact (the a07 exactness regime)
+    plain = mips_knn(
+        vecs, qdf, 8, nprobe=1, assigned=assigned, centroids=cents,
+        m2=m2, where=pred,
+    )
+    ek = mips_knn(
+        vecs, qdf, 8, nprobe=1, assigned=assigned, centroids=cents,
+        m2=m2, where=pred, ensure_k=True,
+    )
+    n_plain = plain.groupBy("qid").count().collect()
+    got = [
+        (r["qid"], r["id"], r["rank"])
+        for r in ek.orderBy("qid", "rank").collect()
+    ]
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    want = [
+        (r["qid"], r["id"], r["rank"])
+        for r in knn(
+            vecs.where(F.expr(pred)), panel, 8, metric="dot"
+        ).orderBy("qid", "rank").collect()
+    ]
+    assert got == want and len(got) == 15
+    # the rig must actually starve at nprobe=1 so escalation ran
+    assert all(r["count"] < 8 for r in n_plain)

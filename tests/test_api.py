@@ -394,17 +394,35 @@ def test_facade_foreach_batch_all_types_equals_batch_twin(spark):
     )
     first = rows.where(F.col("text_id") < 40)
     second = rows.where(F.col("text_id") >= 40)
+    # 'mips' freezes the norm bound at first build: its stream split
+    # puts the 40 LARGEST-norm rows first so every later append is
+    # in-bound (the documented frozen-m2 contract; refusal has its
+    # own lifecycle test)
+    big_ids = [
+        int(r.text_id)
+        for r in rows.orderBy(
+            F.expr(
+                "aggregate(vector, 0.0D, "
+                "(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ).desc(),
+            "text_id",
+        ).limit(40).collect()
+    ]
+    first_m = rows.where(F.col("text_id").isin(big_ids))
+    second_m = rows.where(~F.col("text_id").isin(big_ids))
     # 'bq' rides the same contract; bq_m=1024 > 60 rows makes the
-    # Hamming stage exhaustive here, so == brute holds exactly (the
-    # approximate regime has its own lifecycle test)
-    for t in ("bsp", "ivf", "ivfadc", "bq"):
+    # Hamming stage exhaustive here (bq_nprobe=4 == n_cells probes
+    # every cell), so == brute holds exactly (the approximate regime
+    # has its own lifecycle test)
+    for t in ("bsp", "ivf", "ivfadc", "bq", "mips"):
         tmp = tempfile.mkdtemp()
         src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
         sdb = VectorDatabase(
             spark, f"{tmp}/s", local_threshold=32, index_type=t, n_cells=4,
             pq_m=2,
         )
-        first.write.parquet(src)
+        f_, s_ = (first_m, second_m) if t == "mips" else (first, second)
+        f_.write.parquet(src)
         stream = spark.readStream.schema(
             "doc_id long, text_id long, vector array<float>"
         ).parquet(src)
@@ -413,7 +431,7 @@ def test_facade_foreach_batch_all_types_equals_batch_twin(spark):
         )
         # restart from the checkpoint with more files appended — the
         # source re-lists; idempotence must absorb any redelivery
-        second.write.mode("append").parquet(src)
+        s_.write.mode("append").parquet(src)
         stream2 = spark.readStream.schema(
             "doc_id long, text_id long, vector array<float>"
         ).parquet(src)
@@ -426,8 +444,8 @@ def test_facade_foreach_batch_all_types_equals_batch_twin(spark):
             spark, f"{tmp}/b", local_threshold=32, index_type=t, n_cells=4,
             pq_m=2,
         )
-        bdb.add_documents(first)
-        bdb.add_documents(second)
+        bdb.add_documents(f_)
+        bdb.add_documents(s_)
         got = sorted(
             (r.text_id, round(r.dist, 9))
             for r in sdb.search(q, 0.8).collect()
@@ -486,14 +504,133 @@ def test_facade_ingest_guard_fails_loud_on_transient_read_error(spark):
     assert sdb.text().count() == 20
 
 
+def test_facade_mips_lifecycle(spark):
+    """Round-9 verdict item 5: the 'mips' facade backend. Contract:
+    knn_dot at a full probe == the exact dot-product top-k over the
+    whole store (tail included), search() keeps the exact ball
+    contract (augmented-radius pruning == brute force), an append
+    whose max norm exceeds the frozen m2 is REFUSED through
+    add_documents BEFORE any write, reindex=False routes such rows
+    to the exact tail, index_documents() re-freezes the bound, and
+    vicinity deletes sync the layout."""
+    import tempfile
+
+    import pytest
+
+    q = [0.2, -0.1, 0.05, 0.3]
+    rows = (
+        random_uniform(spark, 120, 4, seed=71)
+        .select(
+            (F.col("id") % 4).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    norm2 = F.expr(
+        "aggregate(vector, 0.0D, "
+        "(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    big_ids = [
+        int(r.text_id)
+        for r in rows.orderBy(norm2.desc(), "text_id").limit(80).collect()
+    ]
+    first = rows.where(F.col("text_id").isin(big_ids))
+    rest = rows.where(~F.col("text_id").isin(big_ids))
+
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(spark, f"{tmp}/s", index_type="mips", n_cells=4)
+    db.add_documents(first)          # builds: m2 freezes at the max norm
+    db.add_documents(rest)           # in-bound assign-on-append
+    assert db.tail().count() == 0
+
+    # knn_dot full probe == exact dot top-k over the store
+    got = [
+        (r.text_id, r.rank)
+        for r in db.knn_dot(q, 10, nprobe=4).orderBy("rank").collect()
+    ]
+    qlit = F.lit([float(x) for x in q]).cast("array<double>")
+    from vector_database_spark.functions.vector import dot as _dot
+
+    want = [
+        (r.text_id, i + 1)
+        for i, r in enumerate(
+            db.text()
+            .select("text_id", _dot(F.col("vector"), qlit).alias("ip"))
+            .orderBy(F.col("ip").desc(), F.col("text_id").asc())
+            .limit(10)
+            .collect()
+        )
+    ]
+    assert got == want
+
+    # exact ball contract (the augmented-radius triangle pruning)
+    brute = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.brute_force(q, 0.9).collect()
+    }
+    ball = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.search(q, 0.9).collect()
+    }
+    assert ball == brute and ball
+
+    # norm overflow is refused at the door — store untouched
+    hot = rows.limit(1).select(
+        "doc_id",
+        (F.col("text_id") + 9000).alias("text_id"),
+        F.transform("vector", lambda x: x * 10.0).alias("vector"),
+    )
+    n_before = db.text().count()
+    with pytest.raises(ValueError, match="norm bound"):
+        db.add_documents(hot)
+    assert db.text().count() == n_before
+
+    # reindex=False: the row lands in the exact tail; knn_dot sees it
+    db.add_documents(hot, reindex=False)
+    assert db.tail().count() == 1
+    hot_id = int(hot.first()["text_id"])
+    got2 = {r.text_id for r in db.knn_dot(q, 121, nprobe=4).collect()}
+    assert hot_id in got2 and len(got2) == 121
+
+    # explicit rebuild re-freezes m2 over the whole store
+    db.index_documents()
+    assert db.tail().count() == 0
+    got3 = [
+        (r.text_id, r.rank)
+        for r in db.knn_dot(q, 10, nprobe=4).orderBy("rank").collect()
+    ]
+    want3 = [
+        (r.text_id, i + 1)
+        for i, r in enumerate(
+            db.text()
+            .select("text_id", _dot(F.col("vector"), qlit).alias("ip"))
+            .orderBy(F.col("ip").desc(), F.col("text_id").asc())
+            .limit(10)
+            .collect()
+        )
+    ]
+    assert got3 == want3
+
+    # vicinity delete syncs the layout; no deleted id ever returns
+    removed = db.delete_vectors(q, 0.5)
+    if removed:
+        assert db._ann_vectors().count() == db.text().count()
+        gone = {i for i, d in brute.items() if d <= 0.5}
+        left = {int(r.text_id) for r in db.search(q, 0.9).collect()}
+        assert not (left & gone)
+
+
 def test_facade_bq_lifecycle_approximate_contract(spark):
-    """Round-8 verdict item 5: the 'bq' facade backend's lifecycle in
-    its APPROXIMATE regime (bq_m < store size). Contract: every hit
+    """Round-8 verdict item 5 (+ round-9 item 1 cell pruning): the
+    'bq' facade backend's lifecycle in its APPROXIMATE regime
+    (bq_nprobe < n_cells, bq_m < store size). Contract: every hit
     carries the exact distance and satisfies the ball predicate
     (candidates are reranked off the text store — no false
     distances), deletes drop rows from both the text store and the
-    code table, appends are encode-on-append, and bq_m >= store size
-    recovers the exhaustive == brute result."""
+    code table, appends are encode+assign-on-append, and
+    bq_nprobe >= n_cells with bq_m >= store size recovers the
+    exhaustive == brute result."""
     import tempfile
 
     q = [0.2, -0.1, 0.05, 0.3]
@@ -526,8 +663,10 @@ def test_facade_bq_lifecycle_approximate_contract(spark):
     assert all(brute[i] == d for i, d in got.items())
     assert len(got) <= 24
 
-    # exhaustive budget == brute exactly
-    db_full = VectorDatabase(spark, f"{tmp}/s", index_type="bq", bq_m=4096)
+    # exhaustive budget (all cells probed, all codes cut) == brute
+    db_full = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", bq_m=4096, bq_nprobe=16
+    )
     full = {
         int(r.text_id): round(float(r.dist), 9)
         for r in db_full.search(q, 0.9).collect()

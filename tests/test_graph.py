@@ -287,6 +287,58 @@ def test_knn_graph_append_equals_rebuild(spark, embeddings, tmp_path):
     assert info2["appended"] == 0 and not info2["retrained"]
 
 
+def test_knn_graph_append_clone_pile_equals_rebuild(
+    spark, embeddings, tmp_path
+):
+    """Round-9 verdict item 3: an append against a CLONE-HEAVY stored
+    layout routes the fix-up through the rep-level collapse (one
+    distance pass per distinct affected vector, fanned back out) and
+    must stay edge-for-edge identical to the full rebuild of old∪new
+    under the same centroids — including the dist-0 intra-pile edges
+    and the batch-vs-pile candidates."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators.ann import ivf_read
+    from vector_database_spark.operators.graph import (
+        knn_graph_append,
+        knn_graph_blocked,
+        knn_graph_read,
+        knn_graph_write,
+    )
+
+    vecs = _vecs(embeddings).where(F.col("id") < 200)
+    proto = vecs.where(F.col("id") == 5).select("vector").first()["vector"]
+    pile = spark.range(60).select(
+        (F.col("id") + 4000).alias("id"),
+        F.lit([float(x) for x in proto])
+        .cast("array<double>")
+        .alias("vector"),
+    )
+    base = vecs.unionByName(pile)
+    batch = _vecs(embeddings).where(
+        (F.col("id") >= 200) & (F.col("id") < 260)
+    )
+    root = str(tmp_path / "kgc")
+    knn_graph_write(base, 5, root, n_cells=8, nprobe=2, method="dgemm",
+                    seed=7)
+    _, cents = ivf_read(spark, root)
+    info = knn_graph_append(spark, root, batch, retrain="never")
+    assert info["appended"] == 60 and info["affected"] > 0
+    got_edges, _meta = knn_graph_read(spark, root)
+    got = {
+        (r.src, r.dst, r.rank, round(r.dist, 12))
+        for r in got_edges.collect()
+    }
+    want = {
+        (r.src, r.dst, r.rank, round(r.dist, 12))
+        for r in knn_graph_blocked(
+            base.unionByName(batch), 5, centroids=cents, nprobe=2,
+            method="dgemm",
+        ).collect()
+    }
+    assert got == want
+
+
 def test_knn_graph_append_retrain_always_rebuilds(spark, embeddings, tmp_path):
     """retrain='always' must rebuild a consistent layout (fresh Lloyd
     centroids over the full corpus): edges read back cover every node

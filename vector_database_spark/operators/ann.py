@@ -1684,6 +1684,56 @@ def bq_hamming(a, b):
     )
 
 
+def bq_build(
+    vectors_df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+    centroids: list[list[float]] | None = None,
+    assign_method: str = "dgemm",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Cell-aware BQ layout (round-9 verdict item 1): codes PLUS a
+    coarse IVF cell per row — ``((id, code array<long>, cell int),
+    centroids)``. The cell column is what turns `bq_knn`'s candidate
+    stage from an unpruned O(n) code scan into a probed read of
+    nprobe cells: stored partitioned by ``cell``, the Hamming scan
+    touches only the probed partitions (the `ivf_write` layout rule
+    applied to the code table). Centroids come from the shared
+    bounded-sample Lloyd (`ivf_build`'s trainer) unless supplied;
+    ``assign_method='expr'`` is the SQL-replayable assignment twin
+    (`ivf_assign_expr` — the a01 oracle path), 'dgemm' the BLAS
+    kernel (pytest-pinned equal in a01's rig)."""
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+    )
+    if centroids is None:
+        X, _n = _train_sample(
+            vecs, dims=int(dim), train_rows=train_rows, seed=seed,
+            floor_rows=n_cells * 4,
+        )
+        centroids = [
+            [float(x) for x in c] for c in _lloyd(X, n_cells, iters)
+        ]
+    else:
+        centroids = [[float(x) for x in c] for c in centroids]
+    if assign_method == "expr":
+        asg = ivf_assign_expr(vecs, centroids)
+    else:
+        asg = _assign_cells(vecs, centroids)
+    codes = asg.select(
+        "id",
+        F.array(*bq_lane_exprs("vector", dim)).alias("code"),
+        "cell",
+    )
+    return codes, centroids
+
+
 def bq_knn(
     vectors_df: DataFrame,
     queries: DataFrame | list,
@@ -1694,6 +1744,9 @@ def bq_knn(
     id_col: str = "id",
     vector_col: str = "vector",
     codes: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    assign_method: str = "dgemm",
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``m`` candidates over the
     sign-bit codes, exact-cosine rerank to top-``k``.
@@ -1720,6 +1773,26 @@ def bq_knn(
     production layout stores codes once and serves every query batch
     off them; results are identical (the encode is deterministic).
 
+    ``centroids`` + ``nprobe`` (round-9 verdict item 1 — the
+    cell-pruned candidate stage): without them the Hamming stage
+    scans the ENTIRE code table per search — 32x compressed but
+    still the only O(n) serving stage at 100x scale. With a coarse
+    cell model (build one with `bq_build`, which also returns codes
+    carrying the ``cell`` column), each query probes its ``nprobe``
+    nearest cells (euclidean to the centroid, (dist, cell)
+    tie-break — `ivf_knn`'s probe rule) and the Hamming top-``m``
+    cut runs WITHIN the probed cells only: stored cell-partitioned,
+    the candidate scan is a partition-pruned read of nprobe/n_cells
+    of the codes. Semantics become doubly approximate (a true match
+    outside the probed cells is missed BEFORE the Hamming cut;
+    ``nprobe >= n_cells`` restores the pure-Hamming contract
+    exactly), but every stage stays deterministic and
+    SQL-replayable — the v28 gate hash-matches the cell-pruned
+    pipeline end-to-end. When ``centroids`` is given, ``codes`` must
+    carry a ``cell`` column (pass `bq_build`'s output); with
+    ``codes=None`` the assignment runs here (``assign_method`` as in
+    `bq_build`).
+
     Recall regime (measured, tools/bq_probe.py at 1M x 64): sign bits
     rank ACROSS directions, not within a tight cluster — on
     cluster-degenerate data every member shares one code, Hamming
@@ -1741,14 +1814,53 @@ def bq_knn(
     qcodes = qdf.select(
         "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
     )
-    if codes is None:
-        codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
-                          vector_col=vector_col)
-    narrow = codes.crossJoin(F.broadcast(qcodes.select("qid", "qcode"))).select(
-        "qid",
-        "id",
-        bq_hamming(F.col("code"), F.col("qcode")).cast("double").alias("dist"),
-    )
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+        if codes is None:
+            codes, _ = bq_build(
+                vectors_df, dim=dim, id_col=id_col, vector_col=vector_col,
+                centroids=cents, assign_method=assign_method,
+            )
+        elif "cell" not in codes.columns:
+            raise ValueError(
+                "bq_knn: centroids given but codes carry no 'cell' "
+                "column — pass bq_build's output (or codes=None)"
+            )
+        spark = vectors_df.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>",
+        )
+        wp = Window.partitionBy("qid").orderBy(
+            F.col("cdist").asc(), F.col("cell").asc()
+        )
+        probes = (
+            qcodes.crossJoin(F.broadcast(cdf))
+            .withColumn("cdist", euclidean(F.col("qvec"), F.col("cvec")))
+            .withColumn("_r", F.row_number().over(wp))
+            .where(F.col("_r") <= int(nprobe))
+            .select("qid", "qcode", "cell")
+        )
+        narrow = codes.join(F.broadcast(probes), "cell").select(
+            "qid",
+            "id",
+            bq_hamming(F.col("code"), F.col("qcode"))
+            .cast("double")
+            .alias("dist"),
+        )
+    else:
+        if codes is None:
+            codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
+                              vector_col=vector_col)
+        narrow = codes.crossJoin(
+            F.broadcast(qcodes.select("qid", "qcode"))
+        ).select(
+            "qid",
+            "id",
+            bq_hamming(F.col("code"), F.col("qcode"))
+            .cast("double")
+            .alias("dist"),
+        )
     local = _grouped_topk(narrow, mm, "qid", "id")
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     cand = (
@@ -1827,6 +1939,7 @@ def mips_knn(
     m2: float | None = None,
     assigned: DataFrame | None = None,
     where=None,
+    ensure_k: bool = False,
 ) -> DataFrame:
     """Sub-scan MIPS kNN (round-8 verdict item 3): maximum-inner-
     product retrieval served by the existing IVF machinery through
@@ -1847,7 +1960,10 @@ def mips_knn(
     applies (nprobe = n_cells is brute-exact; pytest-pinned against
     v25's full scan). Queries are a broadcastable panel (the ivf_knn
     contract — (qid, qvec) columns); use `knn_join` when the query
-    side is corpus-sized.
+    side is corpus-sized. ``ensure_k=True`` (round-9 verdict item 4)
+    adds the result-count contract a selective ``where=`` needs:
+    set-based doubling escalation for starved queries until k rows
+    or all cells — see `_mips_serve`.
 
     ``method='expr'`` runs assignment/probing as the bit-exact
     Catalyst folds (the a01 oracle rig; centroids must then be
@@ -1886,6 +2002,7 @@ def mips_knn(
             k,
             nprobe,
             where=where,
+            ensure_k=ensure_k,
         )
     vv = vecs_df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -1936,7 +2053,10 @@ def mips_knn(
             )
             .select("id", "vector", "cell")
         )
-    return _mips_serve(assigned, centroids, queries_df, k, nprobe, where=where)
+    return _mips_serve(
+        assigned, centroids, queries_df, k, nprobe, where=where,
+        ensure_k=ensure_k,
+    )
 
 
 def _mips_serve(
@@ -1946,6 +2066,7 @@ def _mips_serve(
     k: int,
     nprobe: int,
     where=None,
+    ensure_k: bool = False,
 ) -> DataFrame:
     """The MIPS serving tail: probe the nprobe augmented-nearest
     cells per query, score candidates by the EXACT inner product on
@@ -1958,7 +2079,15 @@ def _mips_serve(
     (pushes into the per-cell scan at scale), and the exact-dot
     rerank runs only on qualifying rows. Same probe-recall trade as
     filtered IVF: a highly selective predicate warrants a larger
-    nprobe."""
+    nprobe — or ``ensure_k=True`` (round-9 verdict item 4), which
+    retries starved queries with a doubled nprobe until every query
+    has k rows or all cells are probed. SET-BASED (the knn_join
+    escalation): the starved set stays a DataFrame (anti-join on
+    satisfied qids), never a driver qid list; satisfied queries keep
+    their lower-probe results (probe supersets never change them).
+    Escalation terminates at the full probe, where results equal the
+    exact filtered MIPS scan — so a predicate starving every probe
+    subset ends recall-1.0 (pytest-pinned in the a07 1% regime)."""
     from vector_database_spark.functions.vector import euclidean
 
     if where is not None:
@@ -1972,27 +2101,55 @@ def _mips_serve(
     qdf = queries_df.select(
         "qid", F.col("qvec").cast("array<double>").alias("qvec")
     ).withColumn("aqv", F.concat(F.col("qvec"), F.array(F.lit(0.0))))
-    qc = qdf.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", euclidean(F.col("aqv"), F.col("cvec"))
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.col("cdist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qc.withColumn("_r", F.row_number().over(wp))
-        .where(F.col("_r") <= int(nprobe))
-        .select("qid", "qvec", "cell")
-    )
-    cand = assigned.join(F.broadcast(probes), "cell")
-    wk = Window.partitionBy("qid").orderBy(
-        F.col("ip").desc(), F.col("id").asc()
-    )
-    return (
-        cand.withColumn("ip", dot(F.col("vector"), F.col("qvec")))
-        .withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= int(k))
-        .select("qid", "id", "ip", "rank")
-    )
+
+    def _ranked(qsub: DataFrame, np_: int) -> DataFrame:
+        qc = qsub.crossJoin(F.broadcast(cents)).withColumn(
+            "cdist", euclidean(F.col("aqv"), F.col("cvec"))
+        )
+        wp = Window.partitionBy("qid").orderBy(
+            F.col("cdist").asc(), F.col("cell").asc()
+        )
+        probes = (
+            qc.withColumn("_r", F.row_number().over(wp))
+            .where(F.col("_r") <= int(np_))
+            .select("qid", "qvec", "cell")
+        )
+        cand = assigned.join(F.broadcast(probes), "cell")
+        wk = Window.partitionBy("qid").orderBy(
+            F.col("ip").desc(), F.col("id").asc()
+        )
+        return (
+            cand.withColumn("ip", dot(F.col("vector"), F.col("qvec")))
+            .withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= int(k))
+            .select("qid", "id", "ip", "rank")
+        )
+
+    out = _ranked(qdf, int(nprobe))
+    if not ensure_k:
+        return out
+    cur, total = int(nprobe), len(centroids)
+    out = out.localCheckpoint(eager=False)
+    while cur < total:
+        sat = (
+            out.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= int(k))
+            .select("qid")
+        )
+        starved_q = qdf.join(sat, "qid", "left_anti").localCheckpoint(
+            eager=False
+        )
+        if starved_q.isEmpty():
+            break
+        cur = min(cur * 2, total)
+        retry = _ranked(starved_q, cur)
+        out = (
+            out.join(starved_q.select("qid"), "qid", "left_anti")
+            .unionByName(retry)
+            .localCheckpoint(eager=False)
+        )
+    return out
 
 
 def mips_build(
@@ -2065,6 +2222,103 @@ def mips_read(
     assigned, cents = ivf_read(spark, path)
     m2 = float(spark.read.parquet(f"{path}/mips_meta").first()["m2"])
     return assigned, cents, m2
+
+
+def mips_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    on_overflow: str = "error",
+    n_cells: int | None = None,
+    iters: int = 3,
+    seed: int = 42,
+    train_rows: int = 262_144,
+) -> dict:
+    """Incremental ingest for the stored MIPS layout (round-9 verdict
+    item 2 — every other stored layout has the append contract; this
+    closes the last asymmetry). Assign-on-append under the STORED
+    augmented centroids: batch rows are augmented with the stored
+    ``m2``, assigned in the augmented space, and appended to the
+    per-cell layout — append-then-serve is IDENTICAL to re-assigning
+    the whole corpus under those centroids (pytest-pinned).
+
+    NORM-BOUND ENFORCEMENT: the augmentation constant M² is frozen at
+    build time — a row with ‖x‖² > m2 has no real augmented
+    coordinate (`mips_augment` would clamp sqrt of a negative to 0,
+    silently BREAKING the monotone dot-product ordering the layout
+    exists for). The invariant is validated at the door (the
+    reference's dimension-enforcement-at-ingest rule,
+    VectorIndex/IndexBuilder.cs:61): ``on_overflow='error'``
+    (default) REFUSES the batch with a ValueError naming the escape
+    hatch; ``'retrain'`` rebuilds the whole layout (`mips_build`
+    over stored ∪ batch — new m2, new centroids, full rewrite) and
+    appends nothing stale. Returns {'appended', 'retrained',
+    'batch_m2', 'm2'}."""
+    if on_overflow not in ("error", "retrain"):
+        raise ValueError(
+            f"on_overflow must be error|retrain, got {on_overflow!r}"
+        )
+    stored, centroids, m2 = mips_read(spark, path)
+    vecs = new_df.select(
+        F.col(id_col).cast(stored.schema["id"].dataType).alias("id"),
+        F.col(vector_col)
+        .cast(stored.schema["vector"].dataType)
+        .alias("vector"),
+    )
+    first = vecs.select(F.size("vector").alias("d")).first()
+    if first is None or first["d"] is None:
+        return {
+            "appended": 0, "retrained": False, "batch_m2": 0.0, "m2": m2,
+        }
+    batch_m2 = mips_max_norm2(vecs)
+    if batch_m2 > m2:
+        if on_overflow == "error":
+            raise ValueError(
+                f"mips_append: batch max ||x||^2 = {batch_m2!r} exceeds "
+                f"the layout's frozen norm bound m2 = {m2!r} — the "
+                "augmented coordinate sqrt(m2 - ||x||^2) has no real "
+                "value and MIPS ordering would silently break. Pass "
+                "on_overflow='retrain' to rebuild the layout over the "
+                "union (new m2 + centroids), or rebuild explicitly with "
+                "mips_build + mips_write."
+            )
+        full = (
+            stored.select("id", "vector")
+            .unionByName(vecs)
+            .localCheckpoint()  # break lineage from files being rewritten
+        )
+        k = n_cells if n_cells is not None else len(centroids)
+        assigned, cents, new_m2 = mips_build(
+            full, n_cells=k, iters=iters, seed=seed, train_rows=train_rows
+        )
+        mips_write(assigned.localCheckpoint(), cents, new_m2, path)
+        return {
+            "appended": int(vecs.count()),
+            "retrained": True,
+            "batch_m2": batch_m2,
+            "m2": new_m2,
+        }
+    av = vecs.withColumn("avec", mips_augment("vector", m2))
+    assigned = _assign_cells(
+        av.select(
+            "id", F.col("avec").alias("vector"), F.col("vector").alias("ovec")
+        ),
+        centroids,
+    ).select("id", F.col("ovec").alias("vector"), "cell")
+    assigned = assigned.localCheckpoint()
+    n = assigned.count()
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    return {
+        "appended": int(n),
+        "retrained": False,
+        "batch_m2": batch_m2,
+        "m2": m2,
+    }
 
 
 def knn_join(

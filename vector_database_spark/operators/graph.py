@@ -742,6 +742,7 @@ def _blocked_narrow(
     members: DataFrame, probes: DataFrame, k: int, method: str,
     cell_cap: int = _CELL_CAP,
     exclude_self: bool = True,
+    cell_counts: dict | None = None,
 ) -> DataFrame:
     """Within-cell candidate distances ``(src, dst, dist)`` for the
     blocked kNN-graph: probes equi-join members on `cell` (never a
@@ -818,16 +819,26 @@ def _blocked_narrow(
     )
     # per-cell member counts, driver-side (≤ n_cells longs): decides
     # the fast path and sizes the sub-buckets without a second
-    # in-plan aggregate
+    # in-plan aggregate. ``cell_counts`` (round-9 verdict item 6)
+    # lets layout-backed callers pass counts persisted at write time
+    # (`knn_graph_write` {path}/cell_counts, maintained on append) so
+    # serving/append skip this corpus-sized aggregate entirely — the
+    # A/B-attributed residual vs the r7 plan. Counts may only
+    # OVER-estimate safely (deletes shrink cells): an over-estimate
+    # just buckets earlier; an under-estimate would breach the cap,
+    # so maintainers must add batch counts on every append.
     import math as _math
 
     cap = int(cell_cap)
-    cnts = {
-        int(r["cell"]): int(r["n"])
-        for r in mem.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if cell_counts is not None:
+        cnts = {int(c): int(n) for c, n in cell_counts.items()}
+    else:
+        cnts = {
+            int(r["cell"]): int(r["n"])
+            for r in mem.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     bucketed = bool(cnts) and max(cnts.values()) > cap
 
     if bucketed:
@@ -1205,7 +1216,12 @@ def knn_graph_write(
       entry_cell) — the beam entry point (min id) and its cell, so
       serving never scans the corpus to find it,
     - ``{path}/stats``    running quantization-error sums (the
-      `ivf_append` drift base).
+      `ivf_append` drift base),
+    - ``{path}/cell_counts`` (cell, n) — per-cell member counts
+      (round-9 verdict item 6): the hot-cell cap decision reads this
+      tiny table on append/serving instead of re-aggregating the
+      corpus; maintained by `knn_graph_append` (adds batch counts)
+      and rewritten on retrain.
 
     Returns the edges DataFrame (read back from disk — lineage-free).
     """
@@ -1241,6 +1257,16 @@ def knn_graph_write(
     # and the stats pass — pin it
     members = members.localCheckpoint()
     probes = _blocked_probes(vv, centroids, nprobe, method).localCheckpoint()
+    # per-cell counts, computed ONCE and persisted with the layout
+    # (round-9 verdict item 6): the build consumes them in place of
+    # `_blocked_narrow`'s own aggregate, and append/serving read the
+    # tiny table instead of re-aggregating the corpus
+    cnts = {
+        int(r["cell"]): int(r["n"])
+        for r in members.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     # the PERSISTED members/probes stay per-member (the append
     # contract reads them); the edge BUILD takes the collapsed path
     # on clone-heavy input (round-8 verdict item 1 — output-identical,
@@ -1251,9 +1277,14 @@ def knn_graph_write(
         )
     else:
         edges = _rank_topk_edges(
-            _blocked_narrow(members, probes, k, method), k
+            _blocked_narrow(members, probes, k, method, cell_counts=cnts),
+            k,
         )
     ivf_write(members, centroids, path)
+    spark.createDataFrame(
+        sorted((int(c), int(n)) for c, n in cnts.items()),
+        "cell int, n long",
+    ).write.mode("overwrite").parquet(f"{path}/cell_counts")
     probes.select("id", "pr", "cell").repartition("cell").write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "static").partitionBy("cell").parquet(
@@ -1387,12 +1418,31 @@ def knn_graph_append(
     batch_n = batch_members.count()
     if batch_n == 0:
         return {"appended": 0, "affected": 0, "drift": 0.0, "retrained": False}
-    batch_cells = sorted(
-        int(r["cell"]) for r in batch_members.select("cell").distinct().collect()
-    )
+    batch_cnts = {
+        int(r["cell"]): int(r["n"])
+        for r in batch_members.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch_cells = sorted(batch_cnts)
     probe_cells = sorted(
         int(r["cell"]) for r in batch_probes.select("cell").distinct().collect()
     )
+    # stored per-cell counts: the persisted tiny table (round-9
+    # verdict item 6); legacy layouts (pre cell_counts) aggregate the
+    # stored members once, after which the append persists them
+    try:
+        stored_cnts = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.parquet(f"{path}/cell_counts").collect()
+        }
+    except Exception:
+        stored_cnts = {
+            int(r["cell"]): int(r["n"])
+            for r in stored.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     # --- candidate generation (all reads pinned BEFORE any write) ---
     stored_m = stored.select("id", "vector", "cell")
@@ -1403,8 +1453,17 @@ def knn_graph_append(
         .unionByName(batch_members.select("id", "vector", "cell"))
         .localCheckpoint()
     )
+    probed_cnts = {
+        c: stored_cnts.get(c, 0) * (1 if c in set(probe_cells) else 0)
+        + batch_cnts.get(c, 0)
+        for c in set(probe_cells) | set(batch_cells)
+    }
     new_edges = _rank_topk_edges(
-        _blocked_narrow(probed_members, batch_probes, k, method), k
+        _blocked_narrow(
+            probed_members, batch_probes, k, method,
+            cell_counts=probed_cnts,
+        ),
+        k,
     )
     # stored nodes whose probe set intersects the batch's cells —
     # the ONLY nodes whose candidate set changed; probes are stored
@@ -1417,9 +1476,43 @@ def knn_graph_append(
     aff_with_vec = aff_probes.join(
         stored_m.select("id", "vector"), "id"
     ).select("id", "vector", "cell").localCheckpoint()
-    fix_narrow = _blocked_narrow(
-        batch_members.select("id", "vector", "cell"), aff_with_vec, k, method
-    )
+    # REP-LEVEL FIX-UP (round-9 verdict item 3): the expensive stage
+    # here is the per-affected-src distance pass against the batch —
+    # a 500k-clone stored pile would re-rank 500k identical srcs per
+    # append. Clones share the vector, hence the probe set and every
+    # candidate distance (the kernel's per-pair recompute is
+    # composition-independent — the r7 GEMM lesson), so the narrow
+    # runs on ONE representative per distinct affected vector and
+    # candidates fan back out to members bit-identically. Old stored
+    # edges stay per-member (clones' neighbor lists differ in ids);
+    # the final per-src window re-ranks as before — output identical
+    # to the uncollapsed fix-up (pytest-pinned). Gated by the same
+    # bounded-sample dup detector as the build paths.
+    if method == "dgemm" and _sample_has_dup_vectors(
+        aff_with_vec.select("id", "vector").dropDuplicates(["id"])
+    ):
+        aff_nodes = aff_with_vec.select("id", "vector").dropDuplicates(
+            ["id"]
+        )
+        aff_ann, aff_reps, _near = _collapse_dup_vectors(aff_nodes, k)
+        rep_probe = aff_with_vec.join(
+            aff_reps.select("id"), "id", "left_semi"
+        )
+        rep_narrow = _blocked_narrow(
+            batch_members.select("id", "vector", "cell"), rep_probe, k,
+            method, cell_counts=batch_cnts,
+        )
+        fix_narrow = rep_narrow.join(
+            aff_ann.select(
+                F.col("rep").alias("src"), F.col("id").alias("_m")
+            ),
+            "src",
+        ).select(F.col("_m").alias("src"), "dst", "dist")
+    else:
+        fix_narrow = _blocked_narrow(
+            batch_members.select("id", "vector", "cell"), aff_with_vec, k,
+            method, cell_counts=batch_cnts,
+        )
     aff_ids = aff_with_vec.select(F.col("id").alias("src")).distinct()
     # raw edge read keeps dst_cell (persisted by knn_graph_write) so
     # the rewrite can restore it without a full-membership join
@@ -1493,6 +1586,16 @@ def knn_graph_append(
         [(int(k), int(nprobe), method, int(ent_id), int(ent_cell))],
         "k int, nprobe int, method string, entry_id long, entry_cell int",
     ).write.mode("overwrite").parquet(f"{path}/graph_meta")
+    # persisted per-cell counts stay current: stored + batch (the
+    # table the NEXT append's cap decision reads instead of
+    # re-aggregating the corpus — round-9 verdict item 6)
+    merged_cnts = dict(stored_cnts)
+    for c, n in batch_cnts.items():
+        merged_cnts[c] = merged_cnts.get(c, 0) + n
+    spark.createDataFrame(
+        sorted((int(c), int(n)) for c, n in merged_cnts.items()),
+        "cell int, n long",
+    ).write.mode("overwrite").parquet(f"{path}/cell_counts")
 
     # --- drift stats (the ivf_append contract) ---
     batch_sum, _bn = _ivf_err_stats(batch_members, centroids)

@@ -6509,6 +6509,89 @@ def v24_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "id", "hamming", "cos_sim", "rank")
 
 
+
+_V28_CELLS = 8
+_V28_NPROBE = 3
+_V28_M = 32
+
+
+@query(
+    "v28_bq_cells",
+    oracle=f"""
+WITH c0 AS (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY md5(vec_id || ':v28'), vec_id)
+                     AS rn
+            FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM c0
+                      WHERE rn <= {_V28_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}) AS d
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+                          {_bq_code_sql('embedding', _V24_DIM)} AS qcode
+                   FROM embeddings WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}), c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cd AS (SELECT vec_id AS id, embedding,
+              {_bq_code_sql('embedding', _V24_DIM)} AS code
+       FROM embeddings),
+h AS (SELECT p.qid, cd.id, cd.embedding, q.qv,
+             {_bq_hamming_sql('cd.code', 'q.qcode', _V24_DIM // 32)}
+               AS hamming
+      FROM cd JOIN asg a ON a.id = cd.id
+      JOIN pc p ON p.cell = a.cell AND p.pr <= {_V28_NPROBE}
+      JOIN q ON q.qid = p.qid),
+cand AS (SELECT qid, id, hamming, embedding, qv,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, id) AS cr
+         FROM h),
+scored AS (SELECT qid, id, hamming,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM cand WHERE cr <= {_V28_M})
+SELECT qid, id, hamming, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+""",
+)
+def v28_bq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELL-PRUNED BQ search (round-9 verdict item 1 — `ann.bq_build`
+    + `bq_knn(centroids=, nprobe=)`): v24's two-stage BQ pipeline
+    with the candidate stage no longer an O(n) code scan — a coarse
+    IVF model over the codes probes {_V28_NPROBE} of {_V28_CELLS}
+    cells per query, the Hamming top-{_V28_M} cut runs WITHIN the
+    probed cells (a partition-pruned read of the cell-partitioned
+    code table at scale), and the exact-cosine rerank is unchanged.
+    Exact-oracle rig is a01's: seeded-md5 centroid rows, the
+    expression-path assignment (`ivf_assign_expr` folds — DuckDB
+    replays them bit-for-bit), SQL-replayable probe ranking, integer
+    Hamming, and the portable cosine fold — the WHOLE cell-pruned
+    pipeline hash-matches end-to-end. The Lloyd-trained dgemm path
+    is pinned to this path by pytest; scan-fraction vs recall is
+    measured at 1M x 64 in tools/bq_probe.py."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "v28", _V28_CELLS)
+    codes, _ = bq_build(
+        vecs, dim=_V24_DIM, centroids=cents, assign_method="expr"
+    )
+    out = bq_knn(
+        vecs, _panel(spark, sf_dir), KNN_K, dim=_V24_DIM, m=_V28_M,
+        codes=codes, centroids=cents, nprobe=_V28_NPROBE,
+    )
+    return out.select("qid", "id", "hamming", "cos_sim", "rank")
+
+
 _E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
 
 
@@ -6849,6 +6932,7 @@ _DRIVER_TAIL = [
     "v26_mips_ivf",           # ANN/MIPS family: a01/v25 stay in the head
     "p11_curriculum",         # pipeline family: p01/p03 stay in the head
     "v27_filtered_mips",      # filtered-ANN family: a07/v19 stay in the head
+    "v28_bq_cells",           # BQ family: a01 IVF + v24 stay via tail twin
 ]
 
 
