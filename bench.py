@@ -214,13 +214,22 @@ def main() -> int:
             _facades[t] = vdb
         return _facades[t]
 
-    for t in ("bsp", "ivf", "ivfadc", "bq"):
-        # 'bq' (round-8 verdict item 5): the Hamming-candidate +
-        # exact-rerank serving path — the facade's approximate tier
+    for t in ("bsp", "ivf", "ivfadc", "bq", "mips"):
+        # 'bq' (round-8 verdict item 5): the cell-probed Hamming
+        # candidates + exact-rerank serving path — the facade's
+        # approximate tier; 'mips' (round-9 item 5): exact ball via
+        # augmented-radius pruning over the MIPS layout
         def _fsearch(t=t):
             _force(_facade(t).search(_fdata[1], 0.35))
 
         plan.append((f"facade_search_{t}", _fsearch))
+
+    # the 'mips' backend's native serving surface: top-k by exact
+    # inner product off the stored layout (+ exact tail merge)
+    def _fknn_dot():
+        _force(_facade("mips").knn_dot(_fdata[1], 10, nprobe=8))
+
+    plan.append(("facade_knn_dot_mips", _fknn_dot))
 
     # Raw per-pass samples are recorded alongside the mins (round-5
     # verdict item 3): a min-only artifact sampled in a throttle
@@ -233,7 +242,7 @@ def main() -> int:
     # warm the facade stores BEFORE the timed passes: the build is
     # setup (like the beam graph), and a build-polluted pass-1 sample
     # would break the per-pass anchor-ratio discipline
-    for t in ("bsp", "ivf", "ivfadc", "bq"):
+    for t in ("bsp", "ivf", "ivfadc", "bq", "mips"):
         _facade(t)
 
     samples: dict[str, list[float]] = {name: [] for name, _ in plan}

@@ -39,6 +39,86 @@ def test_minhash_lsh_finds_near_dups(spark):
         assert a < b
 
 
+def test_minhash_join_matches_brute_cross_jaccard(spark):
+    """Cross-corpus LSH join == the brute cross-Jaccard on a small
+    rig with planted cross-table near-dups; no within-table pair ever
+    leaks into the output."""
+    left = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely different text about spark engines"),
+            (102, "unrelated eval prompt about weather patterns today"),
+        ],
+        "doc_id long, text string",
+    )
+    right = _docs(spark)
+    got = {
+        (r.l_id, r.r_id): round(r.jaccard, 9)
+        for r in dd.minhash_join(left, right, threshold=0.4).collect()
+    }
+    # brute cross-Jaccard over normalized word 3-shingles
+    def shingles(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    want = {}
+    for lid, lt in left.collect():
+        for rid, rt in right.collect():
+            a, b = shingles(lt), shingles(rt)
+            j = len(a & b) / len(a | b)
+            if j >= 0.4:
+                want[(lid, rid)] = round(j, 9)
+    assert got == want and (100, 0) in got and (101, 3) in got
+    assert all(l_ >= 100 and r_ < 100 for l_, r_ in got)
+
+
+def test_kmv_sketch_setops_exact_under_capacity_and_mergeable(spark):
+    """KMV set algebra: (1) sets under the sketch capacity give EXACT
+    union/intersection counts; (2) the union sketch computed from two
+    sketches == the sketch of the unioned set directly (merge =
+    selection algebra); (3) over capacity, estimates stay within the
+    standard KMV error band."""
+    from vector_database_spark.operators import sketch as sk
+
+    a = spark.range(0, 40).select(F.col("id").alias("v"))
+    b = spark.range(25, 70).select(F.col("id").alias("v"))
+    ska, skb = sk.kmv_sketch(a, "v", k=128), sk.kmv_sketch(b, "v", k=128)
+    row = sk.kmv_set_estimates(ska, skb, k=128).first()
+    assert row["est_a"] == 40.0 and row["est_b"] == 45.0
+    assert row["est_union"] == 70.0 and row["est_intersection"] == 15.0
+
+    # merge property: bottom-k of concat == sketch of the union
+    direct = sk.kmv_sketch(a.unionByName(b), "v", k=16).first()["mins"]
+    merged_row = (
+        sk.kmv_sketch(a, "v", k=16)
+        .crossJoin(
+            sk.kmv_sketch(b, "v", k=16).select(F.col("mins").alias("mb"))
+        )
+        .select(
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("mins", "mb"))),
+                1,
+                16,
+            ).alias("u")
+        )
+        .first()["u"]
+    )
+    assert list(direct) == list(merged_row)
+
+    # over capacity: 2000 vs 2000 with 1000 shared -> union 3000
+    big_a = spark.range(0, 2000).select(F.col("id").alias("v"))
+    big_b = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    r2 = sk.kmv_set_estimates(
+        sk.kmv_sketch(big_a, "v", k=256),
+        sk.kmv_sketch(big_b, "v", k=256),
+        k=256,
+    ).first()
+    assert abs(r2["est_union"] - 3000) / 3000 < 0.25
+    assert abs(r2["est_intersection"] - 1000) / 1000 < 0.4
+
+
 def test_ngram_jaccard_matches_minhash_on_strong_pairs(spark):
     docs = _docs(spark)
     exact = {

@@ -377,6 +377,16 @@ CHECKS = {
         "BEFORE the candidate join (filter-then-rank); same "
         "broadcast-probe plan as v26, never a corpus shuffle",
     ),
+    "v28_bq_cells": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "cell-pruned BQ: the probed-cell candidate stage is an "
+        "equi-join of the code table against the broadcast "
+        "(qid, cell) probe frame — the code scan covers nprobe "
+        "cells, never the whole table, and the corpus never "
+        "shuffles; the rerank joins the tiny candidate set back "
+        "via broadcast (the v24 tail)",
+    ),
 }
 
 

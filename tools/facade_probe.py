@@ -51,7 +51,7 @@ def main() -> int:
         # distances on Hamming top-bq_m candidates. The probe asserts
         # the containment contract (hits ⊆ brute with equal values)
         # and reports recall instead of demanding == brute.
-        for t in ("bsp", "ivf", "ivfadc", "bq"):
+        for t in ("bsp", "ivf", "ivfadc", "bq", "mips"):
             vdb = VectorDatabase(
                 spark, f"{root}/{t}", index_type=t, n_cells=64,
                 local_threshold=65_536, pq_m=4, bq_m=4096,
@@ -98,7 +98,11 @@ def main() -> int:
                 f"{t}: build+index {t_build:.1f}s, search {t_search:.1f}s, "
                 f"hits {len(got)}, exact == brute: {exact}"
             )
-            if t != "bsp":
+            if t not in ("bsp", "mips"):
+                # 'mips' ball pruning is exact but WEAK by design when
+                # m2 >> domain^2 (the augmented bound dominates) — its
+                # candidate_frac is not asserted; distance workloads
+                # belong on 'ivf', 'mips' exists for knn_dot below
                 st = vdb.search_stats(q, domain).first()
                 line += (
                     f", candidate_frac {st.candidate_frac:.4f}, "
@@ -111,6 +115,42 @@ def main() -> int:
             if not exact:
                 print(f"FAIL: {t} search != brute")
                 ok = False
+            if t == "mips":
+                # the backend's native surface: full-probe knn_dot ==
+                # the exact inner-product top-k over the store
+                t0 = time.time()
+                top = [
+                    (int(r.text_id), int(r.rank))
+                    for r in vdb.knn_dot(q, 10, nprobe=64).collect()
+                ]
+                t_dot = time.time() - t0
+                want = [
+                    (int(r.text_id), i + 1)
+                    for i, r in enumerate(
+                        vdb.text()
+                        .select(
+                            "text_id",
+                            F.expr(
+                                "aggregate(zip_with(vector, "
+                                + "array("
+                                + ", ".join(repr(float(x)) for x in q)
+                                + "), (a, b) -> CAST(a AS DOUBLE) * b), "
+                                "0.0D, (s, x) -> s + x)"
+                            ).alias("ip"),
+                        )
+                        .orderBy(F.col("ip").desc(), F.col("text_id").asc())
+                        .limit(10)
+                        .collect()
+                    )
+                ]
+                dot_ok = sorted(top) == sorted(want)
+                print(
+                    f"mips knn_dot: {t_dot:.1f}s, full-probe top-10 == "
+                    f"exact dot: {dot_ok}"
+                )
+                if not dot_ok:
+                    print("FAIL: mips knn_dot != exact dot top-k")
+                    ok = False
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print("PROBE", "PASS" if ok else "FAIL")

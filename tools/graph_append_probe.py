@@ -42,7 +42,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    uni = random_uniform(spark, n_uni + n_batch, dims, seed=11).select(
+    uni = random_uniform(spark, n_uni, dims, seed=11).select(
         "id", "vector"
     )
     proto = uni.where(F.col("id") == 0).first()["vector"]
@@ -52,8 +52,22 @@ def main() -> int:
         .cast("array<double>")
         .alias("vector"),
     )
-    base = uni.where(F.col("id") < n_uni).unionByName(pile).localCheckpoint()
-    batch = uni.where(F.col("id") >= n_uni).localCheckpoint()
+    base = uni.unionByName(pile).localCheckpoint()
+    # the batch lands IN the pile's cell (tiny per-row jitter on the
+    # pile vector, values distinct): the verdict scenario — every
+    # pile member's probe set intersects the batch's cell, so the
+    # plain fix-up re-ranks all n_pile srcs against the whole batch
+    # while the rep-level fix-up touches ONE representative
+    batch = spark.range(n_batch).select(
+        (F.col("id") + 20_000_000).alias("id"),
+        F.transform(
+            F.lit([float(x) + 0.25 for x in proto]).cast("array<double>"),
+            lambda x, i: x
+            + (F.col("id") + 1).cast("double") * 1e-9 * (i + 1).cast(
+                "double"
+            ),
+        ).alias("vector"),
+    ).localCheckpoint()
 
     def build(root):
         t0 = time.time()

@@ -193,8 +193,6 @@ class VectorDatabase:
         """Stored coarse centroids, or None for a pre-cell (round-9)
         layout — those keep serving via the unpruned scan until the
         next `index_documents()` rebuild."""
-        from pyspark.sql.utils import AnalysisException
-
         try:
             return self._ann_centroids()
         except AnalysisException as e:

@@ -313,6 +313,85 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH JOIN: for two document tables (e.g.
+    an eval/benchmark set vs a training corpus), every cross pair
+    whose shingle Jaccard >= ``threshold`` — ``(l_id, r_id,
+    jaccard)``. The contamination-audit primitive at corpus scale:
+    `minhash_dedup_pairs` is the SELF-join form; here the id spaces
+    are unrelated so candidates come from an equi-join of the two
+    banded signature tables on (band, key) — shuffle volume is
+    (|L| + |R|) × bands rows, never |L| × |R| — and the exact-Jaccard
+    refinement runs the same set-algebra joins across the two shingle
+    passes. Signatures on both sides use the same salted affine
+    permutations, so banding agrees by construction. Candidate recall
+    follows the standard (1 − J^r)^b band bound; the refinement is
+    exact on candidates, so output pairs are exact-above-threshold
+    (the same contract as the self-join form, pytest-pinned equal to
+    a brute cross-Jaccard on a small rig)."""
+    lsh = shingle_rows(
+        left_df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        distinct=True,
+    ).persist()
+    rsh = shingle_rows(
+        right_df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        distinct=True,
+    ).persist()
+    lsig = minhash_signatures(
+        left_df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n, shingles=lsh,
+    )
+    rsig = minhash_signatures(
+        right_df, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n, shingles=rsh,
+    )
+    lb = _band_signatures(lsig, bands=bands, rows_per_band=rows_per_band)
+    rb = _band_signatures(rsig, bands=bands, rows_per_band=rows_per_band)
+    cand = (
+        lb.select(F.col("id").alias("l_id"), "band", "key")
+        .join(rb.select(F.col("id").alias("r_id"), "band", "key"),
+              ["band", "key"])
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    lsz = lsh.groupBy("id").agg(F.count(F.lit(1)).alias("sl"))
+    rsz = rsh.groupBy("id").agg(F.count(F.lit(1)).alias("sr"))
+    inter = (
+        cand.join(lsh.select(F.col("id").alias("l_id"), "shingle"), "l_id")
+        .join(
+            rsh.select(F.col("id").alias("r_id"), "shingle"),
+            ["r_id", "shingle"],
+        )
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            lsz.select(F.col("id").alias("l_id"), "sl"), "l_id"
+        )
+        .join(rsz.select(F.col("id").alias("r_id"), "sr"), "r_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sl") + F.col("sr") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.where(F.col("jaccard") >= F.lit(float(threshold))).select(
+        "l_id", "r_id", "jaccard"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

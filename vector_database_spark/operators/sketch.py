@@ -117,6 +117,121 @@ FROM kept
 """
 
 
+def kmv_sketch(
+    df: DataFrame,
+    value_col,
+    *,
+    k: int = 64,
+    n_shards: int = 64,
+) -> DataFrame:
+    """ONE-row bottom-``k`` KMV sketch of a value set: ``(mins
+    array<long>)`` — the k smallest h60 hashes, ascending. The
+    mergeable-set primitive behind `kmv_set_estimates`: bottom-k of a
+    union == bottom-k of the concatenated sketches (selection algebra,
+    exactly SQL-replayable).
+
+    Scale shape (the s09 two-level rule): the global bottom-k is NOT
+    one single-task window over all distinct hashes — hashes shard by
+    ``pmod(hv, n_shards)``, each shard keeps its own bottom-k in a
+    parallel window (output ≤ n_shards × k longs), and one final
+    window over that tiny set cuts the true global bottom-k (bottom-k
+    of shard-wise bottom-k's is exact: any global bottom-k member is
+    in its shard's bottom-k)."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.select(h60(val.cast("string")).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+        .withColumn("_sh", F.pmod(F.col("hv"), F.lit(int(n_shards))))
+    )
+    w_sh = Window.partitionBy("_sh").orderBy("hv")
+    local = (
+        hashed.withColumn("_rn", F.row_number().over(w_sh))
+        .where(F.col("_rn") <= int(k))
+        .select("hv")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("hv")
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("hv")).alias("mins"))
+    )
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-cardinality estimates for the UNION and INTERSECTION
+    of two sets from their `kmv_sketch` rows (Beyer et al.'s KMV set
+    algebra): ``(n_u, kth, rho, est_a, est_b, est_union,
+    est_intersection)``.
+
+    The union sketch U is the bottom-k of the concatenated mins —
+    exactly the sketch a direct pass over A ∪ B would produce
+    (selection algebra, no re-hash). ``rho`` counts U's members
+    present in BOTH input sketches — an unbiased Jaccard sample over
+    the k smallest union hashes — and the intersection estimate is
+    ``rho * est_union / |U|``. When every input set is under the
+    sketch capacity everything is EXACT (the sketch is the whole
+    hash set). Every output is an integer selection or one fixed
+    float expression over integers, so a DuckDB list-algebra replay
+    hash-matches (the s13 gate)."""
+    a = sketch_a.select(F.col("mins").alias("_ma"))
+    b = sketch_b.select(F.col("mins").alias("_mb"))
+    kk = int(k)
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))
+        ),
+        1,
+        kk,
+    )
+    est = lambda n, kth: F.when(  # noqa: E731
+        n < kk, n.cast("double")
+    ).otherwise(
+        F.lit(float(kk - 1))
+        / ((kth + F.lit(1)).cast("double") / F.lit(H60_SPAN))
+    )
+    out = (
+        a.crossJoin(b)
+        .withColumn("_u", merged)
+        .withColumn("n_u", F.size("_u").cast("long"))
+        .withColumn("kth", F.element_at("_u", F.col("n_u").cast("int")))
+        .withColumn(
+            "rho",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(F.col("_u"), F.col("_ma")),
+                    F.col("_mb"),
+                )
+            ).cast("long"),
+        )
+        .withColumn("_na", F.size("_ma").cast("long"))
+        .withColumn("_nb", F.size("_mb").cast("long"))
+    )
+    return out.select(
+        "n_u",
+        "kth",
+        "rho",
+        est(F.col("_na"), F.element_at("_ma", F.col("_na").cast("int"))).alias(
+            "est_a"
+        ),
+        est(F.col("_nb"), F.element_at("_mb", F.col("_nb").cast("int"))).alias(
+            "est_b"
+        ),
+        est(F.col("n_u"), F.col("kth")).alias("est_union"),
+        (
+            F.col("rho").cast("double")
+            * est(F.col("n_u"), F.col("kth"))
+            / F.col("n_u").cast("double")
+        ).alias("est_intersection"),
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_col,

@@ -332,10 +332,52 @@ def sql_index_document(
     then rerank the m ids exactly against ``vectors_view`` — the
     facade's documented approximate 'bq' contract, spelled in SQL
     (pytest-matched to `VectorDatabase.search` with the same
-    ``bq_nprobe``/``bq_m``)."""
+    ``bq_nprobe``/``bq_m``).
+
+    ``index_type='mips'`` (round-9 verdict item 5) registers
+    ``vectors_view`` (id, vector), ``index_view`` (id, cell — the
+    augmented-space assignment), and ``cells_view`` (cell, cvec —
+    the AUGMENTED centroids, dims+1 wide). SQL-side MIPS top-k
+    probes the query's nprobe nearest cells in the augmented space
+    (query coordinate dims+1 is 0) and reranks by the exact inner
+    product::
+
+        WITH pc AS (SELECT cell FROM vector_cells
+                    ORDER BY aggregate(zip_with(cvec,
+                        array(...query..., 0.0D),
+                        (a, b) -> (a-b)*(a-b)), 0.0D,
+                        (s, x) -> s + x), cell
+                    LIMIT <nprobe>)
+        SELECT v.id, aggregate(zip_with(v.vector, array(...query...),
+               (a, b) -> a * b), 0.0D, (s, x) -> s + x) AS ip
+        FROM vectors v JOIN vector_index i ON i.id = v.id
+        WHERE i.cell IN (SELECT cell FROM pc)
+        ORDER BY ip DESC, v.id LIMIT <k>
+
+    — the facade's `knn_dot` contract spelled in SQL
+    (pytest-matched with the same nprobe/k)."""
     from vector_database_spark.operators import catalog
 
     txt = spark.table(text_view)
+    if index_type == "mips":
+        from vector_database_spark.api import VectorDatabase
+
+        vdb = VectorDatabase(
+            spark, index_path, local_threshold=local_threshold,
+            index_type="mips", n_cells=n_cells,
+        )
+        _sync_text_view(vdb, txt, doc_id)
+        vdb.index_documents()
+        vdb.text().selectExpr(
+            "text_id AS id", "vector"
+        ).createOrReplaceTempView(vectors_view)
+        vdb._ann_vectors().select("id", "cell").createOrReplaceTempView(
+            index_view
+        )
+        spark.read.parquet(f"{vdb.ann_path}/centroids").select(
+            "cell", "cvec"
+        ).createOrReplaceTempView(cells_view)
+        return
     if index_type == "bq":
         from vector_database_spark.api import VectorDatabase
 
@@ -382,7 +424,7 @@ def sql_index_document(
         return
     if index_type != "bsp":
         raise ValueError(
-            f"index_type must be bsp|ivf|ivfadc|bq, got {index_type!r}"
+            f"index_type must be bsp|ivf|ivfadc|bq|mips, got {index_type!r}"
         )
     doc_ids = None if doc_id is None else [int(doc_id)]
     catalog.index_documents(

@@ -464,6 +464,40 @@ def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
 
+_D13_J = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
+
+
+@query(
+    "d13_minhash_join",
+    oracle=f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS l_id, b.doc_id AS r_id, round({_D13_J}, 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+WHERE {_D13_J} >= {JACCARD_T}
+""",
+)
+def d13_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH join (`dedup.minhash_join`): the
+    contamination-audit primitive — every (eval doc, train doc) pair
+    above the Jaccard threshold, candidates from an equi-join of the
+    two BANDED signature tables (shuffle = (|L|+|R|) x bands rows,
+    never |L| x |R|), exact set-algebra refinement on candidates.
+    The fixture's eval slice is doc_id % 10 == 0; the oracle is the
+    exact all-cross-pairs Jaccard, so the gate verifies total LSH
+    recall on the planted near-dups (the d02 contract across two
+    tables)."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.where(F.col("doc_id") % 10 == 0)
+    right = docs.where(F.col("doc_id") % 10 != 0)
+    out = dd.minhash_join(left, right, threshold=JACCARD_T)
+    return out.select(
+        "l_id", "r_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def _simhash_oracle() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -6288,6 +6322,81 @@ def s12_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S13_K = 64
+
+
+def _s13_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+    from vector_database_spark.operators.sketch import H60_SPAN
+
+    hv = h60_sql("CAST(user_id AS VARCHAR)")
+    K = _S13_K
+
+    def est(n: str, kth: str) -> str:
+        return (
+            f"CASE WHEN {n} < {K} THEN CAST({n} AS DOUBLE) "
+            f"ELSE {float(K - 1)} / (CAST({kth} + 1 AS DOUBLE) / {H60_SPAN}) "
+            "END"
+        )
+
+    return f"""
+WITH ha AS (SELECT DISTINCT {hv} AS hv FROM events
+            WHERE event_type = 'click' AND event_id % 2 = 0
+              AND user_id IS NOT NULL),
+hb AS (SELECT DISTINCT {hv} AS hv FROM events
+       WHERE event_type = 'purchase' AND event_id % 3 = 0
+         AND user_id IS NOT NULL),
+ma AS (SELECT list(hv ORDER BY hv) AS m
+       FROM (SELECT hv FROM ha ORDER BY hv LIMIT {K})),
+mb AS (SELECT list(hv ORDER BY hv) AS m
+       FROM (SELECT hv FROM hb ORDER BY hv LIMIT {K})),
+u AS (SELECT list_sort(list_distinct(list_concat(ma.m, mb.m)))[1:{K}]
+        AS um,
+             ma.m AS mam, mb.m AS mbm
+      FROM ma, mb),
+s AS (SELECT len(um) AS n_u, um[len(um)] AS kth,
+             len(list_intersect(list_intersect(um, mam), mbm)) AS rho,
+             len(mam) AS na, len(mbm) AS nb, mam, mbm
+      FROM u)
+SELECT n_u::BIGINT AS n_u, kth, rho::BIGINT AS rho,
+       {est('na', 'mam[na::INT]')} AS est_a,
+       {est('nb', 'mbm[nb::INT]')} AS est_b,
+       {est('n_u', 'kth')} AS est_union,
+       CAST(rho AS DOUBLE) * ({est('n_u', 'kth')})
+         / CAST(n_u AS DOUBLE) AS est_intersection
+FROM s
+"""
+
+
+@query("s13_kmv_setops", oracle=_s13_oracle())
+def s13_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET-OPERATION estimates (`sketch.kmv_sketch` +
+    `kmv_set_estimates`, Beyer et al.): union and intersection
+    cardinalities of two user sets (sampled click users vs sampled
+    purchase users) from two mergeable bottom-{_S13_K} sketches —
+    the union sketch is pure selection algebra over the two mins
+    arrays (bottom-k of the concat == the sketch of A ∪ B), rho is
+    an integer intersection count, and the estimates are one fixed
+    float expression over integers — the whole set algebra
+    hash-matches the DuckDB list replay. The sketch build is the
+    s09 two-level shape (hash shards + a final tiny window), never
+    a single-task global sort."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(
+        (F.col("event_type") == "click")
+        & (F.col("event_id") % 2 == 0)
+        & F.col("user_id").isNotNull()
+    ).select("user_id")
+    b = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_id") % 3 == 0)
+        & F.col("user_id").isNotNull()
+    ).select("user_id")
+    ska = sk.kmv_sketch(a, "user_id", k=_S13_K)
+    skb = sk.kmv_sketch(b, "user_id", k=_S13_K)
+    return sk.kmv_set_estimates(ska, skb, k=_S13_K)
+
+
 _P10_T = 0.45
 
 
@@ -6933,6 +7042,8 @@ _DRIVER_TAIL = [
     "p11_curriculum",         # pipeline family: p01/p03 stay in the head
     "v27_filtered_mips",      # filtered-ANN family: a07/v19 stay in the head
     "v28_bq_cells",           # BQ family: a01 IVF + v24 stay via tail twin
+    "d13_minhash_join",       # dedup family: d02 self-join stays in the head
+    "s13_kmv_setops",         # sketch family: s01 KMV distinct stays
 ]
 
 
