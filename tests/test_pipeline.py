@@ -273,3 +273,44 @@ def test_curriculum_phases_exact_ntile(spark):
     )
     assert empty.schema == full.schema and empty.count() == 0
     assert full.unionByName(empty).count() == 5
+
+
+def test_allocate_budget_largest_remainder_invariants(spark):
+    """Hamilton apportionment: sum(alloc) == budget exactly, every
+    domain within 1 of its real proportion, ties broken by domain
+    ascending, and degenerate budgets (0, budget < n_domains)
+    allocate without error."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.pipeline import allocate_budget
+
+    d = spark.createDataFrame(
+        [("web", 70), ("code", 20), ("books", 10)],
+        "domain string, weight long",
+    )
+    rows = {r.domain: r for r in allocate_budget(d, budget=101).collect()}
+    assert sum(r.alloc for r in rows.values()) == 101
+    for r in rows.values():
+        exact = 101 * r.weight / 100
+        assert abs(r.alloc - exact) < 1.0
+    # remainders: 101*70%100=70, 101*20%100=20, 101*10%100=10 ->
+    # the single leftover seat goes to 'web'
+    assert rows["web"].alloc == rows["web"].share + 1
+    assert rows["code"].alloc == rows["code"].share
+    # equal weights: remainder ties broken by domain ascending
+    eq = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "domain string, weight long"
+    )
+    er = {r.domain: r.alloc for r in allocate_budget(eq, budget=7).collect()}
+    assert er == {"a": 3, "b": 2, "c": 2}
+    # degenerate budgets
+    assert sum(
+        r.alloc for r in allocate_budget(d, budget=0).collect()
+    ) == 0
+    assert sum(
+        r.alloc for r in allocate_budget(d, budget=2).collect()
+    ) == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        allocate_budget(d, budget=-1)

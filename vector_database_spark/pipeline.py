@@ -388,6 +388,64 @@ def semantic_decontaminate(
     )
 
 
+def allocate_budget(
+    domains: DataFrame,
+    *,
+    domain_col: str = "domain",
+    weight_col: str = "weight",
+    budget: int,
+) -> DataFrame:
+    """Deterministic largest-remainder apportionment of an integer
+    training budget (tokens, documents, samples) across domains
+    proportionally to integer weights — the data-mixing allocator
+    (e.g. "spread 1B training tokens over sources by their corpus
+    sizes"): ``(domain, weight, share, alloc)`` with
+    ``sum(alloc) == budget`` exactly and ``alloc`` within 1 of the
+    real-valued proportion (the largest-remainder / Hamilton method
+    guarantee). Pure integer arithmetic end-to-end: base share =
+    ``budget * w div W`` (floor — all operands nonnegative), the
+    leftover seats go to the largest remainders ``budget * w mod W``
+    (ties broken by domain ascending — a total order, so the output
+    is engine-portable and the p12 gate hash-matches a SQL replay).
+
+    Scale note: ``domains`` is an AGGREGATE table by construction
+    (one row per source/domain — dozens, not billions); the total and
+    the remainder ranking run over that small frame (one broadcast
+    total + one window). The corpus-sized work is producing the
+    weights, which is the caller's one groupBy."""
+    from pyspark.sql.window import Window
+
+    if int(budget) < 0:
+        raise ValueError("budget must be >= 0")
+    d = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = d.groupBy().agg(F.sum("weight").alias("_w"))
+    b = F.lit(int(budget)).cast("long")
+    x = d.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.expr(f"CAST({int(budget)} AS BIGINT) * weight div _w")
+    ).withColumn("_rem", (b * F.col("weight")) % F.col("_w"))
+    w_left = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_rem").desc(), F.col("domain").asc()
+    )
+    out = (
+        x.withColumn("_left", b - F.sum("share").over(w_left))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            "alloc",
+            F.col("share")
+            + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    return out.select(
+        "domain", "weight", "share", F.col("alloc").cast("long").alias("alloc")
+    )
+
+
 def curriculum_phases(
     df: DataFrame,
     *,

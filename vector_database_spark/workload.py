@@ -6160,6 +6160,59 @@ def p11_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "rank", "phase")
 
 
+_P12_BUDGET = 1_000_003  # odd: forces a nonzero remainder distribution
+_P12_DOMAINS = 7
+
+
+@query(
+    "p12_budget_allocation",
+    oracle=f"""
+WITH t AS (SELECT doc_id % {_P12_DOMAINS} AS domain,
+                  len(regexp_split_to_array(lower(trim(text)),
+                      '\\s+'))::BIGINT AS n
+           FROM documents),
+d AS (SELECT domain, sum(n)::BIGINT AS weight FROM t GROUP BY domain),
+w AS (SELECT sum(weight)::BIGINT AS tw FROM d),
+x AS (SELECT domain, weight,
+             ({_P12_BUDGET}::BIGINT * weight) // tw AS share,
+             ({_P12_BUDGET}::BIGINT * weight) % tw AS rem
+      FROM d, w),
+l AS (SELECT {_P12_BUDGET}::BIGINT - sum(share) AS leftover FROM x),
+r AS (SELECT x.*, l.leftover,
+             row_number() OVER (ORDER BY rem DESC, domain) AS rk
+      FROM x, l)
+SELECT domain::BIGINT AS domain, weight, share::BIGINT AS share,
+       (share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+         AS alloc
+FROM r
+""",
+)
+def p12_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-budget apportionment
+    (`pipeline.allocate_budget`): spread {_P12_BUDGET} tokens across
+    {_P12_DOMAINS} source domains proportionally to their corpus
+    token mass by the largest-remainder (Hamilton) method —
+    sum(alloc) == budget EXACTLY, every domain within 1 of its real
+    proportion. Pure integer arithmetic (floor shares on nonnegative
+    operands, remainder ranking with a domain tie-break), so the
+    DuckDB replay hash-matches bit-for-bit; the corpus-sized work is
+    the one token-count groupBy, the apportionment runs over the
+    tiny domain table."""
+    from vector_database_spark import pipeline as pl
+
+    docs = _t(spark, sf_dir, "documents")
+    st = tx.token_stats(docs)
+    domains = (
+        st.select(
+            (F.col("id") % _P12_DOMAINS).alias("domain"),
+            F.col("n_tokens").cast("long").alias("n"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("n").alias("weight"))
+    )
+    return pl.allocate_budget(domains, budget=_P12_BUDGET)
+
+
 MICROS = 1_000_000
 _E22_WIDTH_S = 21600
 
@@ -7044,6 +7097,7 @@ _DRIVER_TAIL = [
     "v28_bq_cells",           # BQ family: a01 IVF + v24 stay via tail twin
     "d13_minhash_join",       # dedup family: d02 self-join stays in the head
     "s13_kmv_setops",         # sketch family: s01 KMV distinct stays
+    "p12_budget_allocation",  # pipeline family: p01/p03 stay in the head
 ]
 
 
