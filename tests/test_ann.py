@@ -943,6 +943,34 @@ def test_bq_cells_full_probe_equals_scan_and_assign_parity(
             vecs, panel, 10, dim=64, codes=codes_t.select("id", "code"),
             centroids=cents_t,
         )
+    # filtered BQ: where= on the FULL code table == the same search
+    # over a corpus pre-filtered to qualifying rows (same centroids,
+    # so cells agree row-for-row) — both with and without cells
+    filt = vecs.where(F.col("id") % 2 == 0)
+    fcodes, _ = bq_build(filt, dim=64, centroids=cents)
+    for kw_full, kw_pre in (
+        (
+            dict(codes=codes_d, centroids=cents, nprobe=8),
+            dict(codes=fcodes, centroids=cents, nprobe=8),
+        ),
+        (dict(), dict()),
+    ):
+        a = sorted(
+            map(
+                tuple,
+                bq_knn(
+                    vecs, panel, 10, dim=64, m=40, where="id % 2 = 0",
+                    **kw_full,
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                bq_knn(filt, panel, 10, dim=64, m=40, **kw_pre).collect(),
+            )
+        )
+        assert a == b and len(a) == 30
 
 
 def test_knn_join_layout_query_collapse_is_identical(spark, embeddings):

@@ -772,3 +772,64 @@ def test_plan_minhash_bands():
 
     with pytest.raises(ValueError):
         dd.plan_minhash_bands(1.5, 16)
+
+
+def test_hash_linear_score_trained_weights_and_edge_docs(spark):
+    """The trained-model path: a (bucket, weight) table broadcast
+    against the hashed feature set — buckets absent from the model
+    weigh 0, empty/null docs report (0, 0), and the seeded path is a
+    pure function of (text, salt, n_buckets) — partitioning-
+    invariant."""
+    from vector_database_spark.functions.hashing import h60
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good clean text"),
+            (1, "good clean text"),   # identical -> identical score
+            (2, ""),                   # no features
+            (3, None),                 # null text
+            (4, "spam spam spam"),     # repeated token: distinct set
+        ],
+        "doc_id long, text string",
+    )
+    seeded = {
+        r.id: (r.n_feats, r.score)
+        for r in tx.hash_linear_score(docs, n_buckets=64).collect()
+    }
+    assert seeded[0] == seeded[1]
+    assert seeded[2] == (0, 0) and seeded[3] == (0, 0)
+    # 'spam spam spam' -> distinct feats {spam, 'spam spam'} = 2
+    assert seeded[4][0] == 2
+    # partitioning invariance
+    again = {
+        r.id: (r.n_feats, r.score)
+        for r in tx.hash_linear_score(
+            docs.repartition(7), n_buckets=64
+        ).collect()
+    }
+    assert again == seeded
+
+    # trained weights: score = sum of matched bucket weights only
+    b_good = spark.range(1).select(
+        F.pmod(h60(F.lit("good"), 18), F.lit(64)).alias("b")
+    ).first()["b"]
+    w = spark.createDataFrame(
+        [(int(b_good), 7)], "bucket long, weight long"
+    )
+    scored = {
+        r.id: (r.n_feats, r.score)
+        for r in tx.hash_linear_score(docs, w, n_buckets=64).collect()
+    }
+    # every doc with the 'good' unigram gets exactly +7 unless another
+    # of its features collides into the same bucket
+    feats0 = {"good", "clean", "text", "good clean", "clean text"}
+    collide = sum(
+        1
+        for f in feats0
+        if spark.range(1)
+        .select(F.pmod(h60(F.lit(f), 18), F.lit(64)).alias("b"))
+        .first()["b"]
+        == b_good
+    )
+    assert scored[0] == (5, 7 * collide)
+    assert scored[2] == (0, 0) and scored[3] == (0, 0)

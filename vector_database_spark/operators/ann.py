@@ -1747,9 +1747,20 @@ def bq_knn(
     centroids: list[list[float]] | None = None,
     nprobe: int = 4,
     assign_method: str = "dgemm",
+    where=None,
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``m`` candidates over the
     sign-bit codes, exact-cosine rerank to top-``k``.
+
+    ``where`` (Column or SQL string over the VECTOR table's columns)
+    makes this FILTERED BQ — the filter-then-rank contract every
+    other retrieval tier already has (tree a07/v19, IVF, MIPS v27):
+    qualifying ids are semi-joined into the code table BEFORE the
+    Hamming cut (at scale the predicate pushes into the vector scan
+    and the semi-join prunes the code read), so the m-candidate
+    budget is spent entirely on qualifying rows and the exact rerank
+    only ever sees them. Same probe/Hamming recall trade as
+    unfiltered BQ over the qualifying subset.
 
     Returns ``(qid, id, hamming, cos_sim, rank)`` with rank ordered by
     (cos_sim desc, id) over the candidate set. The candidate stage is
@@ -1814,6 +1825,12 @@ def bq_knn(
     qcodes = qdf.select(
         "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
     )
+    qual = None
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        qual = vectors_df.where(pred).select(
+            F.col(id_col).cast("long").alias("id")
+        )
     if centroids is not None:
         cents = [[float(x) for x in c] for c in centroids]
         if codes is None:
@@ -1826,6 +1843,8 @@ def bq_knn(
                 "bq_knn: centroids given but codes carry no 'cell' "
                 "column — pass bq_build's output (or codes=None)"
             )
+        if qual is not None:
+            codes = codes.join(qual, "id", "left_semi")
         spark = vectors_df.sparkSession
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
@@ -1852,6 +1871,8 @@ def bq_knn(
         if codes is None:
             codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
                               vector_col=vector_col)
+        if qual is not None:
+            codes = codes.join(qual, "id", "left_semi")
         narrow = codes.crossJoin(
             F.broadcast(qcodes.select("qid", "qcode"))
         ).select(

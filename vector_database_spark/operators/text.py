@@ -985,3 +985,105 @@ def canonical_url_sql(expr: str) -> str:
     return (
         f"(CASE WHEN {cqs} <> '' THEN {pre} || '?' || {cqs} ELSE {pre} END)"
     )
+
+
+def hash_linear_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: int = 18,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Hashed-feature linear text scorer — the fastText-style quality
+    classifier shape every production pipeline runs at ingest:
+    ``(id, n_feats, score)`` where features are the document's
+    DISTINCT word unigrams (+ bigrams), each feature hashes into one
+    of ``n_buckets`` buckets (the hashing trick), and the score is
+    the sum of the buckets' weights over the feature set.
+
+    ``weights``: a ``(bucket int, weight)`` table — YOUR trained
+    model, broadcast-joined (at 100 TB the corpus-side plan is one
+    tokenize + one hash-aggregate; the model is always
+    broadcast-tiny). With ``weights=None`` the weights are seeded
+    deterministically from the bucket id (integer in [-1000, 1000]
+    via the salted h60) — the form the t18 gate pins, because it
+    makes the ENTIRE pipeline (tokenize -> feature set -> hash ->
+    bucket -> weight -> integer sum) exactly SQL-replayable; a
+    trained model swaps in without touching the plan.
+
+    Tokenization is the hardened explicit class ``[\\t\\n\\f\\r ]``
+    (str.split/Java \\s/RE2 \\s disagree on \\x0B etc. — the t14
+    rule); docs with no features (empty/null text) report
+    ``n_feats = 0, score = 0`` rather than vanishing."""
+    from vector_database_spark.functions.hashing import h60
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), "[\\t\\n\\f\\r ]+"),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("_t"),
+    ).localCheckpoint(eager=False)
+    uni = base.select("id", F.explode("_t").alias("feat"))
+    feats = uni
+    if include_bigrams:
+        cnt = F.size("_t") - F.lit(1)
+        idxs = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        big = base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    idxs,
+                    lambda i: F.concat(
+                        F.element_at(F.col("_t"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("_t"), i + 1),
+                    ),
+                )
+            ).alias("feat"),
+        )
+        feats = feats.unionByName(big)
+    fb = feats.distinct().withColumn(
+        "bucket", F.pmod(h60("feat", salt), F.lit(int(n_buckets)))
+    )
+    if weights is not None:
+        fb = fb.join(
+            F.broadcast(
+                weights.select(
+                    F.col("bucket").cast("long").alias("bucket"), "weight"
+                )
+            ),
+            "bucket",
+            "left",
+        ).withColumn("weight", F.coalesce(F.col("weight"), F.lit(0)))
+    else:
+        fb = fb.withColumn(
+            "weight",
+            (
+                h60(
+                    F.concat(F.lit("w:"), F.col("bucket").cast("string")),
+                    salt,
+                )
+                % F.lit(2001)
+                - F.lit(1000)
+            ).cast("long"),
+        )
+    agg = fb.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("weight").alias("score"),
+    )
+    return (
+        base.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )

@@ -6160,6 +6160,57 @@ def p11_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "rank", "phase")
 
 
+_T18_NB = 4096
+_T18_SALT = 18
+
+
+def _t18_oracle() -> str:
+    from vector_database_spark.functions.hashing import h60_sql
+
+    hf = h60_sql("feat", _T18_SALT)
+    hw = h60_sql("'w:' || bucket", _T18_SALT)
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                              '[\\t\\n\\f\\r ]+'), x -> x <> '') AS tk
+           FROM documents),
+uni AS (SELECT doc_id, unnest(tk) AS feat FROM t),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                      i -> tk[i] || ' ' || tk[i + 1])) AS feat
+        FROM t),
+feats AS (SELECT DISTINCT doc_id, feat FROM
+          (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+fb AS (SELECT doc_id, {hf} % {_T18_NB} AS bucket FROM feats),
+w AS (SELECT doc_id, ({hw} % 2001) - 1000 AS weight FROM fb),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+               sum(weight)::BIGINT AS score
+        FROM w GROUP BY doc_id)
+SELECT d.doc_id AS id, coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(a.score, 0)::BIGINT AS score
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("t18_quality_classifier", oracle=_t18_oracle())
+def t18_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scorer
+    (`text.hash_linear_score`): the fastText-style classifier shape
+    production pipelines run at ingest — distinct word unigrams +
+    bigrams hash into {_T18_NB} buckets (the hashing trick), and the
+    document score is the integer sum of the buckets' weights. The
+    gate pins the seeded-weight form (weights derived from the
+    bucket id by the salted h60 — integer in [-1000, 1000]), which
+    makes tokenize -> feature set -> hash -> bucket -> weight -> sum
+    exactly SQL-replayable end-to-end; a TRAINED model swaps in as a
+    broadcast (bucket, weight) table without touching the plan.
+    Docs with no features report (0, 0) instead of vanishing."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.hash_linear_score(
+        docs, n_buckets=_T18_NB, salt=_T18_SALT
+    )
+
+
 _P12_BUDGET = 1_000_003  # odd: forces a nonzero remainder distribution
 _P12_DOMAINS = 7
 
@@ -6754,6 +6805,81 @@ def v28_bq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "id", "hamming", "cos_sim", "rank")
 
 
+@query(
+    "v29_filtered_bq",
+    oracle=f"""
+WITH c0 AS (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY md5(vec_id || ':v28'), vec_id)
+                     AS rn
+            FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM c0
+                      WHERE rn <= {_V28_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}) AS d
+       FROM embeddings e CROSS JOIN cent c
+       WHERE e.vec_id % 3 = 0),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+                          {_bq_code_sql('embedding', _V24_DIM)} AS qcode
+                   FROM embeddings WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}), c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cd AS (SELECT vec_id AS id, embedding,
+              {_bq_code_sql('embedding', _V24_DIM)} AS code
+       FROM embeddings WHERE vec_id % 3 = 0),
+h AS (SELECT p.qid, cd.id, cd.embedding, q.qv,
+             {_bq_hamming_sql('cd.code', 'q.qcode', _V24_DIM // 32)}
+               AS hamming
+      FROM cd JOIN asg a ON a.id = cd.id
+      JOIN pc p ON p.cell = a.cell AND p.pr <= {_V28_NPROBE}
+      JOIN q ON q.qid = p.qid),
+cand AS (SELECT qid, id, hamming, embedding, qv,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, id) AS cr
+         FROM h),
+scored AS (SELECT qid, id, hamming,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM cand WHERE cr <= {_V28_M})
+SELECT qid, id, hamming, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+""",
+)
+def v29_filtered_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED cell-pruned BQ (`ann.bq_knn(where=)`): the
+    metadata-predicate + quantized-kNN combination, completing the
+    filter-then-rank story across every retrieval tier (tree
+    a07/v19 exact, IVF a07, MIPS v27, and now BQ). Qualifying ids
+    semi-join into the code table BEFORE the Hamming cut — at scale
+    the predicate pushes into the vector scan and the m-candidate
+    budget is spent on qualifying rows only. Same v28 exact-oracle
+    rig; the oracle applies the identical predicate to the code and
+    assignment tables."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "v28", _V28_CELLS)
+    codes, _ = bq_build(
+        vecs.where(F.col("id") % 3 == 0), dim=_V24_DIM, centroids=cents,
+        assign_method="expr",
+    )
+    out = bq_knn(
+        vecs, _panel(spark, sf_dir), KNN_K, dim=_V24_DIM, m=_V28_M,
+        codes=codes, centroids=cents, nprobe=_V28_NPROBE,
+        where="id % 3 = 0",
+    )
+    return out.select("qid", "id", "hamming", "cos_sim", "rank")
+
+
 _E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
 
 
@@ -7098,6 +7224,8 @@ _DRIVER_TAIL = [
     "d13_minhash_join",       # dedup family: d02 self-join stays in the head
     "s13_kmv_setops",         # sketch family: s01 KMV distinct stays
     "p12_budget_allocation",  # pipeline family: p01/p03 stay in the head
+    "v29_filtered_bq",        # filtered-ANN family: a07/v19 stay in the head
+    "t18_quality_classifier", # text family: t05 quality bands stay in the head
 ]
 
 
