@@ -1453,10 +1453,14 @@ def knn_graph_append(
         .unionByName(batch_members.select("id", "vector", "cell"))
         .localCheckpoint()
     )
+    # probed_members = stored rows pruned to probe_cells + the WHOLE
+    # batch, so its per-cell counts are stored counts inside the
+    # probed cells plus batch counts everywhere the batch landed
+    _pc = set(probe_cells)
     probed_cnts = {
-        c: stored_cnts.get(c, 0) * (1 if c in set(probe_cells) else 0)
+        c: (stored_cnts.get(c, 0) if c in _pc else 0)
         + batch_cnts.get(c, 0)
-        for c in set(probe_cells) | set(batch_cells)
+        for c in _pc | set(batch_cells)
     }
     new_edges = _rank_topk_edges(
         _blocked_narrow(
