@@ -1050,14 +1050,21 @@ class VectorDatabase:
                 assigned=stored, centroids=self._ann_centroids(), m2=m2,
                 nprobe=np_, ensure_k=ensure_k,
             ).select(F.col("id").alias("text_id"), "ip")
-        t = self.tail() if self._ann_exists() else self.text()
-        if pred is not None:
-            t = t.where(pred)
-        qlit = F.lit([float(x) for x in vector]).cast("array<double>")
-        tail_hits = t.select(
-            "text_id", _dot(F.col("vector"), qlit).alias("ip")
-        )
-        out = tail_hits if out is None else out.unionByName(tail_hits)
+        # the all-compacted common case skips the per-call tail
+        # anti-join entirely (the `_tail_scoped` caching rule)
+        t = self._tail_scoped(None) if self._ann_exists() else self.text()
+        if t is not None:
+            if pred is not None:
+                t = t.where(pred)
+            qlit = F.lit([float(x) for x in vector]).cast("array<double>")
+            tail_hits = t.select(
+                "text_id", _dot(F.col("vector"), qlit).alias("ip")
+            )
+            out = tail_hits if out is None else out.unionByName(tail_hits)
+        if out is None:  # empty store: no layout, no tail
+            return self.spark.createDataFrame(
+                [], "text_id long, ip double, rank long"
+            )
         w = _W.partitionBy(F.lit(1)).orderBy(
             F.col("ip").desc(), F.col("text_id").asc()
         )
