@@ -715,6 +715,48 @@ def test_streaming_bloom_equals_batch_across_restarts(spark):
     assert res.where((F.col("key") < 2000) & ~F.col("present")).count() == 0
 
 
+def test_streaming_kmv_equals_batch_across_restarts(spark):
+    """Streamed bottom-k KMV state merged across batch dirs (and a
+    restart) == the one-shot batch sketch over all keys — identical
+    mins array, so set estimates downstream are identical too."""
+    from vector_database_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+    from vector_database_spark.streaming.monitor import (
+        read_kmv,
+        streaming_kmv_ingest,
+    )
+
+    tmp = tempfile.mkdtemp()
+    src, state = f"{tmp}/src", f"{tmp}/state"
+    df = spark.range(3000).select(F.col("id").alias("key"))
+    ddl = "key long"
+    df.where(F.col("key") < 1500).write.parquet(src)
+    q = streaming_kmv_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", k=64, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    df.where(F.col("key") >= 1500).write.mode("append").parquet(src)
+    q2 = streaming_kmv_ingest(
+        spark.readStream.schema(ddl).parquet(src),
+        state, f"{tmp}/ckpt", k=64, trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    merged = read_kmv(spark, state, k=64)
+    want = kmv_sketch(df, "key", k=64)
+    assert list(merged.first()["mins"]) == list(want.first()["mins"])
+    # the merged sketch drops straight into the set-ops estimator
+    other = kmv_sketch(
+        spark.range(2000, 5000).select(F.col("id").alias("key")),
+        "key", k=64,
+    )
+    est = kmv_set_estimates(merged, other, k=64).first()
+    ref = kmv_set_estimates(want, other, k=64).first()
+    assert est == ref
+
+
 def test_read_bloom_backfills_legacy_geometry(spark):
     """State dirs written before round-9 geometry binding carry only
     (lane, bits); read_bloom must backfill the historical defaults

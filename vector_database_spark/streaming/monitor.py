@@ -286,6 +286,60 @@ def streaming_bloom_ingest(
     return writer.start()
 
 
+def streaming_kmv_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    value_col: str = "key",
+    k: int = 64,
+    trigger_once: bool = False,
+):
+    """Streaming KMV sketch: each micro-batch writes ITS OWN bottom-k
+    sketch (`sketch.kmv_sketch` — one row, ≤ k longs) into
+    ``batch=<id>``; `read_kmv` merges by selection algebra (bottom-k
+    of the concatenated mins == the sketch of everything ever seen —
+    the order-independent, idempotent-under-redelivery property the
+    bloom/HLL twins rely on). The merged sketch feeds
+    `sketch.kmv_set_estimates` directly, e.g. day-over-day user-set
+    union/intersection estimates from two state dirs."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from vector_database_spark.operators.sketch import kmv_sketch
+
+        sk = kmv_sketch(batch_df, value_col, k=k)
+        sk.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv(spark: SparkSession, state_path: str, *, k: int = 64) -> DataFrame:
+    """Merged bottom-k sketch across all committed batch dirs: ONE
+    (mins) row — flatten the per-batch arrays, distinct, sort, cut
+    (exactly the sketch a one-shot batch pass produces,
+    pytest-pinned)."""
+    from pyspark.sql import functions as F
+
+    batches = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*"
+    )
+    return (
+        batches.select(F.explode("mins").alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(int(k))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("hv")).alias("mins"))
+    )
+
+
 def read_bloom(spark: SparkSession, state_path: str) -> DataFrame:
     """Merged Bloom lanes across all committed batch dirs.
 
