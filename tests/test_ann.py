@@ -1274,3 +1274,122 @@ def test_mips_ensure_k_recall_under_selective_filter(spark, embeddings):
     assert got == want and len(got) == 15
     # the rig must actually starve at nprobe=1 so escalation ran
     assert all(r["count"] < 8 for r in n_plain)
+
+
+def test_bq_ensure_k_under_selective_filter(spark, embeddings):
+    """Round-10 verdict item 5: bq_knn(where=, ensure_k=True) on the
+    cell-pruned path escalates starved queries (doubled nprobe) until
+    k rows or all cells. k=8 > the 5 qualifying rows forces the full
+    probe, where filtered BQ with m >= qualifying sees every
+    qualifying row — the exact rerank then equals the exact filtered
+    cosine top-k (the a07 regime, mirrored from the MIPS twin)."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    codes, cents = bq_build(vecs, dim=64, n_cells=8, seed=5)
+    codes = codes.localCheckpoint()
+    qdf = _queries_df(spark, vecs, [2, 77, 310])
+    pred = "id % 100 = 0"  # ~1%: 5 of 500 rows qualify
+    plain = bq_knn(
+        vecs, qdf, 8, dim=64, m=8, codes=codes, centroids=cents,
+        nprobe=1, where=pred,
+    )
+    ek = bq_knn(
+        vecs, qdf, 8, dim=64, m=8, codes=codes, centroids=cents,
+        nprobe=1, where=pred, ensure_k=True,
+    )
+    n_plain = plain.groupBy("qid").count().collect()
+    got = [
+        (r["qid"], r["id"], r["rank"])
+        for r in ek.orderBy("qid", "rank").collect()
+    ]
+    panel = [(r.qid, list(r.qvec)) for r in qdf.collect()]
+    want = [
+        (r["qid"], r["id"], r["rank"])
+        for r in knn(
+            vecs.where(F.expr(pred)), panel, 8, metric="cosine"
+        ).orderBy("qid", "rank").collect()
+    ]
+    assert got == want and len(got) == 15
+    # the rig must actually starve at nprobe=1 so escalation ran
+    assert all(r["count"] < 8 for r in n_plain)
+
+
+def test_bq_asym_full_candidates_equals_exact_cosine_knn(spark, embeddings):
+    """scoring='asym' with m = n: every row survives the candidate
+    cut, so the exact-cosine rerank equals `search.knn(cosine)` —
+    the asym estimator changes WHICH rows survive a tight m, never
+    the rerank. Output carries `score` instead of `hamming`."""
+    from vector_database_spark.operators.ann import bq_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    n = vecs.count()
+    panel = [
+        (int(r["id"]), [float(x) for x in r["vector"]])
+        for r in vecs.where(F.col("id").isin([3, 99])).collect()
+    ]
+    got = bq_knn(
+        vecs, panel, 5, dim=64, m=n, scoring="asym"
+    ).orderBy("qid", "rank")
+    assert "score" in got.columns and "hamming" not in got.columns
+    want = (
+        knn(vecs, panel, 5, metric="cosine").orderBy("qid", "rank").collect()
+    )
+    assert [(r["qid"], r["id"], r["rank"]) for r in got.collect()] == [
+        (r["qid"], r["id"], r["rank"]) for r in want
+    ]
+
+
+def test_bq_asym_score_matches_numpy_replay(spark):
+    """The asym candidate score is the exact integer fold
+    sum_i floor(q_i * scale) * (2*bit_i - 1) — pinned against a
+    numpy bit-for-bit replay (the bq_encode popcount-test pattern),
+    including a partial final lane."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import bq_knn
+
+    rng = np.random.default_rng(23)
+    dim = 48  # partial final lane
+    X = (rng.standard_normal((16, dim)) * 1.7).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vector array<double>",
+    )
+    q = [float(x) for x in X[4]]
+    out = bq_knn(
+        df, [(4, q)], len(X), dim=dim, m=len(X), scoring="asym"
+    ).collect()
+    qw = np.floor(np.asarray(q) * 1_000_000.0).astype(np.int64)
+    for r in out:
+        bits = (X[r["id"]] >= 0).astype(np.int64)
+        want = int((qw * (2 * bits - 1)).sum())
+        assert int(r["score"]) == want, r["id"]
+
+
+def test_bq_asym_kernel_matches_expr_bit_for_bit(spark, embeddings):
+    """The g04 rule applied to asym BQ: score_method='kernel' (the
+    'auto' scale path) == score_method='expr' (the v30 oracle path)
+    row-for-row INCLUDING the integer scores — integer adds are
+    associative, so the batch-vectorized fold cannot drift."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _emb_vecs(embeddings)
+    codes, cents = bq_build(vecs, dim=64, n_cells=8, seed=5)
+    codes = codes.localCheckpoint()
+    qdf = _queries_df(spark, vecs, [2, 77, 310])
+    kw = dict(dim=64, m=24, codes=codes, centroids=cents, nprobe=3,
+              scoring="asym")
+    ker = bq_knn(vecs, qdf, 10, score_method="kernel", **kw)
+    exp = bq_knn(vecs, qdf, 10, score_method="expr", **kw)
+    got = [
+        (r["qid"], r["id"], r["score"], r["rank"])
+        for r in ker.orderBy("qid", "rank").collect()
+    ]
+    want = [
+        (r["qid"], r["id"], r["score"], r["rank"])
+        for r in exp.orderBy("qid", "rank").collect()
+    ]
+    assert got == want and got

@@ -742,3 +742,141 @@ def test_facade_bq_lifecycle_approximate_contract(spark):
     }
     gone = {i for i, d in brute.items() if d <= 0.5}
     assert not (survivors & gone)
+
+
+def test_facade_mips_auto_reindex_norm_refused_before_text_write(spark):
+    """ADVICE r10 (low): reindex='auto' must run the frozen-m2 check
+    BEFORE the text write too — the old order appended the batch to
+    the text store and only then had compact() -> mips_append raise,
+    leaving every subsequent compact() failing until a manual
+    rebuild."""
+    import tempfile
+
+    import pytest
+
+    rows = (
+        random_uniform(spark, 60, 4, seed=83)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(spark, f"{tmp}/s", index_type="mips", n_cells=4)
+    db.add_documents(rows)  # m2 freezes
+
+    hot = rows.limit(1).select(
+        "doc_id",
+        (F.col("text_id") + 9000).alias("text_id"),
+        F.transform("vector", lambda x: x * 10.0).alias("vector"),
+    )
+    n_before = db.text().count()
+    with pytest.raises(ValueError, match="norm bound"):
+        db.add_documents(hot, reindex="auto")
+    # the refusal left the text store untouched — compact() keeps
+    # working for future in-bound auto adds
+    assert db.text().count() == n_before
+    more = rows.limit(1).select(
+        "doc_id", (F.col("text_id") + 9001).alias("text_id"), "vector"
+    )
+    db.add_documents(more, reindex="auto")  # in-bound: no raise
+    assert db.text().count() == n_before + 1
+
+
+def test_facade_bq_asym_scoring(spark):
+    """bq_scoring='asym' (round-10 verdict item 4, facade spelling):
+    the candidate stage ranks by the asymmetric dot estimate instead
+    of Hamming. Exhaustive budget == brute exactly (the rerank is
+    exact either way); a tight budget still returns an exact-distance
+    subset of brute."""
+    import tempfile
+
+    q = [0.2, -0.1, 0.05, 0.3]
+    rows = (
+        random_uniform(spark, 100, 4, seed=91)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=4096,
+        bq_nprobe=4, bq_scoring="asym",
+    )
+    db.add_documents(rows)
+    brute = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.brute_force(q, 0.9).collect()
+    }
+    full = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.search(q, 0.9).collect()
+    }
+    assert full == brute and full
+
+    tight = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=16,
+        bq_nprobe=4, bq_scoring="asym",
+    )
+    got = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in tight.search(q, 0.9).collect()
+    }
+    assert got and set(got) <= set(brute)
+    assert all(brute[i] == d for i, d in got.items())
+
+
+def test_facade_bq_route_forced_and_auto(spark):
+    """bq_route: 'full' forces the unpruned Hamming cut (== a
+    'cells' run with bq_nprobe = n_cells); 'auto' routes small code
+    tables to the full scan (the measured crossover); invalid values
+    refuse."""
+    import tempfile
+
+    import pytest
+
+    q = [0.2, -0.1, 0.05, 0.3]
+    rows = (
+        random_uniform(spark, 90, 4, seed=97)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=24,
+        bq_nprobe=4, bq_route="full",
+    )
+    db.add_documents(rows)
+    full = {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in db.search(q, 0.9).collect()
+    }
+    # nprobe == n_cells probes everything: cells == full exactly
+    all_cells = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=24,
+        bq_nprobe=4, bq_route="cells",
+    )
+    assert {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in all_cells.search(q, 0.9).collect()
+    } == full
+    # a ~90-row code table is far below the crossover: auto -> full
+    auto = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=24,
+        bq_nprobe=1, bq_route="auto",
+    )
+    assert {
+        int(r.text_id): round(float(r.dist), 9)
+        for r in auto.search(q, 0.9).collect()
+    } == full
+    with pytest.raises(ValueError, match="bq_route"):
+        VectorDatabase(spark, f"{tmp}/x", index_type="bq", bq_route="nope")

@@ -833,3 +833,54 @@ def test_hash_linear_score_trained_weights_and_edge_docs(spark):
     )
     assert scored[0] == (5, 7 * collide)
     assert scored[2] == (0, 0) and scored[3] == (0, 0)
+
+
+def test_hash_linear_score_float_weights_not_truncated(spark):
+    """ADVICE r10 (medium): a user-supplied REAL-weight model (the
+    documented 'trained model swaps in' path) must not have its
+    scores silently truncated to long — the score column keeps the
+    weight type's sum; the seeded path stays long (integer by
+    construction)."""
+    from vector_database_spark.functions.hashing import h60
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "")], "doc_id long, text string"
+    )
+    b_alpha = spark.range(1).select(
+        F.pmod(h60(F.lit("alpha"), 18), F.lit(64)).alias("b")
+    ).first()["b"]
+    w = spark.createDataFrame(
+        [(int(b_alpha), 0.75)], "bucket long, weight double"
+    )
+    out = tx.hash_linear_score(docs, w, n_buckets=64)
+    assert dict(out.dtypes)["score"] == "double"
+    got = {r.id: (r.n_feats, r.score) for r in out.collect()}
+    assert got[0] == (1, 0.75)   # fractional score survives
+    assert got[1] == (0, 0.0)    # featureless doc coalesces to 0
+    # the seeded path is untouched: integer scores, long type
+    seeded = tx.hash_linear_score(docs, n_buckets=64)
+    assert dict(seeded.dtypes)["score"] == "bigint"
+
+
+def test_kmv_set_estimates_empty_sketches(spark):
+    """ADVICE r10 (low): two EMPTY input sets must yield all-zero
+    estimates, not an ANSI INVALID_ARRAY_INDEX / divide-by-zero."""
+    from vector_database_spark.operators import sketch as sk
+
+    e = spark.range(0).select(F.col("id").alias("v"))
+    row = sk.kmv_set_estimates(
+        sk.kmv_sketch(e, "v", k=16), sk.kmv_sketch(e, "v", k=16), k=16
+    ).first()
+    assert row["n_u"] == 0 and row["rho"] == 0
+    assert row["kth"] is None
+    assert row["est_a"] == 0.0 and row["est_b"] == 0.0
+    assert row["est_union"] == 0.0 and row["est_intersection"] == 0.0
+
+    # one empty side: estimates degrade to the non-empty set's exact
+    # count, intersection 0
+    a = spark.range(0, 12).select(F.col("id").alias("v"))
+    row2 = sk.kmv_set_estimates(
+        sk.kmv_sketch(a, "v", k=16), sk.kmv_sketch(e, "v", k=16), k=16
+    ).first()
+    assert row2["est_a"] == 12.0 and row2["est_b"] == 0.0
+    assert row2["est_union"] == 12.0 and row2["est_intersection"] == 0.0

@@ -314,3 +314,42 @@ def test_allocate_budget_largest_remainder_invariants(spark):
 
     with pytest.raises(ValueError):
         allocate_budget(d, budget=-1)
+
+
+def test_allocate_budget_guards_and_decimal_scale(spark):
+    """ADVICE r10 (low): total weight 0 / negative weights raise a
+    clear error instead of ANSI divide-by-zero, and token-scale
+    magnitudes (1e9 budget x 1e12 weights ~ 1e21 products) apportion
+    exactly in DECIMAL(38,0) instead of overflowing BIGINT."""
+    import pytest
+
+    from vector_database_spark.pipeline import allocate_budget
+
+    zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "domain string, weight long"
+    )
+    with pytest.raises(ValueError, match="total weight"):
+        allocate_budget(zero, budget=10)
+    neg = spark.createDataFrame(
+        [("a", 5), ("b", -1)], "domain string, weight long"
+    )
+    with pytest.raises(ValueError, match=">= 0"):
+        allocate_budget(neg, budget=10)
+
+    # the docstring's own use case: 1B tokens over corpus-sized
+    # weights; budget * weight ~ 7e21 > 2^63
+    big = spark.createDataFrame(
+        [("web", 7_000_000_000_000), ("code", 2_000_000_000_000),
+         ("books", 1_000_000_000_001)],
+        "domain string, weight long",
+    )
+    budget = 1_000_000_000
+    rows = {r.domain: r for r in allocate_budget(big, budget=budget).collect()}
+    assert sum(r.alloc for r in rows.values()) == budget
+    tot = 10_000_000_000_001
+    for d, r in rows.items():
+        # largest-remainder: within 1 of the real-valued proportion
+        exact = budget * {"web": 7_000_000_000_000,
+                          "code": 2_000_000_000_000,
+                          "books": 1_000_000_000_001}[d] / tot
+        assert abs(r.alloc - exact) < 1.0 + 1e-6, (d, r.alloc, exact)

@@ -340,7 +340,8 @@ def test_sql_index_document_bq_views_and_hamming_sql(spark, tmp_path):
     got = {(int(r.id), round(float(r.dist), 9)) for r in rer.collect()}
 
     vdb = VectorDatabase(
-        spark, root, index_type="bq", n_cells=8, bq_m=m, bq_nprobe=nprobe
+        spark, root, index_type="bq", n_cells=8, bq_m=m, bq_nprobe=nprobe,
+        bq_route="cells",  # pin the cell path: the SQL above replays it
     )
     want = {
         (int(r.text_id), round(float(r.dist), 9))

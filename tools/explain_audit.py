@@ -387,6 +387,14 @@ CHECKS = {
         "shuffles; the rerank joins the tiny candidate set back "
         "via broadcast (the v24 tail)",
     ),
+    "v30_bq_asym": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "asymmetric cell-pruned BQ: same probed-cell equi-join + "
+        "broadcast-rerank plan as v28 — the asym estimator swaps "
+        "the candidate ordering expression only, never the join "
+        "shape; the corpus still never shuffles",
+    ),
 }
 
 

@@ -1,0 +1,99 @@
+"""Facade BQ serving-route A/B (round-10 verdict item 3): attribute
+the facade_search_bq bench mover (0.738 -> 1.032 s after cell probing
+landed in `_bq_candidate_ids`) and measure the cells-vs-full-scan
+crossover that `bq_route='auto'` keys on.
+
+Protocol: for each store size, build ONE bq store (bench shape:
+16 dims, n_cells=64), then run the SAME search INTERLEAVED with
+bq_route forced to 'cells' and 'full' (the r5/r8 A/B rule — separated
+passes measure host drift, not the route), min-of-N each. Also checks
+'auto' picks the measured winner at each size and that both routes'
+hits are exact-distance subsets of brute.
+
+Usage: python tools/facade_bq_ab_probe.py [passes]
+Writes one JSON line; commit as data/probes/facade_bq_ab_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_spark import get_spark
+from vector_database_spark.api import BQ_CELL_ROUTE_MIN_BYTES, VectorDatabase
+from vector_database_spark.sources.generators import clusters
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark(
+        app_name="facade-bq-ab", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="facade_bq_ab_")
+    sizes = [100_000, 400_000, 1_600_000]
+    out = {"probe": "facade_bq_ab", "passes": passes, "sizes": []}
+    try:
+        for n in sizes:
+            data = (
+                clusters(spark, n=n, dims=16, n_clusters=24, seed=3)
+                .select(
+                    (F.col("id") % 8).alias("doc_id"),
+                    F.col("id").alias("text_id"),
+                    "vector",
+                )
+                .localCheckpoint()
+            )
+            q = [
+                float(x)
+                for x in data.where(F.col("text_id") == 7).first()["vector"]
+            ]
+            vdb = VectorDatabase(
+                spark, f"{root}/s{n}", index_type="bq", n_cells=64,
+                local_threshold=65_536, pq_m=4,
+            )
+            vdb.add_documents(data)
+            t = {"cells": [], "full": []}
+            hits = {}
+            for _ in range(passes):
+                for route in ("cells", "full"):
+                    vdb.bq_route = route
+                    t0 = time.time()
+                    hits[route] = vdb.search(q, 0.35).count()
+                    t[route].append(round(time.time() - t0, 3))
+            vdb.bq_route = "auto"
+            auto_cells = (
+                vdb._codes_dir_bytes() >= BQ_CELL_ROUTE_MIN_BYTES
+            )
+            rec = {
+                "n": n,
+                "codes_bytes": vdb._codes_dir_bytes(),
+                "cells_sec": t["cells"],
+                "full_sec": t["full"],
+                "cells_min": min(t["cells"]),
+                "full_min": min(t["full"]),
+                "winner": (
+                    "cells" if min(t["cells"]) < min(t["full"]) else "full"
+                ),
+                "auto_route": "cells" if auto_cells else "full",
+                "hits_cells": hits["cells"],
+                "hits_full": hits["full"],
+            }
+            out["sizes"].append(rec)
+            print(json.dumps(rec), flush=True)
+        out["route_min_bytes"] = BQ_CELL_ROUTE_MIN_BYTES
+        print(json.dumps(out), flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from tools.host_anchor import SCAN_HEALTHY_BAND, host_anchor
 from vector_database_spark import get_spark
 from vector_database_spark.operators.index_build import build_index
 from vector_database_spark.operators.search import brute_force_search, search
@@ -57,11 +58,24 @@ def main() -> None:
 
     vecs = spark.read.parquet(stage_dir)
 
-    t_build = []
+    # round-10 verdict item 1b: a ~30 s host-health anchor runs BESIDE
+    # each build pass (scan + shuffle+write microbenches, fixed size)
+    # so throttle attribution is a committed ratio: uniform inflation
+    # of anchors AND build = host; build moving against flat anchors
+    # = code. NOTE: host_anchor clearCache()s, so it must run before
+    # each pass (the pass re-persists) and never between build+search.
+    host_anchor(spark)  # untimed warmup: the first r01 read in a
+    # fresh session pays parquet-footer + codegen costs that would
+    # otherwise masquerade as pass-0 throttle (measured 4.1-4.6 s vs
+    # 0.4-1.0 s warm in the r11 runs)
+    t_build, anchors = [], []
     idx = None
     for i in range(passes):
         if idx is not None:
             idx.unpersist()
+        a = host_anchor(spark)
+        anchors.append(a)
+        print(f"anchor pass {i}: {json.dumps(a)}", flush=True)
         t0 = time.time()
         idx = build_index(vecs, local_threshold=None).persist()
         n_nodes = idx.count()
@@ -114,6 +128,8 @@ def main() -> None:
                 "search_matches_brute": True,
                 "hits": len(got),
                 "reference_anchor_sec": 180,
+                "host_anchors": anchors,
+                "scan_anchor_healthy_band": list(SCAN_HEALTHY_BAND),
             }
         ),
         flush=True,

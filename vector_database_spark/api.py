@@ -34,6 +34,17 @@ from vector_database_spark.operators.search import (
 # un-indexed tail (LSM-style compaction trigger for per-record adds)
 COMPACTION_THRESHOLD = 0.2
 
+# bq_route='auto' crossover: cell probing only pays once the code
+# scan dominates the facade's ~1 s per-call serving floor. Measured
+# (tools/facade_bq_ab_probe.py, interleaved min-of-6 at 100k/400k/
+# 1.6M x 16): cells == full within noise all the way to 3 MB of
+# codes once centroids are cached — the r10 bench mover was the
+# per-call centroid parquet read, fixed by `_bq_centroids_or_none`
+# caching. Below this threshold 'auto' keeps the plan simplest
+# (full scan); above it the partition-pruned read wins on scanned
+# bytes (the 1M x 64 bq_probe regime: scanned fraction 0.03-0.26).
+BQ_CELL_ROUTE_MIN_BYTES = 16 << 20
+
 
 class VectorDatabase:
     """``index_type`` selects the physical index behind the SAME
@@ -99,11 +110,21 @@ class VectorDatabase:
         pq_m: int = 4,
         bq_m: int = 1024,
         bq_nprobe: int = 4,
+        bq_route: str = "auto",
+        bq_scoring: str = "hamming",
     ):
         if index_type not in ("bsp", "ivf", "ivfadc", "bq", "mips"):
             raise ValueError(
                 "index_type must be bsp|ivf|ivfadc|bq|mips, got "
                 f"{index_type!r}"
+            )
+        if bq_route not in ("auto", "cells", "full"):
+            raise ValueError(
+                f"bq_route must be auto|cells|full, got {bq_route!r}"
+            )
+        if bq_scoring not in ("hamming", "asym"):
+            raise ValueError(
+                f"bq_scoring must be hamming|asym, got {bq_scoring!r}"
             )
         self.spark = spark
         self.root = root_path.rstrip("/")
@@ -113,12 +134,18 @@ class VectorDatabase:
         self.pq_m = int(pq_m)
         self.bq_m = int(bq_m)
         self.bq_nprobe = int(bq_nprobe)
+        self.bq_route = bq_route
+        self.bq_scoring = bq_scoring
         self._idx_cache: DataFrame | None = None
         self._tail_known_empty: bool | None = None
+        self._bq_cents_cache: list | None = None
+        self._bq_codes_bytes: int | None = None
 
     def _invalidate_index(self) -> None:
         self._idx_cache = None
         self._tail_known_empty = None
+        self._bq_cents_cache = None
+        self._bq_codes_bytes = None
 
     # -- storage ---------------------------------------------------------
     @property
@@ -189,12 +216,37 @@ class VectorDatabase:
         else:
             codes.write.mode(mode).parquet(f"{self.ann_path}/codes")
 
+    def _codes_dir_bytes(self) -> int:
+        """On-disk size of the code table (Hadoop FS content summary —
+        no Spark job, works on any supported filesystem). Cached per
+        invalidation cycle; the router's only input, so staleness is
+        at worst a suboptimal route, never a wrong answer."""
+        if self._bq_codes_bytes is not None:
+            return self._bq_codes_bytes
+        try:
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.ann_path}/codes")
+            fs = p.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            n = int(fs.getContentSummary(p).getLength())
+        except Exception:
+            n = 0
+        self._bq_codes_bytes = n
+        return n
+
     def _bq_centroids_or_none(self) -> list | None:
         """Stored coarse centroids, or None for a pre-cell (round-9)
         layout — those keep serving via the unpruned scan until the
-        next `index_documents()` rebuild."""
+        next `index_documents()` rebuild. Cached per invalidation
+        cycle: appends keep the stored centroids valid (the facade's
+        retrain='never' rule) and rebuilds invalidate."""
+        if self._bq_cents_cache is not None:
+            return self._bq_cents_cache
         try:
-            return self._ann_centroids()
+            cents = self._ann_centroids()
+            self._bq_cents_cache = cents
+            return cents
         except AnalysisException as e:
             msg = str(e)
             if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
@@ -274,7 +326,19 @@ class VectorDatabase:
         qlit = F.array(*[F.lit(x).cast("long") for x in qcode])
         codes = self._ann_vectors()
         cents = self._bq_centroids_or_none()
-        if cents is not None and "cell" in codes.columns:
+        # route (round-10 verdict item 3): below BQ_CELL_ROUTE_MIN_BYTES
+        # of codes the whole table scans faster than the probe's
+        # centroid ranking + partition-pruned read sets up (measured
+        # crossover, tools/facade_bq_ab_probe.py) — 'auto' full-scans
+        # small stores and probes cells on big ones; 'cells'/'full'
+        # force either path (results differ only in the documented
+        # probe-miss approximation)
+        use_cells = cents is not None and "cell" in codes.columns
+        if use_cells and self.bq_route == "full":
+            use_cells = False
+        elif use_cells and self.bq_route == "auto":
+            use_cells = self._codes_dir_bytes() >= BQ_CELL_ROUTE_MIN_BYTES
+        if use_cells:
             ranked = sorted(
                 (
                     math.sqrt(
@@ -286,9 +350,31 @@ class VectorDatabase:
             )
             probe = [i for _d, i in ranked[: max(1, int(self.bq_nprobe))]]
             codes = codes.where(F.col("cell").isin(probe))
+        if self.bq_scoring == "asym":
+            # asymmetric candidate ranking (round-10 verdict item 4,
+            # the facade spelling): score = sum_i qw_i*(2*bit_i - 1)
+            # with qw the query's fixed-point magnitudes — since the
+            # query is one driver-side vector, the signed weights
+            # inline as a literal array and the fold is one integer
+            # expression over the stored lanes. Higher recall than
+            # Hamming at the same bq_m; same scan set.
+            qw = [int(math.floor(x * 1_000_000.0)) for x in q]
+            qw_lit = ", ".join(f"{w}L" for w in qw)
+            d = len(q)
+            score = F.expr(
+                f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> acc + "
+                f"IF((shiftright(try_element_at(code, "
+                f"CAST(i div {BQ_LANE_BITS} AS INT) + 1), "
+                f"CAST(i % {BQ_LANE_BITS} AS INT)) & 1) = 1, "
+                f"try_element_at(array({qw_lit}), CAST(i AS INT) + 1), "
+                f"-try_element_at(array({qw_lit}), CAST(i AS INT) + 1)))"
+            )
+            rank_col = (-score).alias("_h")
+        else:
+            rank_col = bq_hamming(F.col("code"), qlit).alias("_h")
         return (
             codes
-            .select("id", bq_hamming(F.col("code"), qlit).alias("_h"))
+            .select("id", rank_col)
             .orderBy(F.col("_h").asc(), F.col("id").asc())
             .limit(self.bq_m)
             .select(F.col("id").alias("text_id"))
@@ -555,12 +641,17 @@ class VectorDatabase:
         self._warn_if_unnormalized(batch)
         if (
             self.index_type == "mips"
-            and reindex is True
+            and reindex in (True, "auto")
             and self._ann_exists()
         ):
             # validate the frozen norm bound BEFORE any write (the
             # mips_append door check, surfaced through add_documents
-            # so a refused batch leaves the store untouched)
+            # so a refused batch leaves the store untouched). 'auto'
+            # must check too: its compact() may call mips_append, and
+            # a post-text-write refusal would leave every subsequent
+            # compact() raising until a manual rebuild. reindex=False
+            # stays unchecked — it is the documented escape hatch
+            # (rows serve from the exact tail).
             from vector_database_spark.functions.vector import dot as _dot
 
             m2 = float(

@@ -1748,9 +1748,60 @@ def bq_knn(
     nprobe: int = 4,
     assign_method: str = "dgemm",
     where=None,
+    ensure_k: bool = False,
+    scoring: str = "hamming",
+    qw_scale: int = 1_000_000,
+    score_method: str = "auto",
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``m`` candidates over the
     sign-bit codes, exact-cosine rerank to top-``k``.
+
+    ``scoring`` selects the candidate-stage estimator (round-10
+    verdict item 4):
+
+    * ``'hamming'`` (default) — symmetric: the query is sign-
+      quantized too and candidates are the Hamming top-``m``. Fast
+      (bit_count over dim/32 lanes) but every dimension votes with
+      equal weight, which caps recall (measured recall@10 0.36 at
+      m=100 on 1M x 64 uniform).
+    * ``'asym'`` — asymmetric: the query KEEPS its float magnitudes.
+      Each query carries fixed-point weights ``qw_i = floor(qvec_i *
+      qw_scale)`` and a candidate's score is the asymmetric
+      dot-product estimate ``sum_i qw_i * (2*bit_i - 1)`` — i.e.
+      dimensions where the query is large dominate the vote (the
+      standard asymmetric-distance refinement over binary codes,
+      cf. Jegou et al.'s ADC applied to sign quantization). Pure
+      integer fold over the stored lanes (bit-extract + signed
+      add), so the whole stage stays deterministic and
+      SQL-replayable — the v30 gate hash-matches it end-to-end.
+      Same storage, same scan set, strictly better ranking signal;
+      measured recall@10 at m=100 on 1M x 64 uniform: 0.36
+      (hamming) -> 0.65 (asym); 0.70 -> 0.94 at m=1000; the lift
+      holds under cell pruning (0.26 -> 0.44 at nprobe=8) — all at
+      identical scanned fraction
+      (tools/bq_probe.py). Output column ``hamming`` is replaced by
+      ``score`` (the integer estimate, desc-better).
+
+      ``score_method``: 'expr' computes the fold as a Catalyst
+      expression (the v30 oracle path — SQL-replayable term for
+      term); 'kernel' (what 'auto' picks) runs it vectorized in an
+      Arrow batch kernel — unpack the lanes once per batch, one
+      row-wise integer dot per candidate — ~dim× less interpreter
+      work on the corpus-sized scan. The two are BIT-IDENTICAL
+      (integer adds are associative; every float64 intermediate
+      stays far below 2^53), pytest-pinned — the g04 'gate on expr,
+      scale on kernel' rule.
+
+    ``ensure_k=True`` (round-10 verdict item 5) adds the
+    result-count contract to the CELL-PRUNED path: starved queries
+    (fewer than k rows after the rerank — a selective ``where=``
+    can empty their probed cells) retry with a doubled ``nprobe``
+    until every query has k rows or all cells are probed, exactly
+    the `_mips_serve`/`ivf_knn`/`knn_join` set-based escalation
+    (starved set stays a DataFrame; satisfied queries keep their
+    lower-probe results). On the full-scan path (no centroids) the
+    filtered Hamming cut already sees every qualifying row, so
+    ensure_k is a no-op there.
 
     ``where`` (Column or SQL string over the VECTOR table's columns)
     makes this FILTERED BQ — the filter-then-rank contract every
@@ -1818,6 +1869,8 @@ def bq_knn(
     )
     from vector_database_spark.functions.vector import cosine_similarity
 
+    if scoring not in ("hamming", "asym"):
+        raise ValueError(f"scoring must be hamming|asym, got {scoring!r}")
     mm = int(m if m is not None else max(4 * int(k), 32))
     if mm < int(k):
         raise ValueError(f"m ({mm}) must be >= k ({k})")
@@ -1825,6 +1878,19 @@ def bq_knn(
     qcodes = qdf.select(
         "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
     )
+    if scoring == "asym":
+        # fixed-point query weights: floor(q_i * scale) — an integer
+        # array, so the candidate score below is a pure integer fold
+        # (floor on doubles is engine-portable; round() ties are not)
+        qcodes = qcodes.withColumn(
+            "qw",
+            F.transform(
+                F.col("qvec").cast("array<double>"),
+                lambda x: F.floor(x * F.lit(float(int(qw_scale)))).cast(
+                    "long"
+                ),
+            ),
+        )
     qual = None
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
@@ -1843,75 +1909,280 @@ def bq_knn(
                 "bq_knn: centroids given but codes carry no 'cell' "
                 "column — pass bq_build's output (or codes=None)"
             )
-        if qual is not None:
-            codes = codes.join(qual, "id", "left_semi")
-        spark = vectors_df.sparkSession
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cell int, cvec array<double>",
-        )
-        wp = Window.partitionBy("qid").orderBy(
-            F.col("cdist").asc(), F.col("cell").asc()
-        )
-        probes = (
-            qcodes.crossJoin(F.broadcast(cdf))
-            .withColumn("cdist", euclidean(F.col("qvec"), F.col("cvec")))
-            .withColumn("_r", F.row_number().over(wp))
-            .where(F.col("_r") <= int(nprobe))
-            .select("qid", "qcode", "cell")
-        )
-        narrow = codes.join(F.broadcast(probes), "cell").select(
-            "qid",
-            "id",
-            bq_hamming(F.col("code"), F.col("qcode"))
-            .cast("double")
-            .alias("dist"),
-        )
     else:
         if codes is None:
             codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
                               vector_col=vector_col)
-        if qual is not None:
-            codes = codes.join(qual, "id", "left_semi")
-        narrow = codes.crossJoin(
-            F.broadcast(qcodes.select("qid", "qcode"))
-        ).select(
-            "qid",
-            "id",
-            bq_hamming(F.col("code"), F.col("qcode"))
-            .cast("double")
-            .alias("dist"),
+    if qual is not None:
+        codes = codes.join(qual, "id", "left_semi")
+
+    if score_method not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"score_method must be auto|expr|kernel, got {score_method!r}"
         )
-    local = _grouped_topk(narrow, mm, "qid", "id")
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-    cand = (
-        local.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= mm)
-        .select("qid", "id", F.col("dist").cast("long").alias("hamming"))
-    )
+    if scoring == "asym":
+        # candidate score = sum_i qw_i * (2*bit_i - 1): the
+        # asymmetric dot estimate as one integer fold over the
+        # stored lanes (bit-extract, signed add). Encoded as
+        # NEGATED distance so the shared (dist asc, id asc) top-m
+        # machinery ranks best-first; integer magnitudes stay far
+        # below 2^53, so the double carry is exact.
+        d = int(dim)
+        _qcols = ["qcode", "qw"]
+        if score_method == "expr":
+            _score_sql = (
+                f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> acc + "
+                f"IF((shiftright(try_element_at(code, "
+                f"CAST(i div {BQ_LANE_BITS} AS INT) + 1), "
+                f"CAST(i % {BQ_LANE_BITS} AS INT)) & 1) = 1, "
+                f"try_element_at(qw, CAST(i AS INT) + 1), "
+                f"-try_element_at(qw, CAST(i AS INT) + 1)))"
+            )
+
+            def _narrow_dist(joined: DataFrame) -> DataFrame:
+                return joined.select(
+                    "qid",
+                    "id",
+                    (-F.expr(_score_sql)).cast("double").alias("dist"),
+                )
+
+        else:
+            # kernel path ('auto'): the same integer fold, batch-
+            # vectorized — lanes unpack once per Arrow batch, one
+            # row-wise dot per candidate (dim× less interpreter
+            # work than the per-row Catalyst fold on the
+            # corpus-sized scan). Bit-identical to the expr path:
+            # integer adds are associative and every float64
+            # intermediate (|qw| ~ 1e7, ≤ dim terms) stays far
+            # below 2^53. Queries are a broadcastable panel by
+            # contract (the ivf_knn rule), so collecting (qid,
+            # qvec) driver-side for the closure is bounded.
+            qw_rows = [
+                (int(r["qid"]), [float(x) for x in r["qvec"]])
+                for r in qdf.select("qid", "qvec").collect()
+            ]
+            scale = float(int(qw_scale))
+
+            def _narrow_dist(joined: DataFrame) -> DataFrame:
+                dd, sc, rows_ = d, scale, qw_rows
+
+                def kern(it):
+                    import numpy as np
+                    import pandas as pd
+
+                    QW = {
+                        q: np.floor(np.asarray(v, dtype=np.float64) * sc)
+                        for q, v in rows_
+                    }
+                    T = {q: w.sum() for q, w in QW.items()}
+                    for pdf in it:
+                        if not len(pdf):
+                            continue
+                        L = np.asarray(
+                            [
+                                np.asarray(c, dtype=np.int64)
+                                for c in pdf["code"]
+                            ]
+                        )
+                        B = np.empty((len(pdf), dd), dtype=np.float64)
+                        for lo in range(0, dd, BQ_LANE_BITS):
+                            lane = L[:, lo // BQ_LANE_BITS]
+                            for j in range(min(BQ_LANE_BITS, dd - lo)):
+                                B[:, lo + j] = (lane >> j) & 1
+                        qidv = pdf["qid"].to_numpy(np.int64)
+                        s = np.empty(len(pdf), dtype=np.float64)
+                        for q in np.unique(qidv):
+                            m_ = qidv == q
+                            s[m_] = 2.0 * (B[m_] @ QW[q]) - T[q]
+                        yield pd.DataFrame(
+                            {
+                                "qid": pd.array(qidv, dtype="int64"),
+                                "id": pd.array(
+                                    pdf["id"].to_numpy(np.int64),
+                                    dtype="int64",
+                                ),
+                                "dist": pd.array(-s, dtype="float64"),
+                            }
+                        )
+
+                return joined.select("qid", "id", "code").mapInPandas(
+                    kern, "qid long, id long, dist double"
+                )
+
+            def _narrow_all(codes_df: DataFrame, mm_: int) -> DataFrame:
+                """Full-scan asym narrow WITHOUT the query crossJoin:
+                each code batch crosses Arrow once, one GEMM scores
+                every query at once (B @ QW.T), and the per-(query,
+                batch) top-mm cut happens in-kernel — the
+                `_grouped_topk` (dist, id) selection on integer
+                scores, so survivors are identical to the expr path
+                (the downstream global cut re-applies the same
+                order). Arrow volume drops from n_q x corpus to
+                corpus + batches x n_q x m."""
+                dd, sc, rows_, cut = d, scale, qw_rows, int(mm_)
+
+                def kern(it):
+                    import numpy as np
+                    import pandas as pd
+
+                    qids = np.asarray([q for q, _ in rows_], dtype=np.int64)
+                    QW = np.stack(
+                        [
+                            np.floor(
+                                np.asarray(v, dtype=np.float64) * sc
+                            )
+                            for _, v in rows_
+                        ]
+                    )
+                    T = QW.sum(axis=1)
+                    for pdf in it:
+                        if not len(pdf):
+                            continue
+                        L = np.asarray(
+                            [
+                                np.asarray(c, dtype=np.int64)
+                                for c in pdf["code"]
+                            ]
+                        )
+                        B = np.empty((len(pdf), dd), dtype=np.float64)
+                        for lo in range(0, dd, BQ_LANE_BITS):
+                            lane = L[:, lo // BQ_LANE_BITS]
+                            for j in range(min(BQ_LANE_BITS, dd - lo)):
+                                B[:, lo + j] = (lane >> j) & 1
+                        idv = pdf["id"].to_numpy(np.int64)
+                        S = 2.0 * (B @ QW.T) - T[None, :]  # n x n_q
+                        out_q: list = []
+                        out_i: list = []
+                        out_d: list = []
+                        for qi in range(len(qids)):
+                            dist = -S[:, qi]
+                            order = np.lexsort((idv, dist))[:cut]
+                            out_q.extend([qids[qi]] * len(order))
+                            out_i.extend(idv[order])
+                            out_d.extend(dist[order])
+                        yield pd.DataFrame(
+                            {
+                                "qid": pd.array(out_q, dtype="int64"),
+                                "id": pd.array(out_i, dtype="int64"),
+                                "dist": pd.array(out_d, dtype="float64"),
+                            }
+                        )
+
+                return codes_df.select("id", "code").mapInPandas(
+                    kern, "qid long, id long, dist double"
+                )
+
+    else:
+        _qcols = ["qcode"]
+
+        def _narrow_dist(joined: DataFrame) -> DataFrame:
+            return joined.select(
+                "qid",
+                "id",
+                bq_hamming(F.col("code"), F.col("qcode"))
+                .cast("double")
+                .alias("dist"),
+            )
+
+    spark = vectors_df.sparkSession
+    if centroids is not None:
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>",
+        )
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_vec")
     )
-    scored = (
-        F.broadcast(cand)
-        .join(vecs, "id")
-        .join(F.broadcast(qdf.select("qid", "qvec")), "qid")
-        .select(
-            "qid",
-            "id",
-            "hamming",
-            cosine_similarity(F.col("_vec"), F.col("qvec")).alias("cos_sim"),
+    stage1_col = "score" if scoring == "asym" else "hamming"
+
+    def _ranked(qsub: DataFrame, np_: int) -> DataFrame:
+        """qsub -> exact-rerank top-k for one probe width (the
+        `_mips_serve` escalation unit)."""
+        if centroids is not None:
+            wp = Window.partitionBy("qid").orderBy(
+                F.col("cdist").asc(), F.col("cell").asc()
+            )
+            probes = (
+                qsub.crossJoin(F.broadcast(cdf))
+                .withColumn("cdist", euclidean(F.col("qvec"), F.col("cvec")))
+                .withColumn("_r", F.row_number().over(wp))
+                .where(F.col("_r") <= int(np_))
+                .select("qid", *_qcols, "cell")
+            )
+            narrow = _narrow_dist(codes.join(F.broadcast(probes), "cell"))
+        elif scoring == "asym" and score_method != "expr":
+            # full-scan kernel: all queries score per code batch (no
+            # crossJoin). Safe to ignore qsub — the full-scan branch
+            # never escalates (ensure_k returns before the loop when
+            # centroids is None), so qsub is always the whole panel.
+            narrow = _narrow_all(codes, mm)
+        else:
+            narrow = _narrow_dist(
+                codes.crossJoin(F.broadcast(qsub.select("qid", *_qcols)))
+            )
+        local = _grouped_topk(narrow, mm, "qid", "id")
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
         )
-    )
-    wr = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= int(k))
-        .select("qid", "id", "hamming", "cos_sim",
-                F.col("rank").cast("long").alias("rank"))
-    )
+        stage1 = F.col("dist").cast("long")
+        if scoring == "asym":
+            stage1 = (-F.col("dist")).cast("long")
+        cand = (
+            local.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= mm)
+            .select("qid", "id", stage1.alias(stage1_col))
+        )
+        scored = (
+            F.broadcast(cand)
+            .join(vecs, "id")
+            .join(F.broadcast(qdf.select("qid", "qvec")), "qid")
+            .select(
+                "qid",
+                "id",
+                stage1_col,
+                cosine_similarity(F.col("_vec"), F.col("qvec")).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+        wr = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= int(k))
+            .select("qid", "id", stage1_col, "cos_sim",
+                    F.col("rank").cast("long").alias("rank"))
+        )
+
+    out = _ranked(qcodes, int(nprobe))
+    if not ensure_k or centroids is None:
+        return out
+    # set-based doubling escalation on the cell-pruned path (the
+    # `_mips_serve` loop): starved qids retry with doubled nprobe;
+    # terminates at the full probe (== the unpruned filtered scan)
+    cur, total = int(nprobe), len(cents)
+    out = out.localCheckpoint(eager=False)
+    while cur < total:
+        sat = (
+            out.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= int(k))
+            .select("qid")
+        )
+        starved_q = qcodes.join(sat, "qid", "left_anti").localCheckpoint(
+            eager=False
+        )
+        if starved_q.isEmpty():
+            break
+        cur = min(cur * 2, total)
+        retry = _ranked(starved_q, cur)
+        out = (
+            out.join(starved_q.select("qid"), "qid", "left_anti")
+            .unionByName(retry)
+            .localCheckpoint(eager=False)
+        )
+    return out
 
 
 def mips_augment(vec_col, m2: float):

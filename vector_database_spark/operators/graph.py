@@ -721,9 +721,38 @@ def knn_graph_blocked(
         )
     # dgemm narrow consumes members twice (hot-cell bucket counts +
     # the candidate join) — pin so the assignment kernel runs once
-    members = members.localCheckpoint(eager=False)
-    probes = _blocked_probes(vv, centroids, nprobe, method)
-    narrow = _blocked_narrow(members, probes, k, method, cell_cap=cap)
+    if method == "dgemm":
+        # round-10 verdict item 6: fold the fresh-build per-cell
+        # counts into the checkpoint-materializing job via observed
+        # metrics — the counts arrive as a side effect of the ONE
+        # pass that runs the assignment kernel and writes the
+        # checkpoint blocks, instead of a separate groupBy+collect
+        # job over the same data (the A/B-attributed residual vs the
+        # r7 plan). count_if per cell is bounded by n_cells.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        members = members.observe(
+            obs,
+            *[
+                F.count_if(F.col("cell") == c).alias(f"c{c}")
+                for c in range(len(centroids))
+            ],
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        cnts = {
+            c: int(got[f"c{c}"])
+            for c in range(len(centroids))
+            if int(got[f"c{c}"])
+        }
+        probes = _blocked_probes(vv, centroids, nprobe, method)
+        narrow = _blocked_narrow(
+            members, probes, k, method, cell_cap=cap, cell_counts=cnts
+        )
+    else:
+        members = members.localCheckpoint(eager=False)
+        probes = _blocked_probes(vv, centroids, nprobe, method)
+        narrow = _blocked_narrow(members, probes, k, method, cell_cap=cap)
     return _rank_topk_edges(narrow, k)
 
 
@@ -1562,6 +1591,20 @@ def knn_graph_append(
     )
 
     # --- writes ---
+    # persisted per-cell counts FIRST (stored + batch): counts may
+    # only ever OVER-estimate (the cap contract). If the counts write
+    # lands and a later append write crashes, the next append trusts
+    # counts that are too high — safe. The old order (counts last)
+    # left an under-estimate window: appended vectors on disk with
+    # stale counts, and the next append's cap decision would breach
+    # the hot-cell cap it exists to enforce.
+    merged_cnts = dict(stored_cnts)
+    for c, n in batch_cnts.items():
+        merged_cnts[c] = merged_cnts.get(c, 0) + n
+    spark.createDataFrame(
+        sorted((int(c), int(n)) for c, n in merged_cnts.items()),
+        "cell int, n long",
+    ).write.mode("overwrite").parquet(f"{path}/cell_counts")
     batch_members.repartition("cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/vectors")
@@ -1590,17 +1633,6 @@ def knn_graph_append(
         [(int(k), int(nprobe), method, int(ent_id), int(ent_cell))],
         "k int, nprobe int, method string, entry_id long, entry_cell int",
     ).write.mode("overwrite").parquet(f"{path}/graph_meta")
-    # persisted per-cell counts stay current: stored + batch (the
-    # table the NEXT append's cap decision reads instead of
-    # re-aggregating the corpus — round-9 verdict item 6)
-    merged_cnts = dict(stored_cnts)
-    for c, n in batch_cnts.items():
-        merged_cnts[c] = merged_cnts.get(c, 0) + n
-    spark.createDataFrame(
-        sorted((int(c), int(n)) for c, n in merged_cnts.items()),
-        "cell int, n long",
-    ).write.mode("overwrite").parquet(f"{path}/cell_counts")
-
     # --- drift stats (the ivf_append contract) ---
     batch_sum, _bn = _ivf_err_stats(batch_members, centroids)
     base = _ivf_stats_read(spark, path) or (0.0, 0)

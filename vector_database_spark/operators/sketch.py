@@ -200,7 +200,16 @@ def kmv_set_estimates(
         a.crossJoin(b)
         .withColumn("_u", merged)
         .withColumn("n_u", F.size("_u").cast("long"))
-        .withColumn("kth", F.element_at("_u", F.col("n_u").cast("int")))
+        # guard the empty-union case with CASE WHEN: even
+        # try_element_at raises INVALID_INDEX_OF_ZERO at index 0
+        # (only out-of-bounds indexes return null)
+        .withColumn(
+            "kth",
+            F.when(
+                F.col("n_u") > 0,
+                F.try_element_at("_u", F.col("n_u").cast("int")),
+            ),
+        )
         .withColumn(
             "rho",
             F.size(
@@ -217,18 +226,31 @@ def kmv_set_estimates(
         "n_u",
         "kth",
         "rho",
-        est(F.col("_na"), F.element_at("_ma", F.col("_na").cast("int"))).alias(
-            "est_a"
-        ),
-        est(F.col("_nb"), F.element_at("_mb", F.col("_nb").cast("int"))).alias(
-            "est_b"
-        ),
+        est(
+            F.col("_na"),
+            F.when(
+                F.col("_na") > 0,
+                F.try_element_at("_ma", F.col("_na").cast("int")),
+            ),
+        ).alias("est_a"),
+        est(
+            F.col("_nb"),
+            F.when(
+                F.col("_nb") > 0,
+                F.try_element_at("_mb", F.col("_nb").cast("int")),
+            ),
+        ).alias("est_b"),
         est(F.col("n_u"), F.col("kth")).alias("est_union"),
-        (
+        # n_u = 0 (both sets empty): intersection is exactly 0, and
+        # the ratio would be an ANSI divide-by-zero
+        F.when(
+            F.col("n_u") > 0,
             F.col("rho").cast("double")
             * est(F.col("n_u"), F.col("kth"))
-            / F.col("n_u").cast("double")
-        ).alias("est_intersection"),
+            / F.col("n_u").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("est_intersection"),
     )
 
 

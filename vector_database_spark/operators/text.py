@@ -1078,12 +1078,20 @@ def hash_linear_score(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
         F.sum("weight").alias("score"),
     )
+    # cast the score to long ONLY on the seeded path (integer by
+    # construction); a user-supplied weights table may hold real
+    # weights (the 'trained model swaps in' path) and a long cast
+    # would silently truncate fractional scores — keep the sum's own
+    # type there (coalesce coerces the 0 literal to it)
+    score_out = F.coalesce("score", F.lit(0))
+    if weights is None:
+        score_out = score_out.cast("long")
     return (
         base.select("id")
         .join(agg, "id", "left")
         .select(
             "id",
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            score_out.alias("score"),
         )
     )

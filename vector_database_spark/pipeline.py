@@ -421,11 +421,35 @@ def allocate_budget(
         F.col(domain_col).alias("domain"),
         F.col(weight_col).cast("long").alias("weight"),
     )
-    tot = d.groupBy().agg(F.sum("weight").alias("_w"))
+    # domains is a tiny aggregate table (one row per source) — a
+    # driver-side sanity collect is cheap and turns the two silent
+    # failure modes (ANSI divide-by-zero on total weight 0; negative
+    # weights breaking the floor-division apportionment) into errors
+    chk = d.groupBy().agg(
+        F.sum("weight").alias("_w"), F.min("weight").alias("_mn")
+    ).first()
+    if chk["_mn"] is not None and chk["_mn"] < 0:
+        raise ValueError("allocate_budget: weights must be >= 0")
+    if chk["_w"] is None or chk["_w"] <= 0:
+        raise ValueError("allocate_budget: total weight must be > 0")
+    # budget * weight in DECIMAL(38,0): a 1e9-token budget times
+    # token-scale weights (~1e12) overflows BIGINT (~9.2e18). div
+    # (IntegralDivide) accepts decimals and returns BIGINT; % stays
+    # decimal and only feeds the remainder ranking.
+    tot = d.groupBy().agg(
+        F.sum("weight").cast("decimal(19,0)").alias("_w")
+    )
     b = F.lit(int(budget)).cast("long")
-    x = d.crossJoin(F.broadcast(tot)).withColumn(
-        "share", F.expr(f"CAST({int(budget)} AS BIGINT) * weight div _w")
-    ).withColumn("_rem", (b * F.col("weight")) % F.col("_w"))
+    x = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_prod",
+            F.lit(int(budget)).cast("decimal(19,0)")
+            * F.col("weight").cast("decimal(19,0)"),
+        )
+        .withColumn("share", F.expr("_prod div _w"))
+        .withColumn("_rem", F.col("_prod") % F.col("_w"))
+    )
     w_left = Window.partitionBy(F.lit(1))
     w_rank = Window.partitionBy(F.lit(1)).orderBy(
         F.col("_rem").desc(), F.col("domain").asc()

@@ -6880,6 +6880,104 @@ def v29_filtered_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "id", "hamming", "cos_sim", "rank")
 
 
+_V30_QW_SCALE = 1_000_000
+
+
+def _bq_asym_sql(code: str, qw: str, dim: int) -> str:
+    """DuckDB twin of `bq_knn(scoring='asym')`'s candidate score:
+    ``sum_i qw[i] * (2*bit_i - 1)`` — bit-extract from the 32-bit
+    BIGINT lanes + signed integer add. Integer addition is
+    associative, so the fold grouping is free (unlike float folds);
+    list_sum's HUGEINT goes back to BIGINT (values are far below
+    2^63)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"CASE WHEN (({code}[((i - 1) // 32) + 1] >> ((i - 1) % 32)) & 1) "
+        f"= 1 THEN {qw}[i] ELSE -{qw}[i] END))::BIGINT"
+    )
+
+
+@query(
+    "v30_bq_asym",
+    oracle=f"""
+WITH c0 AS (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY md5(vec_id || ':v28'), vec_id)
+                     AS rn
+            FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM c0
+                      WHERE rn <= {_V28_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}) AS d
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+                          list_transform(embedding,
+                            x -> floor(x * {float(_V30_QW_SCALE)!r}::DOUBLE)
+                                   ::BIGINT) AS qw
+                   FROM embeddings WHERE vec_id IN ({_PANEL})),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}), c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+cd AS (SELECT vec_id AS id, embedding,
+              {_bq_code_sql('embedding', _V24_DIM)} AS code
+       FROM embeddings),
+h AS (SELECT p.qid, cd.id, cd.embedding, q.qv,
+             {_bq_asym_sql('cd.code', 'q.qw', _V24_DIM)} AS score
+      FROM cd JOIN asg a ON a.id = cd.id
+      JOIN pc p ON p.cell = a.cell AND p.pr <= {_V28_NPROBE}
+      JOIN q ON q.qid = p.qid),
+cand AS (SELECT qid, id, score, embedding, qv,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, id) AS cr
+         FROM h),
+scored AS (SELECT qid, id, score,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM cand WHERE cr <= {_V28_M})
+SELECT qid, id, score, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, score, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+""",
+)
+def v30_bq_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC cell-pruned BQ (round-10 verdict item 4 —
+    `ann.bq_knn(scoring='asym')`): the v28 pipeline with the
+    candidate stage ranked by the asymmetric dot estimate instead of
+    symmetric Hamming — the query keeps fixed-point float magnitudes
+    (``qw_i = floor(q_i * {_V30_QW_SCALE})``) and a candidate scores
+    ``sum_i qw_i * (2*bit_i - 1)``, so large-magnitude query
+    dimensions dominate the vote. Same storage, same probed-cell
+    scan set, materially better recall (measured at 1M x 64 in
+    tools/bq_probe.py — the round-10 verdict's recall-ceiling fix).
+    The score is a pure integer fold over the stored lanes
+    (bit-extract + signed add — associative, so both engines agree
+    regardless of fold grouping), the candidate cut is the
+    deterministic (score desc, id) window, and the rerank is the
+    portable exact-cosine fold: the WHOLE asymmetric pipeline
+    hash-matches this SQL replay end-to-end (v28's rig, one CASE
+    swapped)."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "v28", _V28_CELLS)
+    codes, _ = bq_build(
+        vecs, dim=_V24_DIM, centroids=cents, assign_method="expr"
+    )
+    out = bq_knn(
+        vecs, _panel(spark, sf_dir), KNN_K, dim=_V24_DIM, m=_V28_M,
+        codes=codes, centroids=cents, nprobe=_V28_NPROBE,
+        scoring="asym", qw_scale=_V30_QW_SCALE, score_method="expr",
+    )
+    return out.select("qid", "id", "score", "cos_sim", "rank")
+
+
 _E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
 
 
@@ -7226,6 +7324,7 @@ _DRIVER_TAIL = [
     "p12_budget_allocation",  # pipeline family: p01/p03 stay in the head
     "v29_filtered_bq",        # filtered-ANN family: a07/v19 stay in the head
     "t18_quality_classifier", # text family: t05 quality bands stay in the head
+    "v30_bq_asym",            # BQ family: v24/v28 stay via tail twins
 ]
 
 
