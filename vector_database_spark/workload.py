@@ -6978,6 +6978,65 @@ def v30_bq_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "id", "score", "cos_sim", "rank")
 
 
+_V31_K = 32  # > any plausible qualifying count (5 at sf0.01, 20 at
+# sf0.1 for the %100 predicate) so every panel query provably starves
+# at every proper probe subset and escalation runs to the FULL probe,
+# where filtered BQ is exact — the oracle needs no probe replay
+
+
+@query(
+    "v31_bq_ensure_k",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  {_bq_code_sql('embedding', _V24_DIM)} AS qcode
+           FROM embeddings WHERE vec_id IN ({_PANEL})),
+c AS (SELECT vec_id AS id, embedding,
+             {_bq_code_sql('embedding', _V24_DIM)} AS code
+      FROM embeddings WHERE vec_id % 100 = 0),
+h AS (SELECT q.qid, c.id, c.embedding, q.qv,
+             {_bq_hamming_sql('c.code', 'q.qcode', _V24_DIM // 32)}
+               AS hamming
+      FROM c CROSS JOIN q),
+scored AS (SELECT qid, id, hamming,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM h)
+SELECT qid, id, hamming, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {_V31_K}
+""",
+)
+def v31_bq_ensure_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED cell-pruned BQ under the result-count contract
+    (round-10 verdict item 5 — `ann.bq_knn(where=, ensure_k=True)`):
+    nprobe starts at 1 and doubles set-based for starved queries
+    until every query has k rows or all cells are probed. The rig
+    makes escalation provable AND SQL-replayable: k ({_V31_K}) >
+    every plausible qualifying count for the ~1% predicate, so every
+    panel query starves at every proper probe subset and
+    escalation terminates at the FULL probe — where filtered BQ with
+    m >= qualifying sees every qualifying row and the exact-cosine
+    rerank equals the exact filtered top-k (no probe-set replay in
+    the oracle; Hamming values are per-(query,id) deterministic so
+    the carried column replays too). The v28 seeded-cell rig keeps
+    the assignment expression-exact."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "v28", _V28_CELLS)
+    codes, _ = bq_build(
+        vecs, dim=_V24_DIM, centroids=cents, assign_method="expr"
+    )
+    out = bq_knn(
+        vecs, _panel(spark, sf_dir), _V31_K, dim=_V24_DIM, m=_V31_K,
+        codes=codes, centroids=cents, nprobe=1, where="id % 100 = 0",
+        ensure_k=True,
+    )
+    return out.select("qid", "id", "hamming", "cos_sim", "rank")
+
+
 _E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
 
 
@@ -7325,6 +7384,7 @@ _DRIVER_TAIL = [
     "v29_filtered_bq",        # filtered-ANN family: a07/v19 stay in the head
     "t18_quality_classifier", # text family: t05 quality bands stay in the head
     "v30_bq_asym",            # BQ family: v24/v28 stay via tail twins
+    "v31_bq_ensure_k",        # filtered-ANN family: a07/v19/v29 twins
 ]
 
 
