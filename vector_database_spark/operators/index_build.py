@@ -36,11 +36,24 @@ README.md:93-100 rationale inverted, see SURVEY.md §4):
    driver bottleneck at 10^12 rows).
 2. *Routing*: points join the split table (broadcast while it is
    small, shuffle join beyond ~10^6 open splits — AQE-compatible) and
-   move to child ranges. Each level's point set is persisted and the
-   parent level unpersisted as soon as its children materialize, so
-   every level reads a cached parent instead of recomputing lineage
-   (the round-1 code recomputed the whole routing chain for each of
-   its two collects per level — the main constant-factor loss).
+   move to child ranges. Split tables are TINY (one row per open
+   range), so routing is a pure function of the source and the chain
+   of per-level split tables: instead of materializing every level's
+   routed point set (round ≤11 checkpointed ~|data| bytes per level —
+   the dominant I/O of the 10M×96 headline build, ~4.6 GB × levels,
+   and the thing a write-throttled host punishes), each level's
+   decisions job re-derives the current assignment by scanning the
+   (page-cached) source through a pipeline of broadcast hash joins —
+   zero shuffle, zero checkpoint write. The chain COLLAPSES into a
+   real localCheckpoint every ``checkpoint_every`` levels, or as soon
+   as the cumulative split rows exceed the broadcast cap, so lineage
+   depth and broadcast memory stay bounded: ``checkpoint_every=1``
+   reproduces the round-11 write-per-level behavior exactly (same
+   joins, same partitioning — bit-identical trees), large values
+   trade re-scan CPU for write I/O. On a single node the source scan
+   is a page-cache hit; on a cluster, locality-scheduled parquet
+   reads. Levels are ~log2(rows/threshold), so even at 10^12 rows
+   the chain collapses only a handful of times.
 3. *Local phase*: once a range holds ≤ ``local_threshold`` points its
    whole subtree is built inside one task via ``applyInPandas`` (same
    trick as MLlib decision trees), materialized eagerly per level so
@@ -106,7 +119,7 @@ def build_index(
     vector_col: str = "vector",
     doc_col: str | None = None,
     local_threshold: int | None = 20_000,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 8,
     max_levels: int = 60,
 ) -> DataFrame:
     """Build the BSP-tree index over ``df`` (one tree per document if
@@ -114,8 +127,15 @@ def build_index(
     ``(doc_id, range_id, dimension, mid, low_range_id, high_range_id, id)``.
 
     ``local_threshold=None`` auto-tunes from the vector width (see
-    module docstring). The returned DataFrame reads only cached /
-    materialized pieces — the expensive work happens inside this call.
+    module docstring). ``checkpoint_every`` bounds the broadcast
+    route-chain depth: the input is re-scanned once per level between
+    collapses (cheap for parquet sources — page-cached / locality
+    reads), and a full routed-point checkpoint is written only every
+    that many levels (1 = write per level, the round-11 behavior).
+    Callers whose input has EXPENSIVE lineage (not a scan/projection)
+    should localCheckpoint it before calling. The returned DataFrame
+    reads only cached / materialized pieces — the expensive work
+    happens inside this call.
     """
     spark = df.sparkSession
     doc_expr = F.col(doc_col) if doc_col else F.lit(0).cast("long")
@@ -201,6 +221,7 @@ def build_index(
             pool_futures,
             submit_pool,
             debug,
+            checkpoint_every,
         )
         if pool_futures:
             t0 = time.time()
@@ -227,6 +248,30 @@ def build_index(
     return out
 
 
+def _route_once(pts: DataFrame, splits: DataFrame) -> DataFrame:
+    """Apply one level's split table: move every point in a split
+    range to its child range (reference routing semantics —
+    DDL.sql:161-167, IndexBuilder.cs:115). Points in non-split
+    (leaf / local) ranges drop out via the inner join."""
+    v = F.try_element_at(F.col("vector"), F.col("split_dim") + F.lit(1)).cast(
+        "double"
+    )
+    go_low = F.when(
+        F.col("split_dim").isNull(), F.col("id") <= F.col("mean_id")
+    ).otherwise(
+        (v < F.col("mid"))
+        | ((v == F.col("mid")) & (F.col("id") <= F.col("mean_id")))
+    )
+    return (
+        pts.join(splits, ["doc_id", "range_id"], "inner")
+        .withColumn(
+            "range_id",
+            F.col("range_id") * 2 + F.when(go_low, F.lit(1)).otherwise(F.lit(2)),
+        )
+        .select("doc_id", "id", "vector", "range_id")
+    )
+
+
 def _build_levels(
     spark,
     pts: DataFrame,
@@ -236,10 +281,38 @@ def _build_levels(
     pool_futures: list,
     submit_pool,
     debug: bool,
+    checkpoint_every: int = 8,
 ) -> None:
     """The distributed level loop of `build_index` (split out so the
-    caller can wrap it and the drain in one try/finally)."""
+    caller can wrap it and the drain in one try/finally).
+
+    Route-chain design (round 12): the current point→range assignment
+    is ``base`` (the source projection, or the last collapsed
+    checkpoint) routed through ``chain`` — one TINY broadcast split
+    table per level since the collapse. Each level's decisions job
+    re-derives the assignment by scanning ``base`` through the
+    broadcast-hash-join pipeline, so NO per-level point materialization
+    happens (the round-11 write-per-level localCheckpoint was ~|data|
+    bytes of block-store I/O per level — the single largest I/O of the
+    10M×96 headline build). The chain collapses into a lazy
+    localCheckpoint every ``checkpoint_every`` levels, or immediately
+    when a level's split table exceeds the broadcast cap (those route
+    via a shuffle join, which must not be re-executed per level).
+    Broadcast joins preserve the scan's partition structure, so
+    per-range Summarizer merge order — and hence every split decision
+    — is bit-identical to the round-11 write-per-level path."""
     depth = 0
+    ckpt_every = max(1, int(checkpoint_every))
+    base = pts
+    chain: list[DataFrame] = []  # broadcast split tables since collapse
+    chain_rows = 0
+
+    def view() -> DataFrame:
+        cur = base
+        for sp in chain:
+            cur = _route_once(cur, sp)
+        return cur
+
     while True:
         if depth > max_levels:
             raise RuntimeError(
@@ -252,10 +325,14 @@ def _build_levels(
             if fut.done() and fut.exception() is not None:
                 raise fut.exception()
         t0 = time.time()
-        dec = _level_decisions(pts, local_threshold).localCheckpoint(eager=True)
+        pts_view = view()
+        dec = _level_decisions(pts_view, local_threshold).localCheckpoint(eager=True)
         fates = {r["fate"]: r["count"] for r in dec.groupBy("fate").count().collect()}
         if debug:
-            print(f"[build] L{depth} decisions {time.time()-t0:.2f}s fates={fates}")
+            print(
+                f"[build] L{depth} decisions {time.time()-t0:.2f}s "
+                f"fates={fates} chain={len(chain)}"
+            )
 
         if fates.get("leaf"):
             index_parts.append(
@@ -274,12 +351,12 @@ def _build_levels(
                 # whole level goes local (the common last level):
                 # the pool is exactly this level's points, no
                 # semi-join scan needed
-                pool = pts
+                pool = pts_view
             else:
                 keys = dec.where(F.col("fate") == "local").select(
                     "doc_id", "range_id"
                 )
-                pool = pts.join(
+                pool = pts_view.join(
                     F.broadcast(keys), ["doc_id", "range_id"], "left_semi"
                 )
             pool_futures.append(submit_pool(pool, int(fates["local"])))
@@ -302,33 +379,21 @@ def _build_levels(
         splits = dec.where(F.col("fate") == "split").select(
             "doc_id", "range_id", "split_dim", "mid", "mean_id"
         )
-        if n_split <= _BROADCAST_SPLIT_MAX:
+        big_split = n_split > _BROADCAST_SPLIT_MAX
+        if not big_split:
             splits = F.broadcast(splits)
-        v = F.try_element_at(F.col("vector"), F.col("split_dim") + F.lit(1)).cast(
-            "double"
-        )
-        go_low = F.when(
-            F.col("split_dim").isNull(), F.col("id") <= F.col("mean_id")
-        ).otherwise(
-            (v < F.col("mid"))
-            | ((v == F.col("mid")) & (F.col("id") <= F.col("mean_id")))
-        )
-        routed = (
-            pts.join(splits, ["doc_id", "range_id"], "inner")
-            .withColumn(
-                "range_id",
-                F.col("range_id") * 2 + F.when(go_low, F.lit(1)).otherwise(F.lit(2)),
-            )
-            .select("doc_id", "id", "vector", "range_id")
-        )
+        chain.append(splits)
+        chain_rows += n_split
         depth += 1
-        # LAZY checkpoint every level: blocks are persisted the first
-        # time the next level's decisions job scans the routed points,
-        # folding route materialization into that job (one fewer job
-        # per level than eager; unlike a no-checkpoint chain, later
-        # readers — pools, the level after next — hit stored blocks).
-        # _LAZY_LEVEL_CHECKPOINT exists for A/B timing (bench bisect).
-        pts = routed.localCheckpoint(eager=not _LAZY_LEVEL_CHECKPOINT)
+        if big_split or len(chain) >= ckpt_every or chain_rows > _BROADCAST_SPLIT_MAX:
+            # Collapse: materialize the routed assignment ONCE. LAZY —
+            # blocks are persisted the first time the next level's
+            # decisions job scans them, folding route materialization
+            # into that job (one fewer job than eager).
+            # _LAZY_LEVEL_CHECKPOINT exists for A/B timing (bench bisect).
+            base = view().localCheckpoint(eager=not _LAZY_LEVEL_CHECKPOINT)
+            chain = []
+            chain_rows = 0
 
 
 def _level_decisions(pts: DataFrame, local_threshold: int) -> DataFrame:
