@@ -25,11 +25,17 @@ from vector_database_spark import workload
 
 BENCH_QUERIES = [
     "v01_search_exact",
+    # d05 runs EARLY, before the shingle-family dedup block: its
+    # single-task BLAS kernel is invisible to the 32-way scan anchor
+    # but loses ~5x to d03's async checkpoint cleanup + session cache
+    # pressure when adjacent (round-11 A/B: bench min 4.93 s vs idle
+    # interleaved 0.512 s — mechanism measured, ROUND11.md). Verdict
+    # r11 item 4: de-adjacency so committed numbers match idle truth.
+    "d05_embedding_neardup",
     "v03_knn_l2",
     "v05_dim_stats",
     "d02_dedup_minhash_lsh",
     "d03_dedup_simhash",
-    "d05_embedding_neardup",
     "t04_fingerprint",
     "r01_q1_agg",
     "r02_join_revenue",
@@ -245,12 +251,23 @@ def main() -> int:
     for t in ("bsp", "ivf", "ivfadc", "bq", "mips"):
         _facade(t)
 
+    # round-11 verdict item 6: the scan+shuffle host anchor pair runs
+    # BESIDE the bench (before pass 1 / after pass 3) so every
+    # committed BENCH artifact carries the same throttle evidence as
+    # the headline probe — r01 alone is blind to single-task load.
+    # (host_anchor clearCache()s: safe here — workload caches are
+    # rebuilt inside the passes, facade stores are localCheckpoint
+    # blocks, not catalog cache.)
+    from tools.host_anchor import host_anchor
+
+    anchor_pre = host_anchor(spark)
     samples: dict[str, list[float]] = {name: [] for name, _ in plan}
     for _pass in range(3):
         for name, thunk in plan:
             t0 = time.time()
             thunk()
             samples[name].append(round(time.time() - t0, 3))
+    anchor_post = host_anchor(spark)
 
     _shutil.rmtree(_facade_root, ignore_errors=True)
     timings = {name: min(s) for name, s in samples.items()}
@@ -306,8 +323,12 @@ def main() -> int:
                     vs_prev[name] = round(r, 3)
                     if r > 1.25 or r < 0.8:
                         movers.append(name)
-    except Exception:
-        pass
+    except Exception as e:
+        # a swallowed parse failure here would be indistinguishable
+        # from "no movers" — surface it in the committed artifact
+        vs_prev_error = repr(e)
+    else:
+        vs_prev_error = None
     print(
         json.dumps(
             {
@@ -317,9 +338,12 @@ def main() -> int:
                 "queries": timings,
                 "samples": samples,
                 "anchor": "r01_q1_agg",
+                "host_anchor_pre": anchor_pre,
+                "host_anchor_post": anchor_post,
                 "vs_prev": vs_prev,
                 "vs_prev_baseline": prev_file,
                 "movers": sorted(movers),
+                "vs_prev_error": vs_prev_error,
                 "sf": sf,
             }
         )

@@ -1655,6 +1655,11 @@ def bq_encode(
     dim: int,
     id_col: str = "id",
     vector_col: str = "vector",
+    hd_blocks: int = 0,
+    hd_seed: int = 7,
+    hd_scale: int = 1_000_000,
+    encode_method: str = "auto",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Binary-quantize a vector table: ``(id, code array<long>)``.
 
@@ -1666,12 +1671,117 @@ def bq_encode(
     the full-width vectors. Sign-bit BQ is the standard first-stage
     quantizer for normalized/centered embeddings (Hamming distance on
     sign bits is a monotone proxy for angular distance).
+
+    ``hd_blocks > 0`` (round-11 verdict item 3): bits are the signs of
+    a seeded randomized-Hadamard fixed-point transform instead of raw
+    coordinates (`hd_transform_expr`) — one block is the public
+    random-rotation preconditioner (spreads variance so sign bits
+    carry more information on anisotropic/correlated embeddings);
+    more blocks stack independent rotations into an OVERCOMPLETE code
+    (``hd_blocks * pad(dim)`` bits per row — more bits = higher
+    recall at ``blocks ×`` the code bytes, still ≥16x compressed).
+    Cell assignment / pruning stay in the ORIGINAL space — the
+    transform only changes the code bits and their scoring.
+    ``encode_method``: 'expr' builds codes as the Catalyst integer
+    fold (the SQL-replayable oracle shape); 'kernel' (what 'auto'
+    picks when transformed) runs the fast-Walsh-Hadamard butterfly in
+    an Arrow kernel — BIT-IDENTICAL because every value is an exact
+    integer (< 2^53) at every step, in any association order.
+    Queries must be encoded with the SAME (hd_blocks, hd_seed,
+    hd_scale) — `bq_knn` does this when given the same params.
     """
-    lanes = bq_lane_exprs(vector_col, dim)
-    return df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.array(*lanes).alias("code"),
+    keep = [F.col(c) for c in (extra_cols or [])]
+    if not int(hd_blocks):
+        lanes = bq_lane_exprs(vector_col, dim)
+        return df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.array(*lanes).alias("code"),
+            *keep,
+        )
+    d = int(dim)
+    blocks = int(hd_blocks)
+    P = _hd_pad(d)
+    d_eff = blocks * P
+    diag = hd_diag(d, blocks, hd_seed)
+    if encode_method not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"encode_method must be auto|expr|kernel, got {encode_method!r}"
+        )
+    if encode_method == "expr":
+        t = hd_transform_expr(
+            vector_col, dim=d, blocks=blocks, diag=diag, scale=hd_scale
+        )
+        lanes = bq_lane_exprs("_hdt", d_eff)
+        return (
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                t.alias("_hdt"),
+                *keep,
+            )
+            .select("id", F.array(*lanes).alias("code"), *(extra_cols or []))
+        )
+    # kernel: FWHT butterfly per block over floor(vec*scale)*D —
+    # integer values throughout, so float64 adds are exact and the
+    # bits match the expr fold for any batch composition
+    sc = float(int(hd_scale))
+    dmat = [list(map(int, row)) for row in diag]
+    keep_names = list(extra_cols or [])
+    lane_bits = BQ_LANE_BITS
+    out_schema = "id long, code array<long>" + "".join(
+        f", {c} int" if c == "cell" else f", {c} string" for c in keep_names
     )
+    # extra_cols beyond 'cell' are not needed by any caller; keep the
+    # schema contract tight
+    if any(c != "cell" for c in keep_names):
+        raise ValueError("bq_encode kernel path supports extra_cols=['cell'] only")
+
+    def kern(it):
+        import numpy as np
+        import pandas as pd
+
+        D = [np.asarray(row, dtype=np.float64) for row in dmat]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]]
+            )
+            W = np.floor(V[:, :d] * sc)
+            n = len(pdf)
+            codes = []
+            T_all = np.empty((n, blocks * P), dtype=np.float64)
+            for r in range(blocks):
+                A = np.zeros((n, P), dtype=np.float64)
+                A[:, :d] = W * D[r][None, :]
+                h = 1
+                while h < P:
+                    for st in range(0, P, h * 2):
+                        x = A[:, st : st + h].copy()
+                        y = A[:, st + h : st + 2 * h]
+                        A[:, st : st + h] = x + y
+                        A[:, st + h : st + 2 * h] = x - y
+                    h *= 2
+                T_all[:, r * P : (r + 1) * P] = A
+            B = T_all >= 0
+            n_lanes = (blocks * P + lane_bits - 1) // lane_bits
+            L = np.zeros((n, n_lanes), dtype=np.int64)
+            for j in range(blocks * P):
+                lane, bit = j // lane_bits, j % lane_bits
+                L[:, lane] += B[:, j].astype(np.int64) << bit
+            out = {
+                "id": pd.array(pdf["id"].to_numpy(np.int64), dtype="int64"),
+                "code": pd.Series(list(L), dtype="object"),
+            }
+            for c in keep_names:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).cast("array<double>").alias("vector"),
+        *keep,
+    )
+    return src.mapInPandas(kern, out_schema)
 
 
 def bq_hamming(a, b):
@@ -1682,6 +1792,80 @@ def bq_hamming(a, b):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v.cast("long"),
     )
+
+
+def _hd_pad(dim: int) -> int:
+    """Sylvester-Hadamard size: the next power of two >= dim."""
+    d = 1
+    while d < int(dim):
+        d *= 2
+    return d
+
+
+def hd_diag(dim: int, blocks: int, seed: int) -> list[list[int]]:
+    """Seeded ±1 diagonals, one per Hadamard block — md5-derived so
+    the values are stable across numpy/python versions and can be
+    inlined as literals in a SQL replay."""
+    import hashlib
+
+    out = []
+    for r in range(int(blocks)):
+        row = []
+        for i in range(int(dim)):
+            h = hashlib.md5(f"hd:{int(seed)}:{r}:{i}".encode()).digest()
+            row.append(1 if (h[0] & 1) == 0 else -1)
+        out.append(row)
+    return out
+
+
+def hd_transform_expr(
+    vec_col: str, *, dim: int, blocks: int, diag: list[list[int]], scale: int
+) -> "F.Column":
+    """Randomized-Hadamard fixed-point transform as ONE Catalyst
+    expression: ``t[r*P + j] = sum_i hd(j,i) * D_r[i] *
+    floor(vec[i] * scale)`` with ``hd(j,i) = (-1)^popcount(j & i)``
+    (the Sylvester-Hadamard entry — no matrix literals needed) and
+    ``P`` = dim padded to a power of two. PURE INTEGER arithmetic:
+    every partial sum is an exact long, so the fold, the FWHT kernel
+    (`_hd_kernel_transform`) and a DuckDB replay agree bit-for-bit in
+    ANY association order — the v30 fixed-point trick applied to the
+    encoding itself. The transform is the public FJLT/random-rotation
+    preconditioner (Ailon–Chazelle; FAISS's random-rotation option):
+    one block = a seeded rotation that spreads variance across sign
+    bits; ``blocks > 1`` stacks independent rotations into an
+    OVERCOMPLETE code (more bits per row = finer angular resolution)
+    at ``blocks ×`` the code storage."""
+    d = int(dim)
+    P = _hd_pad(d)
+    parts = []
+    for r in range(int(blocks)):
+        d_lits = ",".join(f"{int(x)}L" for x in diag[r])
+        # the signed fixed-point input, computed ONCE per block via a
+        # zip_with over the diagonal literals (w_i = D_r[i] *
+        # floor(vec_i * scale) — exact longs)
+        wd = (
+            f"zip_with(array({d_lits}), "
+            f"slice({vec_col}, 1, {d}), "
+            f"(s, x) -> s * CAST(floor(x * {float(int(scale))!r}D) "
+            f"AS BIGINT))"
+        )
+        folds = ",".join(
+            f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> acc + "
+            f"IF(pmod(bit_count({j} & i), 2) = 0, "
+            f"element_at(wd, CAST(i AS INT) + 1), "
+            f"-element_at(wd, CAST(i AS INT) + 1)))"
+            for j in range(P)
+        )
+        # bind wd once per row via transform over a 1-element array
+        # (poor man's let-binding: the lambda variable scopes wd for
+        # every fold without recomputing the floor per (j, i) term)
+        parts.append(
+            f"element_at(transform(array({wd}), wd -> array({folds})), 1)"
+        )
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"concat({expr}, {p})"
+    return F.expr(expr)
 
 
 def bq_build(
@@ -1696,6 +1880,10 @@ def bq_build(
     train_rows: int = 262_144,
     centroids: list[list[float]] | None = None,
     assign_method: str = "dgemm",
+    hd_blocks: int = 0,
+    hd_seed: int = 7,
+    hd_scale: int = 1_000_000,
+    encode_method: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Cell-aware BQ layout (round-9 verdict item 1): codes PLUS a
     coarse IVF cell per row — ``((id, code array<long>, cell int),
@@ -1707,7 +1895,13 @@ def bq_build(
     bounded-sample Lloyd (`ivf_build`'s trainer) unless supplied;
     ``assign_method='expr'`` is the SQL-replayable assignment twin
     (`ivf_assign_expr` — the a01 oracle path), 'dgemm' the BLAS
-    kernel (pytest-pinned equal in a01's rig)."""
+    kernel (pytest-pinned equal in a01's rig).
+
+    ``hd_blocks``/``hd_seed``/``hd_scale``/``encode_method``: the
+    randomized-Hadamard code transform — see `bq_encode`. Cells are
+    assigned in the ORIGINAL space (the transform is applied only to
+    the code bits), so cell pruning semantics are unchanged; serve
+    with `bq_knn` passing the SAME hd params."""
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vector_col).cast("array<double>").alias("vector"),
@@ -1726,10 +1920,10 @@ def bq_build(
         asg = ivf_assign_expr(vecs, centroids)
     else:
         asg = _assign_cells(vecs, centroids)
-    codes = asg.select(
-        "id",
-        F.array(*bq_lane_exprs("vector", dim)).alias("code"),
-        "cell",
+    codes = bq_encode(
+        asg, dim=dim, hd_blocks=hd_blocks, hd_seed=hd_seed,
+        hd_scale=hd_scale, encode_method=encode_method,
+        extra_cols=["cell"],
     )
     return codes, centroids
 
@@ -1752,9 +1946,26 @@ def bq_knn(
     scoring: str = "hamming",
     qw_scale: int = 1_000_000,
     score_method: str = "auto",
+    hd_blocks: int = 0,
+    hd_seed: int = 7,
+    hd_scale: int = 1_000_000,
 ) -> DataFrame:
     """Two-stage BQ search: Hamming top-``m`` candidates over the
     sign-bit codes, exact-cosine rerank to top-``k``.
+
+    ``hd_blocks > 0`` (round-11 verdict item 3): codes and query
+    weights live in the seeded randomized-Hadamard fixed-point space
+    (`bq_encode`/`hd_transform_expr`) — MUST match the params the
+    codes were built with (`bq_build`/`bq_encode` with the same
+    ``hd_blocks``/``hd_seed``/``hd_scale``; there is no marker in the
+    code table to detect a mismatch). One block is a pure seeded
+    rotation (same bit count, better-conditioned sign bits on
+    anisotropic data); more blocks make the code OVERCOMPLETE
+    (``hd_blocks * pad(dim)`` bits — measured recall lift, see
+    tools/bq_probe.py). Cell probing stays in the ORIGINAL space, so
+    pruning semantics are unchanged. Everything remains exact
+    integers end-to-end: the v32 gate hash-matches the transformed
+    pipeline against a DuckDB replay.
 
     ``scoring`` selects the candidate-stage estimator (round-10
     verdict item 4):
@@ -1875,22 +2086,52 @@ def bq_knn(
     if mm < int(k):
         raise ValueError(f"m ({mm}) must be >= k ({k})")
     qdf = _as_queries_df(vectors_df, queries)
-    qcodes = qdf.select(
-        "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
-    )
-    if scoring == "asym":
-        # fixed-point query weights: floor(q_i * scale) — an integer
-        # array, so the candidate score below is a pure integer fold
-        # (floor on doubles is engine-portable; round() ties are not)
-        qcodes = qcodes.withColumn(
-            "qw",
-            F.transform(
-                F.col("qvec").cast("array<double>"),
-                lambda x: F.floor(x * F.lit(float(int(qw_scale)))).cast(
-                    "long"
-                ),
-            ),
+    _hd = int(hd_blocks) > 0
+    d_store = int(dim) if not _hd else int(hd_blocks) * _hd_pad(int(dim))
+    if _hd:
+        _diag = hd_diag(int(dim), int(hd_blocks), int(hd_seed))
+        # query code bits = signs of the SAME transform/scale the
+        # corpus codes used (symmetric quantizer for Hamming)
+        qcodes = qdf.select(
+            "qid",
+            "qvec",
+            hd_transform_expr(
+                "qvec", dim=int(dim), blocks=int(hd_blocks), diag=_diag,
+                scale=int(hd_scale),
+            ).alias("_qt"),
         )
+        qcodes = qcodes.select(
+            "qid", "qvec",
+            F.array(*bq_lane_exprs("_qt", d_store)).alias("qcode"),
+        )
+        if scoring == "asym":
+            # transformed fixed-point query weights at qw_scale
+            # granularity — exact longs, so the asym fold stays a
+            # pure integer sum in the transformed space
+            qcodes = qcodes.withColumn(
+                "qw",
+                hd_transform_expr(
+                    "qvec", dim=int(dim), blocks=int(hd_blocks),
+                    diag=_diag, scale=int(qw_scale),
+                ),
+            )
+    else:
+        qcodes = qdf.select(
+            "qid", "qvec", F.array(*bq_lane_exprs("qvec", dim)).alias("qcode")
+        )
+        if scoring == "asym":
+            # fixed-point query weights: floor(q_i * scale) — an integer
+            # array, so the candidate score below is a pure integer fold
+            # (floor on doubles is engine-portable; round() ties are not)
+            qcodes = qcodes.withColumn(
+                "qw",
+                F.transform(
+                    F.col("qvec").cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(int(qw_scale)))).cast(
+                        "long"
+                    ),
+                ),
+            )
     qual = None
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
@@ -1903,6 +2144,7 @@ def bq_knn(
             codes, _ = bq_build(
                 vectors_df, dim=dim, id_col=id_col, vector_col=vector_col,
                 centroids=cents, assign_method=assign_method,
+                hd_blocks=hd_blocks, hd_seed=hd_seed, hd_scale=hd_scale,
             )
         elif "cell" not in codes.columns:
             raise ValueError(
@@ -1912,7 +2154,8 @@ def bq_knn(
     else:
         if codes is None:
             codes = bq_encode(df=vectors_df, dim=dim, id_col=id_col,
-                              vector_col=vector_col)
+                              vector_col=vector_col, hd_blocks=hd_blocks,
+                              hd_seed=hd_seed, hd_scale=hd_scale)
     if qual is not None:
         codes = codes.join(qual, "id", "left_semi")
 
@@ -1927,8 +2170,40 @@ def bq_knn(
         # NEGATED distance so the shared (dist asc, id asc) top-m
         # machinery ranks best-first; integer magnitudes stay far
         # below 2^53, so the double carry is exact.
-        d = int(dim)
+        d = d_store
         _qcols = ["qcode", "qw"]
+        if score_method != "expr":
+            # The kernel's bit-identity with the expr path needs every
+            # float64 intermediate exact: partial sums are bounded by
+            # max|qw| * n_bits, so the guard is max|qw| * d < 2^53.
+            # qw_scale is caller-settable and vectors unbounded — a
+            # huge scale (1e12) or huge-magnitude queries would make
+            # the GEMM round while the Catalyst long fold stays exact.
+            # The collected weights are the FINAL integer qw column
+            # (floored, and HD-transformed when hd_blocks > 0) — one
+            # source of truth for the guard, the kernels and the expr
+            # fold alike.
+            _qw_probe = [
+                (int(r["qid"]), [int(x) for x in r["qw"]])
+                for r in qcodes.select("qid", "qw").collect()
+            ]
+            _max_abs = max(
+                (
+                    max(abs(x) for x in v) if v else 0
+                    for _, v in _qw_probe
+                ),
+                default=0,
+            )
+            if _max_abs * d >= 2**53:
+                if score_method == "kernel":
+                    raise ValueError(
+                        "bq_knn(scoring='asym', score_method='kernel'): "
+                        f"max|qw|*n_bits = {_max_abs * d:.3g} >= 2^53 — "
+                        "the float64 kernel would round where the exact "
+                        "integer fold does not; lower qw_scale or use "
+                        "score_method='expr'"
+                    )
+                score_method = "expr"  # 'auto': exact fold fallback
         if score_method == "expr":
             _score_sql = (
                 f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> acc + "
@@ -1957,21 +2232,17 @@ def bq_knn(
             # below 2^53. Queries are a broadcastable panel by
             # contract (the ivf_knn rule), so collecting (qid,
             # qvec) driver-side for the closure is bounded.
-            qw_rows = [
-                (int(r["qid"]), [float(x) for x in r["qvec"]])
-                for r in qdf.select("qid", "qvec").collect()
-            ]
-            scale = float(int(qw_scale))
+            qw_rows = _qw_probe
 
             def _narrow_dist(joined: DataFrame) -> DataFrame:
-                dd, sc, rows_ = d, scale, qw_rows
+                dd, rows_ = d, qw_rows
 
                 def kern(it):
                     import numpy as np
                     import pandas as pd
 
                     QW = {
-                        q: np.floor(np.asarray(v, dtype=np.float64) * sc)
+                        q: np.asarray(v, dtype=np.float64)
                         for q, v in rows_
                     }
                     T = {q: w.sum() for q, w in QW.items()}
@@ -2019,7 +2290,7 @@ def bq_knn(
                 (the downstream global cut re-applies the same
                 order). Arrow volume drops from n_q x corpus to
                 corpus + batches x n_q x m."""
-                dd, sc, rows_, cut = d, scale, qw_rows, int(mm_)
+                dd, rows_, cut = d, qw_rows, int(mm_)
 
                 def kern(it):
                     import numpy as np
@@ -2027,12 +2298,7 @@ def bq_knn(
 
                     qids = np.asarray([q for q, _ in rows_], dtype=np.int64)
                     QW = np.stack(
-                        [
-                            np.floor(
-                                np.asarray(v, dtype=np.float64) * sc
-                            )
-                            for _, v in rows_
-                        ]
+                        [np.asarray(v, dtype=np.float64) for _, v in rows_]
                     )
                     T = QW.sum(axis=1)
                     for pdf in it:

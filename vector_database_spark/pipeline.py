@@ -425,8 +425,12 @@ def allocate_budget(
     # driver-side sanity collect is cheap and turns the two silent
     # failure modes (ANSI divide-by-zero on total weight 0; negative
     # weights breaking the floor-division apportionment) into errors
+    # Sum in DECIMAL(38,0), not BIGINT: total weight >= ~9.2e18 is
+    # plausible in exactly the token-scale regime this op targets,
+    # and an ANSI sum overflow here would fail the guard itself.
     chk = d.groupBy().agg(
-        F.sum("weight").alias("_w"), F.min("weight").alias("_mn")
+        F.sum(F.col("weight").cast("decimal(38,0)")).alias("_w"),
+        F.min("weight").alias("_mn"),
     ).first()
     if chk["_mn"] is not None and chk["_mn"] < 0:
         raise ValueError("allocate_budget: weights must be >= 0")
@@ -437,7 +441,7 @@ def allocate_budget(
     # (IntegralDivide) accepts decimals and returns BIGINT; % stays
     # decimal and only feeds the remainder ranking.
     tot = d.groupBy().agg(
-        F.sum("weight").cast("decimal(19,0)").alias("_w")
+        F.sum(F.col("weight").cast("decimal(38,0)")).alias("_w")
     )
     b = F.lit(int(budget)).cast("long")
     x = (

@@ -332,7 +332,13 @@ def sql_index_document(
     then rerank the m ids exactly against ``vectors_view`` — the
     facade's documented approximate 'bq' contract, spelled in SQL
     (pytest-matched to `VectorDatabase.search` with the same
-    ``bq_nprobe``/``bq_m``).
+    ``bq_nprobe``/``bq_m`` — under ``bq_route='cells'`` and
+    ``bq_scoring='hamming'``; the facade DEFAULTS diverge from the
+    spelled query: ``bq_route='auto'`` full-scans stores whose codes
+    dir is under 16 MB — a results-affecting choice, since the
+    full scan has no probe misses — and ``bq_scoring='asym'`` ranks
+    by the asymmetric dot estimate, not Hamming; pin both when SQL
+    parity matters).
 
     ``index_type='mips'`` (round-9 verdict item 5) registers
     ``vectors_view`` (id, vector), ``index_view`` (id, cell — the
