@@ -1393,3 +1393,146 @@ def test_bq_asym_kernel_matches_expr_bit_for_bit(spark, embeddings):
         for r in exp.orderBy("qid", "rank").collect()
     ]
     assert got == want and got
+
+
+def test_bq_hd_transform_matches_numpy_replay(spark):
+    """`hd_transform_expr` pinned against an independent numpy
+    popcount replay: t[r*P+j] = sum_i (-1)^popcount(j&i) * D_r[i] *
+    floor(x_i * scale) — exact integers, including a non-power-of-two
+    dim (zero-padded to P)."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import (
+        _hd_pad,
+        hd_diag,
+        hd_transform_expr,
+    )
+
+    rng = np.random.default_rng(9)
+    dim, blocks, seed, scale = 12, 2, 3, 1000
+    P = _hd_pad(dim)
+    X = (rng.standard_normal((8, dim)) * 2.3).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vector array<double>",
+    )
+    diag = hd_diag(dim, blocks, seed)
+    out = {
+        r["id"]: list(r["t"])
+        for r in df.select(
+            "id",
+            hd_transform_expr(
+                "vector", dim=dim, blocks=blocks, diag=diag, scale=scale
+            ).alias("t"),
+        ).collect()
+    }
+    for i in range(len(X)):
+        w = np.floor(X[i] * scale).astype(np.int64)
+        want = []
+        for r in range(blocks):
+            wd = w * np.asarray(diag[r], dtype=np.int64)
+            for j in range(P):
+                s = 0
+                for k in range(dim):
+                    sgn = 1 if bin(j & k).count("1") % 2 == 0 else -1
+                    s += sgn * int(wd[k])
+                want.append(s)
+        assert out[i] == want, i
+
+
+def test_bq_hd_encode_kernel_matches_expr(spark, embeddings):
+    """The FWHT Arrow kernel == the Catalyst fold, code-for-code:
+    every intermediate is an exact integer < 2^53, so the butterfly's
+    association order cannot drift from the sequential fold."""
+    from vector_database_spark.operators.ann import bq_encode
+
+    vecs = _emb_vecs(embeddings)
+    for blocks in (1, 2):
+        e = {
+            r["id"]: list(r["code"])
+            for r in bq_encode(
+                vecs, dim=64, hd_blocks=blocks, hd_seed=11,
+                encode_method="expr",
+            ).collect()
+        }
+        k = {
+            r["id"]: list(r["code"])
+            for r in bq_encode(
+                vecs, dim=64, hd_blocks=blocks, hd_seed=11,
+                encode_method="kernel",
+            ).collect()
+        }
+        assert e == k and len(e) > 100
+
+
+def test_bq_hd_knn_kernel_matches_expr_bit_for_bit(spark, embeddings):
+    """The v30 kernel==expr pin through the HD space: cell-pruned
+    asym with hd_blocks=1, integer scores equal row-for-row."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _emb_vecs(embeddings)
+    codes, cents = bq_build(
+        vecs, dim=64, n_cells=8, seed=5, hd_blocks=1, hd_seed=11
+    )
+    codes = codes.localCheckpoint()
+    qdf = _queries_df(spark, vecs, [2, 77, 310])
+    kw = dict(dim=64, m=24, codes=codes, centroids=cents, nprobe=3,
+              scoring="asym", hd_blocks=1, hd_seed=11)
+    ker = bq_knn(vecs, qdf, 10, score_method="kernel", **kw)
+    exp = bq_knn(vecs, qdf, 10, score_method="expr", **kw)
+    got = [
+        (r["qid"], r["id"], r["score"], r["rank"])
+        for r in ker.orderBy("qid", "rank").collect()
+    ]
+    want = [
+        (r["qid"], r["id"], r["score"], r["rank"])
+        for r in exp.orderBy("qid", "rank").collect()
+    ]
+    assert got == want and got
+
+
+def test_bq_hd_full_candidates_equals_exact_cosine_knn(spark, embeddings):
+    """hd_blocks with m = n: the transform changes WHICH rows survive
+    a tight candidate cut, never the exact-cosine rerank — with every
+    row surviving, results equal `search.knn(cosine)` exactly."""
+    from vector_database_spark.operators.ann import bq_knn
+    from vector_database_spark.operators.search import knn
+
+    vecs = _emb_vecs(embeddings)
+    n = vecs.count()
+    panel = [
+        (int(r["id"]), [float(x) for x in r["vector"]])
+        for r in vecs.where(F.col("id").isin([3, 99])).collect()
+    ]
+    got = bq_knn(
+        vecs, panel, 5, dim=64, m=n, scoring="asym", hd_blocks=2
+    ).orderBy("qid", "rank")
+    want = (
+        knn(vecs, panel, 5, metric="cosine").orderBy("qid", "rank").collect()
+    )
+    assert [(r["qid"], r["id"], r["rank"]) for r in got.collect()] == [
+        (r["qid"], r["id"], r["rank"]) for r in want
+    ]
+
+
+def test_bq_asym_qw_guard_2pow53(spark, embeddings):
+    """ADVICE r11: max|qw| * n_bits >= 2^53 makes the float64 kernel
+    inexact — an explicit kernel request must raise; 'auto' must fall
+    back to the exact Catalyst fold and equal score_method='expr'."""
+    import pytest
+
+    from vector_database_spark.operators.ann import bq_knn
+
+    vecs = _emb_vecs(embeddings)
+    panel = [
+        (int(r["id"]), [float(x) for x in r["vector"]])
+        for r in vecs.where(F.col("id").isin([3])).collect()
+    ]
+    kw = dict(dim=64, m=24, scoring="asym", qw_scale=10**15)
+    with pytest.raises(ValueError, match="2\\^53"):
+        bq_knn(vecs, panel, 5, score_method="kernel", **kw).collect()
+    auto = bq_knn(vecs, panel, 5, score_method="auto", **kw)
+    exp = bq_knn(vecs, panel, 5, score_method="expr", **kw)
+    assert sorted(
+        (r["qid"], r["id"], r["score"]) for r in auto.collect()
+    ) == sorted((r["qid"], r["id"], r["score"]) for r in exp.collect())

@@ -128,3 +128,25 @@ def test_phases_agree_on_leaf_partition(spark):
     # Split means are float64 in both phases but summation order can
     # differ; identical trees hold for this fixture size.
     assert leaf_map(idx_dist) == leaf_map(idx_local)
+
+
+def test_checkpoint_every_equivalent_trees(spark):
+    """The route-chain design (round 12): checkpoint_every=1 is the
+    write-per-level legacy behavior; larger values route through the
+    chained broadcast joins and must produce the IDENTICAL tree
+    (broadcast joins preserve partition structure, so Summarizer
+    merge order and every split decision match bit-for-bit)."""
+    vecs = random_uniform(spark, 300, 4, seed=11)
+
+    def node_map(idx):
+        return {
+            (r.doc_id, r.range_id): (r.dimension, r.mid, r.id)
+            for r in idx.collect()
+        }
+
+    base = node_map(build_index(vecs, local_threshold=0, checkpoint_every=1))
+    for ck in (3, 100):
+        got = node_map(
+            build_index(vecs, local_threshold=0, checkpoint_every=ck)
+        )
+        assert got == base, ck

@@ -182,6 +182,40 @@ def main():
             f"recall@{k} {rec:.4f}  ({time.time()-t0:.2f}s)"
         )
 
+    # randomized-Hadamard codes (round-11 verdict item 3): hd_blocks=1
+    # is the pure seeded rotation (same bit count); hd_blocks=2 is the
+    # overcomplete code (2x bits = 2x code bytes, still 16x compressed
+    # at fp32). Same probed scan set as the rows above — recall deltas
+    # are pure code-information, zero extra full-width reads.
+    for hd_blocks in (1, 2):
+        t0 = time.time()
+        hcodes, _ = bq_build(
+            vecs, dim=dims, n_cells=n_cells, seed=7, centroids=cents,
+            hd_blocks=hd_blocks, hd_seed=11,
+        )
+        hcodes = hcodes.persist()
+        hcodes.count()
+        t_build = time.time() - t0
+        for nprobe in (8, n_cells):
+            t0 = time.time()
+            res = bq_knn(
+                vecs, panel, k, dim=dims, m=m, codes=hcodes,
+                centroids=cents, nprobe=nprobe, scoring="asym",
+                hd_blocks=hd_blocks, hd_seed=11,
+            )
+            rec = recall_at_k(
+                res.select("qid", "id", "rank"),
+                ex_res.select("qid", "id", "rank"),
+                k=k,
+            ).agg(F.avg("recall")).first()[0]
+            frac = sum(sorted(sizes.values(), reverse=True)[:nprobe]) / n
+            print(
+                f"nprobe={nprobe}/{n_cells} asym hd_blocks={hd_blocks}: "
+                f"scanned<= {frac:.3f}  recall@{k} {rec:.4f}  "
+                f"({time.time()-t0:.2f}s; encode {t_build:.1f}s)"
+            )
+        hcodes.unpersist()
+
 
 if __name__ == "__main__":
     main()

@@ -39,12 +39,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="facade_bq_ab_")
-    sizes = [100_000, 400_000, 1_600_000]
+    # the 4M x 128 entry crosses BQ_CELL_ROUTE_MIN_BYTES (16 MB of
+    # codes) so the route threshold is MEASURED at the switch point,
+    # not asserted from the 1M x 64 probe (round-11 verdict item 5)
+    sizes = [(100_000, 16), (400_000, 16), (1_600_000, 16),
+             (4_000_000, 128)]
     out = {"probe": "facade_bq_ab", "passes": passes, "sizes": []}
     try:
-        for n in sizes:
+        for n, dims in sizes:
             data = (
-                clusters(spark, n=n, dims=16, n_clusters=24, seed=3)
+                clusters(spark, n=n, dims=dims, n_clusters=24, seed=3)
                 .select(
                     (F.col("id") % 8).alias("doc_id"),
                     F.col("id").alias("text_id"),
@@ -75,6 +79,7 @@ def main() -> None:
             )
             rec = {
                 "n": n,
+                "dims": dims,
                 "codes_bytes": vdb._codes_dir_bytes(),
                 "cells_sec": t["cells"],
                 "full_sec": t["full"],

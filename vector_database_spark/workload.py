@@ -7037,6 +7037,122 @@ def v31_bq_ensure_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "id", "hamming", "cos_sim", "rank")
 
 
+from vector_database_spark.operators.ann import hd_diag as _hd_diag  # noqa: E402
+
+_V32_SEED = 11
+_V32_HD_SCALE = 1_000_000
+_V32_DIAG = _hd_diag(_V24_DIM, 1, _V32_SEED)[0]
+_V32_DIAG_SQL = "[" + ",".join(f"{x}::BIGINT" for x in _V32_DIAG) + "]"
+
+
+def _v32_hd_sql(src: str, id_expr: str, vec: str, scale: int) -> str:
+    """DuckDB twin of `ann.hd_transform_expr` (one block, dim a power
+    of two): ``t_j = sum_i (-1)^popcount(j & i) * D[i] *
+    floor(vec[i] * scale)`` — every term an exact BIGINT, so the
+    grouping-free sum matches Spark's sequential fold and the FWHT
+    kernel alike. The j/i loops are DATA (range() table function +
+    list_transform), not unrolled SQL text."""
+    return (
+        f"(SELECT {id_expr} AS _hid, list(t ORDER BY j) AS tvec FROM "
+        f"(SELECT {id_expr}, rj.j, list_sum(list_transform("
+        f"range(1, {_V24_DIM + 1}), i -> "
+        f"CASE WHEN bit_count(rj.j & (i - 1)) % 2 = 0 "
+        f"THEN {_V32_DIAG_SQL}[i] * CAST(floor({vec}[i] * "
+        f"{float(scale)!r}::DOUBLE) AS BIGINT) "
+        f"ELSE -({_V32_DIAG_SQL}[i] * CAST(floor({vec}[i] * "
+        f"{float(scale)!r}::DOUBLE) AS BIGINT)) END))::BIGINT AS t "
+        f"FROM {src}, range(0, {_V24_DIM}) AS rj(j)) "
+        f"GROUP BY _hid)"
+    )
+
+
+@query(
+    "v32_bq_hd",
+    oracle=f"""
+WITH c0 AS (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY md5(vec_id || ':v28'), vec_id)
+                     AS rn
+            FROM embeddings),
+cent AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cvec FROM c0
+                      WHERE rn <= {_V28_CELLS}),
+ad AS (SELECT e.vec_id AS id, c.cell,
+              sqrt({_l2sq_sql('e.embedding', 'c.cvec')}) AS d
+       FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT id, cell FROM
+          (SELECT id, cell,
+                  row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+           FROM ad)
+        WHERE rn = 1),
+qsrc AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN ({_PANEL})),
+qt AS MATERIALIZED {_v32_hd_sql('qsrc', 'vec_id', 'embedding',
+                                _V30_QW_SCALE)},
+q AS MATERIALIZED (SELECT s.vec_id AS qid, s.embedding AS qv,
+                          t.tvec AS qw
+                   FROM qsrc s JOIN qt t ON t._hid = s.vec_id),
+pc AS (SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY sqrt({_l2sq_sql('q.qv', 'c.cvec')}), c.cell) AS pr
+       FROM q CROSS JOIN cent c),
+ct AS MATERIALIZED {_v32_hd_sql('embeddings', 'vec_id', 'embedding',
+                                _V32_HD_SCALE)},
+cd AS (SELECT e.vec_id AS id, e.embedding,
+              {_bq_code_sql('t.tvec', _V24_DIM)} AS code
+       FROM embeddings e JOIN ct t ON t._hid = e.vec_id),
+h AS (SELECT p.qid, cd.id, cd.embedding, q.qv,
+             {_bq_asym_sql('cd.code', 'q.qw', _V24_DIM)} AS score
+      FROM cd JOIN asg a ON a.id = cd.id
+      JOIN pc p ON p.cell = a.cell AND p.pr <= {_V28_NPROBE}
+      JOIN q ON q.qid = p.qid),
+cand AS (SELECT qid, id, score, embedding, qv,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, id) AS cr
+         FROM h),
+scored AS (SELECT qid, id, score,
+                  {_cos_sql('embedding', 'qv')} AS cos_sim
+           FROM cand WHERE cr <= {_V28_M})
+SELECT qid, id, score, cos_sim, rank::BIGINT AS rank
+FROM (SELECT qid, id, score, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+""",
+)
+def v32_bq_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZED-HADAMARD cell-pruned asymmetric BQ (round-11
+    verdict item 3 — `ann.bq_knn(hd_blocks=1)`): the v30 pipeline
+    with codes and query weights living in the seeded
+    Hadamard-diagonal fixed-point space. The transform is the public
+    random-rotation preconditioner (FJLT / FAISS random rotation) —
+    it spreads variance across dimensions so sign bits carry more
+    information on anisotropic embeddings; cells are assigned in the
+    ORIGINAL space, so the probed scan set is identical to v28/v30.
+    Everything stays exact integers: ``t_j = sum_i (-1)^popcount(j&i)
+    * D[i] * floor(x_i * scale)`` (Sylvester-Hadamard entries need no
+    matrix literals — only the 64 seeded ±1 diagonal values are
+    inlined), so the Catalyst fold, the FWHT Arrow kernel and this
+    DuckDB replay agree bit-for-bit in any association order, and the
+    asym score/candidate cut/exact-cosine rerank replay exactly as in
+    v30."""
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _embeddings(spark, sf_dir)
+    cents = _seeded_rows(vecs, "v28", _V28_CELLS)
+    codes, _ = bq_build(
+        vecs, dim=_V24_DIM, centroids=cents, assign_method="expr",
+        hd_blocks=1, hd_seed=_V32_SEED, hd_scale=_V32_HD_SCALE,
+        encode_method="expr",
+    )
+    out = bq_knn(
+        vecs, _panel(spark, sf_dir), KNN_K, dim=_V24_DIM, m=_V28_M,
+        codes=codes, centroids=cents, nprobe=_V28_NPROBE,
+        scoring="asym", qw_scale=_V30_QW_SCALE, score_method="expr",
+        hd_blocks=1, hd_seed=_V32_SEED, hd_scale=_V32_HD_SCALE,
+    )
+    return out.select("qid", "id", "score", "cos_sim", "rank")
+
+
 _E20_WIDTH_S = 21600  # 6-hour buckets over the 30-day fixture
 
 
@@ -7385,6 +7501,7 @@ _DRIVER_TAIL = [
     "t18_quality_classifier", # text family: t05 quality bands stay in the head
     "v30_bq_asym",            # BQ family: v24/v28 stay via tail twins
     "v31_bq_ensure_k",        # filtered-ANN family: a07/v19/v29 twins
+    "v32_bq_hd",              # BQ family: v24/v28/v30 stay via tail twins
 ]
 
 
