@@ -140,12 +140,18 @@ class VectorDatabase:
         self._tail_known_empty: bool | None = None
         self._bq_cents_cache: list | None = None
         self._bq_codes_bytes: int | None = None
+        self._ann_cents_cache: list | None = None
+        self._ann_radius_cache: dict | None = None
+        self._mips_m2_cache: float | None = None
 
     def _invalidate_index(self) -> None:
         self._idx_cache = None
         self._tail_known_empty = None
         self._bq_cents_cache = None
         self._bq_codes_bytes = None
+        self._ann_cents_cache = None
+        self._ann_radius_cache = None
+        self._mips_m2_cache = None
 
     # -- storage ---------------------------------------------------------
     @property
@@ -381,12 +387,48 @@ class VectorDatabase:
         )
 
     def _ann_centroids(self) -> list[list[float]]:
-        return [
+        """Stored coarse centroids. Cached per invalidation cycle
+        (round-12: the r11 facade_search_mips bench mover was ~0.4 s
+        of per-call driver parquet reads — centroids + radius + meta —
+        the same disease the r11 BQ centroid cache fixed for 'bq'
+        only; appends/rebuilds go through `_invalidate_index`)."""
+        if self._ann_cents_cache is not None:
+            return self._ann_cents_cache
+        cents = [
             list(r.cvec)
             for r in self.spark.read.parquet(f"{self.ann_path}/centroids")
             .orderBy("cell")
             .collect()
         ]
+        self._ann_cents_cache = cents
+        return cents
+
+    def _ann_radius_map(self) -> dict:
+        """Per-cell pruning radii, cached per invalidation cycle —
+        `_ann_append` rewrites the radius table and every write path
+        invalidates."""
+        if self._ann_radius_cache is not None:
+            return self._ann_radius_cache
+        rad = {
+            int(r.cell): float(r.radius)
+            for r in self.spark.read.parquet(
+                f"{self.ann_path}/radius"
+            ).collect()
+        }
+        self._ann_radius_cache = rad
+        return rad
+
+    def _mips_m2(self) -> float:
+        """The frozen MIPS augmentation constant, cached per
+        invalidation cycle (immutable between rebuilds; retrains go
+        through write paths that invalidate)."""
+        if self._mips_m2_cache is None:
+            self._mips_m2_cache = float(
+                self.spark.read.parquet(
+                    f"{self.ann_path}/mips_meta"
+                ).first()["m2"]
+            )
+        return self._mips_m2_cache
 
     def _write_radius(
         self, assigned: DataFrame, cents: list, *, m2: float | None = None
@@ -476,11 +518,7 @@ class VectorDatabase:
             info = ann.mips_append(
                 self.spark, self.ann_path, batch, on_overflow="error"
             )
-            m2 = float(
-                self.spark.read.parquet(
-                    f"{self.ann_path}/mips_meta"
-                ).first()["m2"]
-            )
+            m2 = self._mips_m2()
             cents = self._ann_centroids()
             assigned = ann._assign_cells(
                 batch.select(
@@ -572,12 +610,7 @@ class VectorDatabase:
             return self._bq_candidate_ids(vector)
 
         cents = self._ann_centroids()
-        rad = {
-            int(r.cell): float(r.radius)
-            for r in self.spark.read.parquet(
-                f"{self.ann_path}/radius"
-            ).collect()
-        }
+        rad = self._ann_radius_map()
         q = [float(x) for x in vector]
         bound = float(domain)
         if self.index_type == "mips":
@@ -587,11 +620,7 @@ class VectorDatabase:
             # m2, so pruning on sqrt(domain^2 + m2) + radius_aug is an
             # EXACT superset — ball search keeps the exact-recall
             # contract on the MIPS layout too.
-            m2 = float(
-                self.spark.read.parquet(
-                    f"{self.ann_path}/mips_meta"
-                ).first()["m2"]
-            )
+            m2 = self._mips_m2()
             q = q + [0.0]
             bound = math.sqrt(bound * bound + m2)
         cells = []
@@ -654,11 +683,7 @@ class VectorDatabase:
             # (rows serve from the exact tail).
             from vector_database_spark.functions.vector import dot as _dot
 
-            m2 = float(
-                self.spark.read.parquet(
-                    f"{self.ann_path}/mips_meta"
-                ).first()["m2"]
-            )
+            m2 = self._mips_m2()
             row = batch.agg(
                 F.max(_dot("vector", "vector")).alias("m")
             ).first()
@@ -1131,11 +1156,7 @@ class VectorDatabase:
                     F.col("text_id").alias("id")
                 )
                 stored = stored.join(ok, "id", "left_semi")
-            m2 = float(
-                self.spark.read.parquet(
-                    f"{self.ann_path}/mips_meta"
-                ).first()["m2"]
-            )
+            m2 = self._mips_m2()
             out = ann.mips_knn(
                 None, qdf, int(k),
                 assigned=stored, centroids=self._ann_centroids(), m2=m2,
