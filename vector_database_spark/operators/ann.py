@@ -1959,13 +1959,19 @@ def bq_knn(
     codes were built with (`bq_build`/`bq_encode` with the same
     ``hd_blocks``/``hd_seed``/``hd_scale``; there is no marker in the
     code table to detect a mismatch). One block is a pure seeded
-    rotation (same bit count, better-conditioned sign bits on
-    anisotropic data); more blocks make the code OVERCOMPLETE
-    (``hd_blocks * pad(dim)`` bits — measured recall lift, see
-    tools/bq_probe.py). Cell probing stays in the ORIGINAL space, so
-    pruning semantics are unchanged. Everything remains exact
-    integers end-to-end: the v32 gate hash-matches the transformed
-    pipeline against a DuckDB replay.
+    rotation (same bit count); more blocks make the code OVERCOMPLETE
+    (``hd_blocks * pad(dim)`` bits). Measured regimes (1M x 64, m=100,
+    asym, tools/bq_probe.py + data/probes/bq_hd_focus_r12.txt): on
+    ANISOTROPIC embeddings — the regime rotation exists for — one
+    block lifts recall at IDENTICAL bits (0.275 -> 0.3125; 0.48 with
+    two blocks); on the ISOTROPIC uniform cube a pure rotation HURTS
+    (max-entropy marginals; 0.4375 -> 0.3312) and the dial is
+    overcomplete bits (blocks=2/4: 0.4563/0.5125 pruned,
+    0.70/0.88 full scan, at 2x/4x code bytes — still >= 8x compressed
+    vs fp32). Cell probing stays in the ORIGINAL space, so pruning
+    semantics are unchanged. Everything remains exact integers
+    end-to-end: the v32 gate hash-matches the transformed pipeline
+    against a DuckDB replay.
 
     ``scoring`` selects the candidate-stage estimator (round-10
     verdict item 4):
