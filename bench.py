@@ -301,18 +301,36 @@ def main() -> int:
                 # the driver's BENCH_r{N}.json wraps this script's
                 # stdout: the JSON line sits (head-truncated) in the
                 # "tail" string — extract the queries dict by brace
-                # matching
+                # matching; when truncation ate the queries dict
+                # itself (r11's samples growth pushed it off the
+                # head), fall back to the samples dict and take
+                # min-of-passes per entry (the same statistic)
                 tail = prev.get("tail", "") or ""
-                i = tail.find('"queries": {')
-                if i >= 0:
+                for marker, reduce_min in (
+                    ('"queries": {', False),
+                    ('"samples": {', True),
+                ):
+                    i = tail.find(marker)
+                    if i < 0:
+                        continue
                     j = tail.index("{", i)
                     depth_, k = 0, j
                     for k in range(j, len(tail)):
                         depth_ += (tail[k] == "{") - (tail[k] == "}")
                         if depth_ == 0:
                             break
-                    pq = json.loads(tail[j : k + 1])
-            pq = pq or {}
+                    got = json.loads(tail[j : k + 1])
+                    pq = (
+                        {n: min(v) for n, v in got.items() if v}
+                        if reduce_min
+                        else got
+                    )
+                    break
+            if not pq:
+                raise ValueError(
+                    f"{prev_file}: no queries/samples recoverable "
+                    "(tail head-truncated) — vs_prev unavailable"
+                )
             a_now = timings.get("r01_q1_agg")
             a_prev = pq.get("r01_q1_agg")
             if a_now and a_prev:
