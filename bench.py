@@ -319,7 +319,14 @@ def main() -> int:
                         depth_ += (tail[k] == "{") - (tail[k] == "}")
                         if depth_ == 0:
                             break
-                    got = json.loads(tail[j : k + 1])
+                    # a truncated brace-matched region fails to parse;
+                    # fall through to the next marker (the samples
+                    # dict may still be recoverable) instead of losing
+                    # vs_prev entirely
+                    try:
+                        got = json.loads(tail[j : k + 1])
+                    except Exception:
+                        continue
                     pq = (
                         {n: min(v) for n, v in got.items() if v}
                         if reduce_min

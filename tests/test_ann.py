@@ -1536,3 +1536,72 @@ def test_bq_asym_qw_guard_2pow53(spark, embeddings):
     assert sorted(
         (r["qid"], r["id"], r["score"]) for r in auto.collect()
     ) == sorted((r["qid"], r["id"], r["score"]) for r in exp.collect())
+
+
+def test_bq_hd_encode_kernel_2pow53_guard(spark):
+    """ADVICE r12: the FWHT kernel's exactness bound — max|floor(x *
+    hd_scale)| * pad(dim) >= 2^53 must raise in-kernel (the float64
+    butterfly would round where query codes, always the exact-long
+    expr transform, do not — sign-boundary bits could diverge between
+    corpus and query codes); the expr path keeps working at the same
+    scale (long fold, exact far beyond 2^53)."""
+    import pytest
+
+    from vector_database_spark.operators.ann import bq_encode
+
+    df = spark.createDataFrame(
+        [(i, [1.5, -0.7, 0.3, -1.1]) for i in range(8)],
+        "id long, vector array<double>",
+    )
+    # max|W| = 1.5e16, P = 4 -> 6e16 >= 2^53 (~9.0e15): kernel raises
+    with pytest.raises(Exception, match="2\\^53"):
+        bq_encode(
+            df, dim=4, hd_blocks=1, hd_scale=10**16,
+            encode_method="kernel",
+        ).collect()
+    ok = bq_encode(
+        df, dim=4, hd_blocks=1, hd_scale=10**16, encode_method="expr"
+    )
+    assert ok.count() == 8
+    # well inside the bound the kernel still matches the fold exactly
+    e = {
+        r["id"]: list(r["code"])
+        for r in bq_encode(
+            df, dim=4, hd_blocks=1, hd_scale=10**12,
+            encode_method="expr",
+        ).collect()
+    }
+    k = {
+        r["id"]: list(r["code"])
+        for r in bq_encode(
+            df, dim=4, hd_blocks=1, hd_scale=10**12,
+            encode_method="kernel",
+        ).collect()
+    }
+    assert e == k and len(e) == 8
+
+
+def test_bq_codes_hd_marker_validated(spark, embeddings):
+    """ADVICE r12 (the round-9 bloom-geometry rule): HD code tables
+    carry their (hd_blocks, hd_seed, hd_scale) as literal columns;
+    `bq_knn(codes=)` with mismatched params must raise instead of
+    silently ranking query codes in one rotation against stored codes
+    in another."""
+    import pytest
+
+    from vector_database_spark.operators.ann import bq_build, bq_knn
+
+    vecs = _emb_vecs(embeddings)
+    codes, cents = bq_build(
+        vecs, dim=64, n_cells=4, seed=5, hd_blocks=1, hd_seed=11
+    )
+    codes = codes.localCheckpoint()
+    assert {"hd_blocks", "hd_seed", "hd_scale"} <= set(codes.columns)
+    qdf = _queries_df(spark, vecs, [3])
+    kw = dict(dim=64, m=24, codes=codes, centroids=cents, nprobe=4)
+    ok = bq_knn(vecs, qdf, 5, hd_blocks=1, hd_seed=11, **kw)
+    assert ok.count() == 5
+    with pytest.raises(ValueError, match="different +spaces"):
+        bq_knn(vecs, qdf, 5, hd_blocks=1, hd_seed=12, **kw)
+    with pytest.raises(ValueError, match="different +spaces"):
+        bq_knn(vecs, qdf, 5, **kw)  # hd_blocks=0 vs an HD code table

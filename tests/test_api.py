@@ -880,3 +880,124 @@ def test_facade_bq_route_forced_and_auto(spark):
     } == full
     with pytest.raises(ValueError, match="bq_route"):
         VectorDatabase(spark, f"{tmp}/x", index_type="bq", bq_route="nope")
+
+
+def test_facade_bq_hd_stream_equals_batch_twin(spark):
+    """Round-12 verdict item 3 (done-when): the HD-coded 'bq' facade
+    under the streaming front door == a batch twin == brute in the
+    exhaustive regime (bq_m >= store, bq_nprobe = n_cells) with
+    bq_hd_blocks=2 — the stored codes carry 2*pad(dim) transformed
+    bits, appends encode under the STORED meta params, and serving
+    transforms each query identically."""
+    import tempfile
+
+    q = [0.1, -0.2, 0.3, 0.0]
+    rows = (
+        random_uniform(spark, 60, 4, seed=33)
+        .select(
+            (F.col("id") % 3).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    first = rows.where(F.col("text_id") < 40)
+    second = rows.where(F.col("text_id") >= 40)
+    tmp = tempfile.mkdtemp()
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    kw = dict(
+        local_threshold=32, index_type="bq", n_cells=4,
+        bq_hd_blocks=2, bq_hd_seed=9, bq_m=4096, bq_nprobe=4,
+    )
+    sdb = VectorDatabase(spark, f"{tmp}/s", **kw)
+    first.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text_id long, vector array<float>"
+    ).parquet(src)
+    sdb.foreach_batch(stream, ckpt, trigger_once=True).awaitTermination(180)
+    second.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "doc_id long, text_id long, vector array<float>"
+    ).parquet(src)
+    sdb.foreach_batch(stream2, ckpt, trigger_once=True).awaitTermination(180)
+    assert sdb.text().count() == 60
+    meta = sdb._bq_meta()
+    assert (meta["hd_blocks"], meta["hd_seed"]) == (2, 9)
+
+    bdb = VectorDatabase(spark, f"{tmp}/b", **kw)
+    bdb.add_documents(first)
+    bdb.add_documents(second)
+    got = sorted(
+        (r.text_id, round(r.dist, 9)) for r in sdb.search(q, 0.8).collect()
+    )
+    want = sorted(
+        (r.text_id, round(r.dist, 9)) for r in bdb.search(q, 0.8).collect()
+    )
+    brute = sorted(
+        (r.text_id, round(r.dist, 9))
+        for r in bdb.brute_force(q, 0.8).collect()
+    )
+    assert got == want == brute and got
+
+
+def test_facade_bq_hd_append_and_serve_use_stored_params(spark):
+    """The stored meta is the source of truth: a facade OPENED WITH
+    DEFAULT KNOBS over an HD store must append codes in the STORED
+    transform space (pinned bit-for-bit against a fresh encode at the
+    stored params) and serve asym+HD searches that match brute in the
+    exhaustive regime — the constructor can never mis-serve an
+    existing store."""
+    import tempfile
+
+    from vector_database_spark.operators.ann import bq_build
+
+    q = [0.2, -0.1, 0.05, 0.3]
+    rows = (
+        random_uniform(spark, 80, 4, seed=61)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp()
+    db = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=4096,
+        bq_nprobe=4, bq_hd_blocks=1, bq_hd_seed=5, bq_scoring="asym",
+    )
+    db.add_documents(rows.where(F.col("text_id") < 60))
+    # reopen with DEFAULT knobs (no HD) — appends/serving must follow
+    # the stored meta, not the constructor
+    db2 = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_m=4096,
+        bq_nprobe=4, bq_scoring="asym",
+    )
+    db2.add_documents(rows.where(F.col("text_id") >= 60))
+    assert db2._bq_meta()["hd_blocks"] == 1
+    stored = {
+        int(r["id"]): list(r["code"])
+        for r in db2._ann_vectors().select("id", "code").collect()
+    }
+    vecs = db2.text().select(
+        F.col("text_id").alias("id"),
+        F.col("vector").cast("array<double>").alias("vector"),
+    )
+    fresh, _ = bq_build(
+        vecs, dim=4, centroids=db2._bq_centroids_or_none(),
+        hd_blocks=1, hd_seed=5,
+    )
+    want_codes = {
+        int(r["id"]): list(r["code"])
+        for r in fresh.select("id", "code").collect()
+    }
+    assert stored == want_codes and len(stored) == 80
+    got = {
+        (int(r.text_id), round(float(r.dist), 9))
+        for r in db2.search(q, 0.9).collect()
+    }
+    brute = {
+        (int(r.text_id), round(float(r.dist), 9))
+        for r in db2.brute_force(q, 0.9).collect()
+    }
+    assert got == brute and got

@@ -45,3 +45,21 @@ def test_plan_properties(spark, sf_dir, name):
         f"FORBIDDEN `{frag}` present" for frag in must_not if frag in plan
     ]
     assert not problems, f"{name} ({note}): {problems}\n{plan[:4000]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(explain_audit.FACADE_CHECKS),
+    ids=sorted(explain_audit.FACADE_CHECKS),
+)
+def test_facade_plan_properties(spark, sf_dir, name):
+    """Facade serving-plan checks (round-12 verdict item 5's second
+    half): per-call serving DataFrames must never re-read layout
+    metadata parquets — the plan is built off a real tiny store."""
+    builder, must, must_not, note = explain_audit.FACADE_CHECKS[name]
+    plan = explain_audit.formatted_plan(builder(spark, sf_dir))
+    problems = [f"MISSING `{frag}`" for frag in must if frag not in plan]
+    problems += [
+        f"FORBIDDEN `{frag}` present" for frag in must_not if frag in plan
+    ]
+    assert not problems, f"{name} ({note}): {problems}\n{plan[:4000]}"

@@ -348,3 +348,82 @@ def test_sql_index_document_bq_views_and_hamming_sql(spark, tmp_path):
         for r in vdb.search(q, 0.8).collect()
     }
     assert got == want and got
+
+
+def test_sql_index_document_bq_hd_replay(spark, tmp_path):
+    """Round-12 verdict item 3 (done-when): the SQL front door builds
+    an HD 'bq' layout (`sql_build_index(bq_hd_blocks=2)`) and the
+    docstring's spelled Hamming candidate query — with its
+    ``array(...query lanes...)`` literals computed over the
+    TRANSFORMED query (`ann.hd_transform_py` at the stored params) —
+    reranked exactly against `vectors`, equals the facade's own
+    cell-pruned search over the same store. Pins the transformed
+    space end-to-end through the SQL surface."""
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.operators.ann import (
+        BQ_LANE_BITS,
+        hd_transform_py,
+    )
+    from vector_database_spark.sources.generators import random_uniform
+
+    q = [0.2, -0.1, 0.3, 0.05]
+    blocks, seed = 2, 5
+    txt = (
+        random_uniform(spark, 100, 4, seed=37)
+        .select(
+            (F.col("id") % 2).alias("doc_id"),
+            F.col("id").alias("text_id"),
+            "vector",
+        )
+        .localCheckpoint()
+    )
+    root = str(tmp_path / "sql_bq_hd")
+    txt.createOrReplaceTempView("text")
+    sql_api.sql_build_index(
+        spark, root, index_type="bq", n_cells=8,
+        bq_hd_blocks=blocks, bq_hd_seed=seed,
+    )
+    # transformed query lanes, driver-side — exact integer twin of
+    # the transform the stored codes were built with
+    t = hd_transform_py(q, dim=4, blocks=blocks, seed=seed, scale=1_000_000)
+    lanes = []
+    for lo in range(0, len(t), BQ_LANE_BITS):
+        lane = 0
+        for i in range(lo, min(lo + BQ_LANE_BITS, len(t))):
+            if t[i] >= 0:
+                lane += 1 << (i - lo)
+        lanes.append(lane)
+    lanes_sql = ", ".join(f"{x}L" for x in lanes)
+    qlit = "array(" + ", ".join(repr(float(x)) for x in q) + ")"
+    m, nprobe = 24, 3
+    cand = spark.sql(f"""
+        WITH pc AS (SELECT cell FROM vector_cells
+                    ORDER BY aggregate(zip_with(cvec, {qlit},
+                        (a, b) -> (a - b) * (a - b)),
+                        0.0D, (s, x) -> s + x), cell
+                    LIMIT {nprobe})
+        SELECT id, aggregate(zip_with(code, array({lanes_sql}),
+               (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x) AS h
+        FROM vector_index WHERE cell IN (SELECT cell FROM pc)
+        ORDER BY h, id LIMIT {m}
+    """)
+    cand.createOrReplaceTempView("bq_hd_cand")
+    rer = spark.sql(f"""
+        SELECT v.id, sqrt(aggregate(zip_with(v.vector, {qlit},
+               (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+               0.0D, (s, x) -> s + x)) AS dist
+        FROM vectors v JOIN bq_hd_cand c ON c.id = v.id
+    """).where(F.col("dist") <= 0.8)
+    got = {(int(r.id), round(float(r.dist), 9)) for r in rer.collect()}
+
+    # serving facade opened WITHOUT HD knobs — stored meta drives the
+    # transform (the source-of-truth rule)
+    vdb = VectorDatabase(
+        spark, root, index_type="bq", n_cells=8, bq_m=m,
+        bq_nprobe=nprobe, bq_route="cells",
+    )
+    want = {
+        (int(r.text_id), round(float(r.dist), 9))
+        for r in vdb.search(q, 0.8).collect()
+    }
+    assert got == want and got

@@ -395,6 +395,63 @@ CHECKS = {
         "the candidate ordering expression only, never the join "
         "shape; the corpus still never shuffles",
     ),
+    "v32_bq_hd": (
+        ["BroadcastHashJoin", "shiftright"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+        "randomized-Hadamard BQ: the HD encode + asym score are pure "
+        "Catalyst integer folds (the `shiftright` bit-extract fold "
+        "sits in a JVM Project — no Python UDF eval nodes anywhere; "
+        "the only Arrow node is the shared results-preserving top-m "
+        "pre-reduction) and the probed-cell join / broadcast-rerank "
+        "shape is exactly v28/v30's",
+    ),
+}
+
+# Facade serving-plan checks: plan properties of `VectorDatabase`'s
+# per-call serving DataFrames (not workload gates — these need a built
+# layout, so each builder constructs a tiny store in a temp dir).
+# Keyed like CHECKS but the first element is a (spark, sf_dir) ->
+# DataFrame builder instead of a workload name lookup.
+
+
+def _facade_bq_serving_hd_df(spark, sf_dir):
+    """A tiny HD-coded 'bq' facade store; returns the candidate-stage
+    DataFrame one `search` call plans. sf_dir unused (synthetic
+    corpus) — kept for the shared (spark, sf_dir) builder shape."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.sources.generators import random_uniform
+
+    tmp = tempfile.mkdtemp()
+    rows = random_uniform(spark, 80, 8, seed=5).select(
+        (F.col("id") % 2).alias("doc_id"),
+        F.col("id").alias("text_id"),
+        "vector",
+    )
+    db = VectorDatabase(
+        spark, f"{tmp}/s", index_type="bq", n_cells=4, bq_nprobe=2,
+        bq_route="cells", bq_hd_blocks=1,
+    )
+    db.add_documents(rows)
+    return db._bq_candidate_ids([0.1] * 8)
+
+
+FACADE_CHECKS = {
+    "facade_bq_serving_hd": (
+        _facade_bq_serving_hd_df,
+        ["bq_index/codes"],
+        ["bq_index/centroids", "bq_index/meta", "BatchEvalPython",
+         "ArrowEvalPython", "MapInPandas", "CartesianProduct"],
+        "facade 'bq' serving over an HD layout: the candidate plan "
+        "scans ONLY the cell-partitioned codes table — centroids and "
+        "HD meta are invalidation-cycle-cached driver literals, never "
+        "a per-call metadata parquet scan (the round-12 serving rule) "
+        "— and the transformed-query Hamming cut is JVM-only",
+    ),
 }
 
 
@@ -411,8 +468,17 @@ def main() -> int:
         "tool to see them).\n",
     ]
     failed = 0
-    for name, (must, must_not, note) in CHECKS.items():
-        plan = formatted_plan(qs[name](spark, sf_dir))
+    all_checks = dict(CHECKS)
+    all_checks.update(
+        {n: (b, m, mn, note) for n, (b, m, mn, note) in FACADE_CHECKS.items()}
+    )
+    for name, entry in all_checks.items():
+        if len(entry) == 4:
+            builder, must, must_not, note = entry
+            plan = formatted_plan(builder(spark, sf_dir))
+        else:
+            must, must_not, note = entry
+            plan = formatted_plan(qs[name](spark, sf_dir))
         problems = []
         for frag in must:
             if frag not in plan:
@@ -432,7 +498,7 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"{len(CHECKS) - failed}/{len(CHECKS)} plan checks OK")
+    print(f"{len(all_checks) - failed}/{len(all_checks)} plan checks OK")
     return 1 if failed else 0
 
 

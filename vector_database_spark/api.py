@@ -78,6 +78,20 @@ class VectorDatabase:
       not recall, is the constraint. Pre-round-10 'bq' layouts
       (unpartitioned codes, no centroids) keep serving via the full
       code scan until the next `index_documents()` rebuild.
+      ``bq_hd_blocks``/``bq_hd_seed``/``bq_hd_scale`` (round-12
+      verdict item 3) apply the seeded randomized-Hadamard code
+      transform (`ann.bq_encode(hd_blocks=)`) to the stored codes:
+      one block is the rotation preconditioner that lifts sign-bit
+      recall on ANISOTROPIC embeddings at identical bits (measured
+      +75% relative, tools/bq_probe.py); more blocks trade code
+      bytes for overcomplete bits (the isotropic-data dial). The
+      params apply at BUILD time and are stored in the layout's
+      meta table — serving transforms each query identically and
+      appends encode under the STORED params, so a facade opened
+      with different knobs can never mis-serve an existing store
+      (constructor params take effect at the next
+      `index_documents()` rebuild). Cells stay in the ORIGINAL
+      space — pruning semantics are unchanged.
     * ``'mips'`` (round-9 verdict item 5) — the dot-product backend
       (`ann.mips_build`): vectors cell-partitioned under the
       norm-AUGMENTED coarse model, ``knn_dot`` serves top-k by exact
@@ -112,6 +126,9 @@ class VectorDatabase:
         bq_nprobe: int = 4,
         bq_route: str = "auto",
         bq_scoring: str = "hamming",
+        bq_hd_blocks: int = 0,
+        bq_hd_seed: int = 7,
+        bq_hd_scale: int = 1_000_000,
     ):
         if index_type not in ("bsp", "ivf", "ivfadc", "bq", "mips"):
             raise ValueError(
@@ -126,6 +143,10 @@ class VectorDatabase:
             raise ValueError(
                 f"bq_scoring must be hamming|asym, got {bq_scoring!r}"
             )
+        if int(bq_hd_blocks) < 0:
+            raise ValueError(
+                f"bq_hd_blocks must be >= 0, got {bq_hd_blocks!r}"
+            )
         self.spark = spark
         self.root = root_path.rstrip("/")
         self.local_threshold = local_threshold
@@ -136,10 +157,19 @@ class VectorDatabase:
         self.bq_nprobe = int(bq_nprobe)
         self.bq_route = bq_route
         self.bq_scoring = bq_scoring
+        # constructor HD params apply to the NEXT layout BUILD only;
+        # serving and appends always use the params STORED in the
+        # layout's meta table (the retrain='never' rule: the stored
+        # layout is the source of truth, so a facade constructed with
+        # different knobs can never mis-serve an existing store)
+        self.bq_hd_blocks = int(bq_hd_blocks)
+        self.bq_hd_seed = int(bq_hd_seed)
+        self.bq_hd_scale = int(bq_hd_scale)
         self._idx_cache: DataFrame | None = None
         self._tail_known_empty: bool | None = None
         self._bq_cents_cache: list | None = None
         self._bq_codes_bytes: int | None = None
+        self._bq_meta_cache: dict | None = None
         self._ann_cents_cache: list | None = None
         self._ann_radius_cache: dict | None = None
         self._mips_m2_cache: float | None = None
@@ -149,6 +179,7 @@ class VectorDatabase:
         self._tail_known_empty = None
         self._bq_cents_cache = None
         self._bq_codes_bytes = None
+        self._bq_meta_cache = None
         self._ann_cents_cache = None
         self._ann_radius_cache = None
         self._mips_m2_cache = None
@@ -205,10 +236,32 @@ class VectorDatabase:
         return self.spark.read.parquet(f"{self.ann_path}/{sub}")
 
     # -- BQ internals (round-8 verdict item 5; cells round-9 item 1) -------
+    def _bq_meta(self) -> dict:
+        """Stored BQ layout params — ``dim`` plus the randomized-
+        Hadamard transform params the codes were built with (round-12
+        verdict item 3: HD was library-only; the facade now stores the
+        params in meta, serves queries through the SAME transform, and
+        appends encode under the STORED params so a mismatch is
+        impossible by construction). Pre-r13 meta rows carry only
+        ``dim`` — backfilled to the no-transform defaults. Cached per
+        invalidation cycle (the round-12 rule: no per-call serving
+        path may re-read layout metadata parquets)."""
+        if self._bq_meta_cache is None:
+            d = (
+                self.spark.read.parquet(f"{self.ann_path}/meta")
+                .first()
+                .asDict()
+            )
+            self._bq_meta_cache = {
+                "dim": int(d["dim"]),
+                "hd_blocks": int(d.get("hd_blocks") or 0),
+                "hd_seed": int(d.get("hd_seed") or 7),
+                "hd_scale": int(d.get("hd_scale") or 1_000_000),
+            }
+        return self._bq_meta_cache
+
     def _bq_dim(self) -> int:
-        return int(
-            self.spark.read.parquet(f"{self.ann_path}/meta").first()["dim"]
-        )
+        return self._bq_meta()["dim"]
 
     def _bq_codes_write(self, codes: DataFrame, *, mode: str) -> None:
         if "cell" in codes.columns:
@@ -270,16 +323,22 @@ class VectorDatabase:
         if first is None or first["d"] is None:
             return
         dim = int(first["d"])
-        codes, cents = ann.bq_build(vecs, dim=dim, n_cells=self.n_cells)
+        codes, cents = ann.bq_build(
+            vecs, dim=dim, n_cells=self.n_cells,
+            hd_blocks=self.bq_hd_blocks, hd_seed=self.bq_hd_seed,
+            hd_scale=self.bq_hd_scale,
+        )
         codes = codes.localCheckpoint(eager=True)
         self._bq_codes_write(codes, mode="overwrite")
         self.spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, cvec array<double>",
         ).write.mode("overwrite").parquet(f"{self.ann_path}/centroids")
-        self.spark.createDataFrame([(dim,)], "dim int").write.mode(
-            "overwrite"
-        ).parquet(f"{self.ann_path}/meta")
+        self.spark.createDataFrame(
+            [(dim, self.bq_hd_blocks, self.bq_hd_seed,
+              self.bq_hd_scale)],
+            "dim int, hd_blocks int, hd_seed int, hd_scale long",
+        ).write.mode("overwrite").parquet(f"{self.ann_path}/meta")
 
     def _bq_append(self, df: DataFrame) -> dict:
         """Encode-on-append; with a cell layout, assign-on-append
@@ -293,11 +352,16 @@ class VectorDatabase:
             F.col("vector").cast("array<double>").alias("vector"),
         )
         cents = self._bq_centroids_or_none()
+        meta = self._bq_meta()
+        hd = dict(
+            hd_blocks=meta["hd_blocks"], hd_seed=meta["hd_seed"],
+            hd_scale=meta["hd_scale"],
+        )
         if cents is None:
-            codes = ann.bq_encode(batch, dim=self._bq_dim())
+            codes = ann.bq_encode(batch, dim=meta["dim"], **hd)
         else:
             codes, _ = ann.bq_build(
-                batch, dim=self._bq_dim(), centroids=cents
+                batch, dim=meta["dim"], centroids=cents, **hd
             )
         self._bq_codes_write(codes, mode="append")
         return {"appended": True}
@@ -319,14 +383,34 @@ class VectorDatabase:
         from vector_database_spark.operators.ann import (
             BQ_LANE_BITS,
             bq_hamming,
+            hd_transform_py,
         )
 
         q = [float(x) for x in vector]
+        # stored HD params (round-12 verdict item 3): when the layout
+        # was built with bq_hd_blocks > 0, the query's sign bits (and
+        # asym weights below) come from the SAME seeded transform the
+        # stored codes used — computed driver-side in exact Python
+        # ints (`hd_transform_py`), one query vector per call. Meta is
+        # cached; pre-meta layouts (hand-built code dirs) serve raw.
+        try:
+            meta = self._bq_meta()
+        except Exception:
+            meta = {"dim": len(q), "hd_blocks": 0, "hd_seed": 7,
+                    "hd_scale": 1_000_000}
+        if meta["hd_blocks"]:
+            tq = hd_transform_py(
+                q, dim=meta["dim"], blocks=meta["hd_blocks"],
+                seed=meta["hd_seed"], scale=meta["hd_scale"],
+            )
+            sbits = [1 if x >= 0 else 0 for x in tq]
+        else:
+            sbits = [1 if x >= 0.0 else 0 for x in q]
         qcode = []
-        for lo in range(0, len(q), BQ_LANE_BITS):
+        for lo in range(0, len(sbits), BQ_LANE_BITS):
             lane = 0
-            for i in range(lo, min(lo + BQ_LANE_BITS, len(q))):
-                if q[i] >= 0:
+            for i in range(lo, min(lo + BQ_LANE_BITS, len(sbits))):
+                if sbits[i]:
                     lane += 1 << (i - lo)
             qcode.append(lane)
         qlit = F.array(*[F.lit(x).cast("long") for x in qcode])
@@ -364,9 +448,19 @@ class VectorDatabase:
             # inline as a literal array and the fold is one integer
             # expression over the stored lanes. Higher recall than
             # Hamming at the same bq_m; same scan set.
-            qw = [int(math.floor(x * 1_000_000.0)) for x in q]
+            if meta["hd_blocks"]:
+                # transformed fixed-point weights — the bq_knn asym-HD
+                # rule: the qw vector is the transform of the query at
+                # the qw scale, so the fold stays a pure integer sum
+                # in the SAME space as the stored sign bits
+                qw = hd_transform_py(
+                    q, dim=meta["dim"], blocks=meta["hd_blocks"],
+                    seed=meta["hd_seed"], scale=1_000_000,
+                )
+            else:
+                qw = [int(math.floor(x * 1_000_000.0)) for x in q]
             qw_lit = ", ".join(f"{w}L" for w in qw)
-            d = len(q)
+            d = len(sbits)
             score = F.expr(
                 f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> acc + "
                 f"IF((shiftright(try_element_at(code, "

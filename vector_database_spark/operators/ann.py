@@ -1688,7 +1688,11 @@ def bq_encode(
     an Arrow kernel — BIT-IDENTICAL because every value is an exact
     integer (< 2^53) at every step, in any association order.
     Queries must be encoded with the SAME (hd_blocks, hd_seed,
-    hd_scale) — `bq_knn` does this when given the same params.
+    hd_scale) — `bq_knn` does this when given the same params. HD
+    code tables carry the params as literal columns (``hd_blocks``,
+    ``hd_seed``, ``hd_scale`` — the round-9 bloom-geometry rule) so
+    a mismatched serve fails loudly in `bq_knn` instead of silently
+    returning garbage rankings.
     """
     keep = [F.col(c) for c in (extra_cols or [])]
     if not int(hd_blocks):
@@ -1707,6 +1711,16 @@ def bq_encode(
         raise ValueError(
             f"encode_method must be auto|expr|kernel, got {encode_method!r}"
         )
+    # HD codes carry their transform params as literal columns (the
+    # round-9 bloom-geometry precedent): serving a stored code table
+    # with mismatched (hd_blocks, hd_seed, hd_scale) would silently
+    # return garbage rankings — `bq_knn(codes=)` validates the marker
+    # and fails loudly instead. Non-HD codes keep their round-8 schema.
+    _hd_markers = [
+        F.lit(blocks).cast("int").alias("hd_blocks"),
+        F.lit(int(hd_seed)).cast("int").alias("hd_seed"),
+        F.lit(int(hd_scale)).cast("long").alias("hd_scale"),
+    ]
     if encode_method == "expr":
         t = hd_transform_expr(
             vector_col, dim=d, blocks=blocks, diag=diag, scale=hd_scale
@@ -1718,7 +1732,12 @@ def bq_encode(
                 t.alias("_hdt"),
                 *keep,
             )
-            .select("id", F.array(*lanes).alias("code"), *(extra_cols or []))
+            .select(
+                "id",
+                F.array(*lanes).alias("code"),
+                *(extra_cols or []),
+                *_hd_markers,
+            )
         )
     # kernel: FWHT butterfly per block over floor(vec*scale)*D —
     # integer values throughout, so float64 adds are exact and the
@@ -1743,10 +1762,29 @@ def bq_encode(
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]]
+            V = np.vstack(pdf["vector"].to_numpy()).astype(
+                np.float64, copy=False
             )
             W = np.floor(V[:, :d] * sc)
+            # Exactness guard (the asym qw guard's encode-side twin):
+            # every FWHT partial sum is bounded by P * max|W|, and the
+            # kernel's bit-identity with the exact-long expr fold holds
+            # only while every float64 intermediate is an exact integer
+            # (< 2^53). A huge caller-set hd_scale (or huge-magnitude
+            # vectors) would make the butterfly round silently while
+            # query codes (always the exact expr transform) stay exact
+            # — sign-boundary bits could then diverge between corpus
+            # and query codes. Data-dependent, so the check lives in
+            # the kernel: one np.abs().max() per Arrow batch.
+            wmax = float(np.abs(W).max(initial=0.0))
+            if wmax * P >= 2.0**53:
+                raise ValueError(
+                    "bq_encode(encode_method='kernel'): max|floor(x*"
+                    f"hd_scale)| * pad(dim) = {wmax * P:.3g} >= 2^53 — "
+                    "the float64 FWHT butterfly would round where the "
+                    "exact integer fold does not; lower hd_scale or "
+                    "use encode_method='expr'"
+                )
             n = len(pdf)
             codes = []
             T_all = np.empty((n, blocks * P), dtype=np.float64)
@@ -1781,7 +1819,7 @@ def bq_encode(
         F.col(vector_col).cast("array<double>").alias("vector"),
         *keep,
     )
-    return src.mapInPandas(kern, out_schema)
+    return src.mapInPandas(kern, out_schema).select("*", *_hd_markers)
 
 
 def bq_hamming(a, b):
@@ -1866,6 +1904,40 @@ def hd_transform_expr(
     for p in parts[1:]:
         expr = f"concat({expr}, {p})"
     return F.expr(expr)
+
+
+def hd_transform_py(
+    vec, *, dim: int, blocks: int, seed: int, scale: int
+) -> list[int]:
+    """Driver-side exact-integer twin of `hd_transform_expr` for ONE
+    vector (the facade's per-query encode — `api.VectorDatabase`
+    serves single driver-side queries, so the transform runs here and
+    the transformed lanes/weights inline as literals in the candidate
+    expression). Python ints never round, so this matches the
+    Catalyst fold / FWHT kernel bit-for-bit at any magnitude — the
+    double product ``vec[i] * scale`` and its floor are the same
+    float64 operations the expr path performs before going integer."""
+    import math
+
+    d = int(dim)
+    P = _hd_pad(d)
+    diag = hd_diag(d, int(blocks), int(seed))
+    out: list[int] = []
+    for r in range(int(blocks)):
+        a = [
+            int(diag[r][i])
+            * int(math.floor(float(vec[i]) * float(int(scale))))
+            for i in range(d)
+        ] + [0] * (P - d)
+        h = 1
+        while h < P:
+            for st in range(0, P, 2 * h):
+                for j in range(st, st + h):
+                    x, y = a[j], a[j + h]
+                    a[j], a[j + h] = x + y, x - y
+            h *= 2
+        out.extend(a)
+    return out
 
 
 def bq_build(
@@ -1957,8 +2029,11 @@ def bq_knn(
     weights live in the seeded randomized-Hadamard fixed-point space
     (`bq_encode`/`hd_transform_expr`) — MUST match the params the
     codes were built with (`bq_build`/`bq_encode` with the same
-    ``hd_blocks``/``hd_seed``/``hd_scale``; there is no marker in the
-    code table to detect a mismatch). One block is a pure seeded
+    ``hd_blocks``/``hd_seed``/``hd_scale``; HD code tables carry the
+    params as literal columns and a supplied ``codes=`` table with a
+    mismatched marker raises here — the round-9 bloom-geometry rule;
+    pre-marker HD tables can't be validated and are the caller's
+    responsibility). One block is a pure seeded
     rotation (same bit count); more blocks make the code OVERCOMPLETE
     (``hd_blocks * pad(dim)`` bits). Measured regimes (1M x 64, m=100,
     asym, tools/bq_probe.py + data/probes/bq_hd_focus_r12.txt): on
@@ -2092,6 +2167,26 @@ def bq_knn(
     if mm < int(k):
         raise ValueError(f"m ({mm}) must be >= k ({k})")
     qdf = _as_queries_df(vectors_df, queries)
+    if codes is not None and "hd_blocks" in codes.columns:
+        # validate the HD marker the codes were built with against the
+        # call params — a mismatch silently voids the shared-space
+        # contract (query codes in one rotation, stored codes in
+        # another), so fail loudly. One tiny first() job; codes built
+        # in this call (codes=None paths below) match by construction.
+        mk = codes.select("hd_blocks", "hd_seed", "hd_scale").first()
+        if mk is not None:
+            got = (int(mk["hd_blocks"]), int(mk["hd_seed"]),
+                   int(mk["hd_scale"]))
+            want = (int(hd_blocks), int(hd_seed), int(hd_scale))
+            if got[0] != want[0] or (
+                got[0] > 0 and got != want
+            ):
+                raise ValueError(
+                    "bq_knn: codes were built with (hd_blocks, hd_seed,"
+                    f" hd_scale) = {got} but the call passed {want} — "
+                    "query and stored codes would live in different "
+                    "spaces; pass the params the codes were built with"
+                )
     _hd = int(hd_blocks) > 0
     d_store = int(dim) if not _hd else int(hd_blocks) * _hd_pad(int(dim))
     if _hd:

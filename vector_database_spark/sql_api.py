@@ -278,6 +278,9 @@ def sql_index_document(
     index_type: str = "bsp",
     n_cells: int = 16,
     pq_m: int = 4,
+    bq_hd_blocks: int = 0,
+    bq_hd_seed: int = 7,
+    bq_hd_scale: int = 1_000_000,
 ) -> None:
     """``dbo.IndexDocument(@docID)`` (reference DDL.sql:352-419) as a
     CALL-style helper driven entirely by the SQL surface: reads the
@@ -340,6 +343,18 @@ def sql_index_document(
     by the asymmetric dot estimate, not Hamming; pin both when SQL
     parity matters).
 
+    ``bq_hd_blocks``/``bq_hd_seed``/``bq_hd_scale`` (round-12 verdict
+    item 3) build the 'bq' layout with the randomized-Hadamard code
+    transform (`ann.bq_encode(hd_blocks=)` — the measured anisotropic
+    recall lift / overcomplete-bits dial); the params persist in the
+    facade's meta table and serving transforms every query through
+    them. The spelled SQL replay is UNCHANGED in shape, but its
+    ``array(...query lanes...)`` literals must be the sign-bit lanes
+    of the TRANSFORMED query (compute them driver-side with
+    `ann.hd_transform_py` at the stored params — the replay pytest
+    pins the transformed space); ``index_view``'s ``code`` column
+    then carries ``bq_hd_blocks * pad(dim)`` bits per row.
+
     ``index_type='mips'`` (round-9 verdict item 5) registers
     ``vectors_view`` (id, vector), ``index_view`` (id, cell — the
     augmented-space assignment), and ``cells_view`` (cell, cvec —
@@ -390,6 +405,8 @@ def sql_index_document(
         vdb = VectorDatabase(
             spark, index_path, local_threshold=local_threshold,
             index_type="bq", n_cells=n_cells,
+            bq_hd_blocks=bq_hd_blocks, bq_hd_seed=bq_hd_seed,
+            bq_hd_scale=bq_hd_scale,
         )
         _sync_text_view(vdb, txt, doc_id)
         vdb.index_documents()
@@ -456,6 +473,9 @@ def sql_build_index(
     index_type: str = "bsp",
     n_cells: int = 16,
     pq_m: int = 4,
+    bq_hd_blocks: int = 0,
+    bq_hd_seed: int = 7,
+    bq_hd_scale: int = 1_000_000,
 ) -> None:
     """``dbo.BuildIndex`` analog: full rebuild from the text view —
     `sql_index_document` with ``doc_id=None`` (``index_type=``
@@ -472,4 +492,7 @@ def sql_build_index(
         index_type=index_type,
         n_cells=n_cells,
         pq_m=pq_m,
+        bq_hd_blocks=bq_hd_blocks,
+        bq_hd_seed=bq_hd_seed,
+        bq_hd_scale=bq_hd_scale,
     )
