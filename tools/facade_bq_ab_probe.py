@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from vector_database_spark import get_spark
 from vector_database_spark.api import BQ_CELL_ROUTE_MIN_BYTES, VectorDatabase
-from vector_database_spark.sources.generators import clusters
+from vector_database_spark.sources.generators import clusters, random_uniform
 
 
 def main() -> None:
@@ -42,14 +42,26 @@ def main() -> None:
     # the 4M x 128 entry crosses BQ_CELL_ROUTE_MIN_BYTES (16 MB of
     # codes) so the route threshold is MEASURED at the switch point,
     # not asserted from the 1M x 64 probe (round-11 verdict item 5)
-    sizes = [(100_000, 16), (400_000, 16), (1_600_000, 16),
-             (4_000_000, 128)]
+    # (n, dims, gen): 'clusters' codes dictionary/RLE-compress ~10x
+    # (every cluster member shares a sign pattern after centering), so
+    # the r12 extension topped out at 7 MB on disk and never reached
+    # the 16 MB threshold. 'uniform' vectors give iid random sign bits
+    # — incompressible — so the >=16 MB switch point is actually
+    # MEASURED (round-12 verdict item 4): 1M x 128 ~ 32 MB raw,
+    # 4M x 128 ~ 128 MB raw of codes.
+    sizes = [(100_000, 16, "clusters"), (400_000, 16, "clusters"),
+             (1_600_000, 16, "clusters"), (4_000_000, 128, "clusters"),
+             (1_000_000, 128, "uniform"), (4_000_000, 128, "uniform")]
     out = {"probe": "facade_bq_ab", "passes": passes, "sizes": []}
     try:
-        for n, dims in sizes:
-            data = (
+        for n, dims, gen in sizes:
+            src = (
                 clusters(spark, n=n, dims=dims, n_clusters=24, seed=3)
-                .select(
+                if gen == "clusters"
+                else random_uniform(spark, n, dims, seed=3)
+            )
+            data = (
+                src.select(
                     (F.col("id") % 8).alias("doc_id"),
                     F.col("id").alias("text_id"),
                     "vector",
@@ -61,7 +73,7 @@ def main() -> None:
                 for x in data.where(F.col("text_id") == 7).first()["vector"]
             ]
             vdb = VectorDatabase(
-                spark, f"{root}/s{n}", index_type="bq", n_cells=64,
+                spark, f"{root}/s{gen}{n}", index_type="bq", n_cells=64,
                 local_threshold=65_536, pq_m=4,
             )
             vdb.add_documents(data)
@@ -80,6 +92,7 @@ def main() -> None:
             rec = {
                 "n": n,
                 "dims": dims,
+                "gen": gen,
                 "codes_bytes": vdb._codes_dir_bytes(),
                 "cells_sec": t["cells"],
                 "full_sec": t["full"],
