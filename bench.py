@@ -334,6 +334,19 @@ def main() -> int:
                     )
                     break
             if not pq:
+                # last resort (r12's artifact): truncation ate BOTH
+                # markers but per-entry sample arrays survive mid-tail
+                # — regex them out and min-reduce. Names are validated
+                # by intersection with the live timings below, so a
+                # stray numeric-array field can never inject a mover.
+                got = {
+                    m.group(1): [float(x) for x in m.group(2).split(",")]
+                    for m in _re.finditer(
+                        r'"([A-Za-z0-9_]+)": \[([0-9eE+~.,\- ]+)\]', tail
+                    )
+                }
+                pq = {n: min(v) for n, v in got.items() if v}
+            if not pq:
                 raise ValueError(
                     f"{prev_file}: no queries/samples recoverable "
                     "(tail head-truncated) — vs_prev unavailable"
