@@ -58,10 +58,11 @@ README.md:93-100 rationale inverted, see SURVEY.md §4):
    whole subtree is built inside one task via ``applyInPandas`` (same
    trick as MLlib decision trees), materialized eagerly per level so
    parent caches can be freed. ``local_threshold=None`` auto-tunes
-   from the vector width: ~16M cells ≈ 128 MB of float64 per task,
-   clamped to [4096, 1M] rows — big enough that the distributed loop
-   runs only ~log2(N·dims/16M) levels, small enough to fit executor
-   memory at any width.
+   from the vector width: ~4M cells ≈ 32 MB of float64 per task,
+   clamped to [4096, 1M] rows — small, short tasks (measured 3.5x
+   faster than 16M-cell tasks at 10M×96 on this host's fractional
+   scheduler; see `_AUTO_STATS_CELLS`), while the distributed loop
+   still runs only ~log2(N·dims/4M) levels.
 
 At 100 TB: phase 1 runs ~log2(rows/threshold) levels, each one
 narrow cached scan + a shuffle of #partitions × #ranges stat rows;
@@ -103,8 +104,16 @@ def _depth_of(range_id: int) -> int:
 
 
 # Auto local_threshold sizing: target float64 cells per local-subtree
-# task (~128 MB working vector matrix; the builder peaks at ~4-5x).
-_AUTO_STATS_CELLS = 16_000_000
+# task. Round-13 retune, 16M -> 4M cells (~32 MB working matrix, ~40k
+# rows at 96 dims): the interleaved 10M x 96 grid probe
+# (data/probes/local_phase_grid_r13.json) measured 226.7 s at 40k-row
+# tasks vs 803.3 s at the old ~156k-row tasks IN THE SAME THROTTLED
+# WINDOW — short tasks fit inside the host's sustained-compute burst
+# budget (pool_throttle_diag_r12) and their working set lives in
+# cache; the ~2 extra distributed levels are cheap under the route
+# chain. A concurrency cap on top HURT slightly (277.1 s at the best
+# anchors of the grid) — granularity, not concurrency, is the lever.
+_AUTO_STATS_CELLS = 4_000_000
 
 # Split tables larger than this route via a shuffle join instead of an
 # explicit broadcast (beyond driver/broadcast memory comfort).
