@@ -353,3 +353,40 @@ def test_allocate_budget_guards_and_decimal_scale(spark):
                           "code": 2_000_000_000_000,
                           "books": 1_000_000_000_001}[d] / tot
         assert abs(r.alloc - exact) < 1.0 + 1e-6, (d, r.alloc, exact)
+
+
+def test_leakage_safe_split(spark):
+    """p13 operator: group members always share a split; the bucket is
+    the salted h60 of the GROUP id mod 100 (verified against a python
+    md5 replay); pct=0/100 degenerate cuts; bad pct raises."""
+    import hashlib
+
+    import pytest
+
+    from vector_database_spark.pipeline import leakage_safe_split
+
+    groups = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, group_id long"
+    )
+    out = leakage_safe_split(groups, train_pct=80, salt=13).collect()
+    assert len(out) == 70
+
+    def h60py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+    by_group: dict = {}
+    for r in out:
+        want_bucket = h60py(f"13:{r.group_id}") % 100
+        assert r.bucket == want_bucket, (r.group_id, r.bucket, want_bucket)
+        assert r.split == ("train" if r.bucket < 80 else "eval")
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+
+    assert {
+        r.split for r in leakage_safe_split(groups, train_pct=0).collect()
+    } == {"eval"}
+    assert {
+        r.split for r in leakage_safe_split(groups, train_pct=100).collect()
+    } == {"train"}
+    with pytest.raises(ValueError, match="train_pct"):
+        leakage_safe_split(groups, train_pct=101)

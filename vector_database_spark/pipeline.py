@@ -559,3 +559,52 @@ def curriculum_phases(
         "rank",
         phase.cast("long").alias("phase"),
     )
+
+
+def leakage_safe_split(
+    groups: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    train_pct: int = 80,
+    salt: int = 13,
+) -> DataFrame:
+    """Near-dup-aware train/eval split: assign each document the
+    split of its whole near-duplicate GROUP, so train and eval can
+    never share near-duplicates (the contamination mechanism measured
+    by Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — eval examples with train-side near-dups score
+    inflated). Input is a (id, group) frame — e.g. the output of
+    `dedup.dedup_groups` / `connected_components`, where ``group_id``
+    is the component's canonical min id; singletons are their own
+    group. The bucket is the salted 60-bit md5 hash of the group id
+    mod 100 (`functions.hashing.h60` — cross-engine exact), so the
+    assignment is deterministic, reproducible across runs/engines,
+    and stable under corpus growth (a group keeps its split as long
+    as its canonical id survives; merging two groups adopts the
+    merged canonical's split — never a train+eval straddle).
+
+    Returns ``(id, group, bucket, split)`` with split in
+    {'train', 'eval'} and ``bucket`` in [0, 100) exposed so callers
+    can re-cut without re-hashing.
+
+    SCALE SHAPE: one stateless projection over the groups frame —
+    zero shuffles, zero collects; composes with a 100 TB groups table
+    as a map-only stage.
+    """
+    from vector_database_spark.functions.hashing import h60
+
+    pct = int(train_pct)
+    if not (0 <= pct <= 100):
+        raise ValueError(f"train_pct must be in [0, 100], got {train_pct!r}")
+    bucket = F.pmod(
+        h60(F.col(group_col).cast("string"), salt=int(salt)), F.lit(100)
+    ).cast("int")
+    return groups.select(
+        F.col(id_col),
+        F.col(group_col),
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(pct), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

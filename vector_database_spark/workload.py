@@ -7372,6 +7372,57 @@ def e21_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from vector_database_spark.functions.hashing import h60_sql as _h60_sql
+
+_P13_SALT = 13
+_P13_TRAIN_PCT = 80
+
+
+@query(
+    "p13_leakage_split",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_J_EXPR} >= {JACCARD_T}),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+reach AS (SELECT doc_id AS u, doc_id AS r FROM documents
+          UNION
+          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+lab AS (SELECT u AS doc_id, min(r) AS group_id FROM reach GROUP BY u),
+b AS (SELECT doc_id, group_id,
+             ({_h60_sql("group_id::VARCHAR", _P13_SALT)} % 100)::INT
+               AS bucket
+      FROM lab)
+SELECT doc_id, group_id, bucket,
+       CASE WHEN bucket < {_P13_TRAIN_PCT} THEN 'train' ELSE 'eval' END
+         AS split
+FROM b
+""",
+)
+def p13_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split (`pipeline.leakage_safe_split`):
+    the d06 dedup endpoint's groups (MinHash-LSH pairs -> connected
+    components, canonical min-id labels) bucketed by the salted h60
+    hash of the GROUP id — every member of a near-dup group lands on
+    the same side, so eval can never contain a train near-duplicate
+    (the Lee et al. contamination mechanism). The oracle recomputes
+    the groups from exact all-pairs Jaccard + a recursive-CTE
+    transitive closure (the d06 oracle) and replays the identical
+    hash-mod split, so LSH recall, the component fixpoint, AND the
+    assignment are all gated in one query. The split stage itself is
+    a stateless map-only projection — no shuffle at 100 TB."""
+    from vector_database_spark import pipeline as pl
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    groups = dd.dedup_groups(docs, pairs)
+    return pl.leakage_safe_split(
+        groups, train_pct=_P13_TRAIN_PCT, salt=_P13_SALT
+    ).select("doc_id", "group_id", "bucket", "split")
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering
 # --------------------------------------------------------------------------
@@ -7502,6 +7553,7 @@ _DRIVER_TAIL = [
     "v30_bq_asym",            # BQ family: v24/v28 stay via tail twins
     "v31_bq_ensure_k",        # filtered-ANN family: a07/v19/v29 twins
     "v32_bq_hd",              # BQ family: v24/v28/v30 stay via tail twins
+    "p13_leakage_split",      # dedup/pipeline family: d06 + p07 stay
 ]
 
 
