@@ -46,6 +46,21 @@ CONFIGS = [
     ("25k_cap8", 25_000, 8),         # finer granularity + cap
 ]
 
+# Override the grid from the environment, e.g. a refinement sweep:
+#   SPARK_GRAFT_GRID="20k:20000:none,40k:40000:none,80k:80000:none"
+# (label:threshold|auto:cap|none triples, comma-separated).
+if os.environ.get("SPARK_GRAFT_GRID"):
+    CONFIGS = []
+    for part in os.environ["SPARK_GRAFT_GRID"].split(","):
+        label, thr, cap = part.split(":")
+        CONFIGS.append(
+            (
+                label,
+                None if thr == "auto" else int(thr),
+                None if cap == "none" else int(cap),
+            )
+        )
+
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
