@@ -39,7 +39,12 @@ from vector_database_spark.sources.generators import clusters
 # (label, local_threshold [None = auto ~166k at 96 dims],
 #  local_concurrency [None = uncapped])
 CONFIGS = [
-    ("auto_nocap", None, None),      # the r12 committed behavior
+    # NOTE: the r13 retune changed auto to 4M cells (~40k rows at 96
+    # dims), so 'auto_nocap' in runs AFTER that commit is ~equal to
+    # '40k_nocap'; the r13 grid artifact was produced with auto still
+    # at 16M cells (~156k rows). Use SPARK_GRAFT_GRID to pin explicit
+    # thresholds when reproducing.
+    ("auto_nocap", None, None),
     ("auto_cap8", None, 8),          # concurrency lever alone
     ("40k_nocap", 40_000, None),     # granularity lever alone
     ("40k_cap8", 40_000, 8),         # both
