@@ -832,37 +832,52 @@ def bm25_scores(
     in term-SORTED order (the v20 rule — float addition is
     order-sensitive), so ranks are deterministic everywhere.
 
-    Scale shape: tokens explode once, the tf aggregate is restricted
-    to the broadcast query-term set before any shuffle, df/dl are
-    map-side-combinable aggregates, and nothing collects beyond two
-    scalar corpus stats. Pair with `inverted_index` for a persisted
-    posting-list layout, and fuse with dense kNN via
-    `search.rrf_fuse` for hybrid retrieval.
+    Scale shape (r13 optimization — guide §2.3/§2.4): NOTHING
+    corpus-sized ever shuffles or materializes. Per-doc length `dl`
+    is a narrow JVM projection (`size(array_remove(tokens, ''))`),
+    so the corpus stats (N, Σdl) are ONE map-side-combinable
+    aggregate job over the raw scan — the old shape exploded every
+    token, localCheckpointed the token rows and shuffled them all
+    through a groupBy just to count per-doc lengths, plus a separate
+    count() job for N. The explode is now restricted to the
+    broadcast query-term set before the only remaining shuffle (tf),
+    and df derives from tf's group keys (distinct (id, term) == tf
+    rows) instead of a second distinct pass over the tokens. Pair
+    with `inverted_index` for a persisted posting-list layout, and
+    fuse with dense kNN via `search.rrf_fuse` for hybrid retrieval.
     """
     from pyspark.sql.window import Window
 
     terms = sorted({str(t) for t in query_terms})
     toks = F.split(F.lower(F.trim(F.col(text_col))), "[\\t\\n\\f\\r ]+")
-    ex = (
-        df.select(F.col(id_col).cast("long").alias("id"), toks.alias("_t"))
-        .select("id", F.explode("_t").alias("term"))
-        .where(F.col("term") != "")
-    )
-    ex = ex.localCheckpoint(eager=False)
-    dl = ex.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.sum("dl").alias("s")).first()
-    n_docs = df.count()
-    total_toks = int(stats["s"] or 0)
+    # token count per ROW without exploding: split never yields nulls,
+    # so dropping '' elements and taking size == the exploded
+    # non-empty token count; null text -> null tokens -> 0 (matching
+    # the old shape, where a null doc simply contributed no rows)
+    dl_expr = F.coalesce(
+        F.size(F.array_remove(toks, "")), F.lit(0)
+    ).alias("dl")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.size(F.array_remove(toks, "")), F.lit(0))).alias(
+            "s"
+        ),
+    ).first()
+    n_docs = int(row["n"] or 0)
+    total_toks = int(row["s"] or 0)
     avgdl = total_toks / n_docs if n_docs else 1.0
 
-    qx = ex.where(F.col("term").isin(terms))
-    tf = qx.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        qx.select("id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    ids = df.select(F.col(id_col).cast("long").alias("id"), dl_expr)
+    # duplicate-id inputs: dl is the summed token count per id (the
+    # exact semantics of the old exploded groupBy)
+    dl = ids.groupBy("id").agg(F.sum("dl").alias("dl"))
+    qx = (
+        df.select(F.col(id_col).cast("long").alias("id"), toks.alias("_t"))
+        .select("id", F.explode("_t").alias("term"))
+        .where((F.col("term") != "") & F.col("term").isin(terms))
     )
+    tf = qx.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     ) + F.lit(1.0)

@@ -211,6 +211,23 @@ def drop_cached(kind: str | None = None) -> None:
                 _INDEX_CACHE.pop(key).unpersist()
             except Exception:
                 pass
+    for key in list(_LIST_CACHE):
+        if kind is None or (len(key) > 2 and key[2] == kind):
+            _LIST_CACHE.pop(key, None)
+
+
+# Driver-side constant lists derived from the data (query panels) —
+# tiny, deterministic, re-collected identically by every consumer;
+# cached per (session, sf dir) exactly like the shared index/shingle
+# DataFrames above (r13 optimization: 26 query constructors each paid
+# a ~0.1 s panel-collect job per invocation).
+_LIST_CACHE: dict[tuple, list] = {}
+
+
+def _cached_list(key: tuple, build: Callable[[], list]) -> list:
+    if key not in _LIST_CACHE:
+        _LIST_CACHE[key] = build()
+    return _LIST_CACHE[key]
 
 
 def _cached_index(
@@ -268,11 +285,14 @@ def _seeded_rows(df, tag: str, n: int, *, id_col: str = "id",
 
 
 def _panel(spark: SparkSession, sf_dir: str) -> list:
-    vecs = _embeddings(spark, sf_dir)
-    return [
-        (int(r.id), list(r.vector))
-        for r in vecs.where(F.col("id").isin(PANEL_IDS)).collect()
-    ]
+    def build() -> list:
+        vecs = _embeddings(spark, sf_dir)
+        return [
+            (int(r.id), list(r.vector))
+            for r in vecs.where(F.col("id").isin(PANEL_IDS)).collect()
+        ]
+
+    return _cached_list((spark, sf_dir, "panel"), build)
 
 
 @query(
