@@ -876,7 +876,15 @@ def bm25_scores(
         .select("id", F.explode("_t").alias("term"))
         .where((F.col("term") != "") & F.col("term").isin(terms))
     )
-    tf = qx.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy checkpoint: tf is tiny (matched docs x |terms|) and feeds
+    # BOTH dfreq and the scored join — without it Catalyst plans the
+    # tokenize+explode subtree twice (the dfreq branch canonicalizes
+    # to a distinct, so exchange reuse can't kick in)
+    tf = (
+        qx.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)

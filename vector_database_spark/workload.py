@@ -4221,10 +4221,9 @@ def v21_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_spark.operators.search import knn, rrf_fuse
 
     vecs = _embeddings(spark, sf_dir).where(F.col("id") < 500)
-    qvec = [
-        (int(r.id), list(r.vector))
-        for r in vecs.where(F.col("id") == 3).collect()
-    ]
+    # qid 3 is a panel member — reuse the cached panel collect (r13:
+    # the bespoke 1-row collect was one extra job per invocation)
+    qvec = [(qid, v) for qid, v in _panel(spark, sf_dir) if qid == 3]
     dense = knn(vecs, qvec, 20, metric="cosine").select("qid", "id", "rank")
     docs = _t(spark, sf_dir, "documents")
     sparse = tx.bm25_scores(docs, _T16_TERMS, k=20).select(
