@@ -38,6 +38,19 @@ def main() -> int:
     from vector_database_spark.api import VectorDatabase
     from vector_database_spark.sources.generators import clusters
 
+    # instrument the freshness protocol (round-14 verdict item 4):
+    # count epoch-marker stats (_epoch_token) and layout-marker stats
+    # (_ann_exists bodies) per serving call — the done-when is ONE
+    # marker stat per public search/knn_dot call
+    stat_ctr = {"epoch": 0}
+    _orig_tok = VectorDatabase._epoch_token
+
+    def _counting_tok(self):
+        stat_ctr["epoch"] += 1
+        return _orig_tok(self)
+
+    VectorDatabase._epoch_token = _counting_tok
+
     root = tempfile.mkdtemp(prefix="serve_profile_")
     data = (
         clusters(spark, n=n, dims=dims, n_clusters=24, seed=3)
@@ -60,6 +73,7 @@ def main() -> int:
         rows = []
         for p in range(passes):
             j0 = len(tracker.getJobIdsForGroup(None) or [])
+            s0 = stat_ctr["epoch"]
             t0 = time.monotonic()
             df = vdb.search(q, 0.35)
             t1 = time.monotonic()
@@ -71,6 +85,7 @@ def main() -> int:
                     "construct_s": round(t1 - t0, 3),
                     "exec_s": round(t2 - t1, 3),
                     "jobs": j1 - j0,
+                    "epoch_stats": stat_ctr["epoch"] - s0,
                 }
             )
         out[f"search_{t}"] = rows
@@ -78,6 +93,7 @@ def main() -> int:
             rows = []
             for p in range(passes):
                 j0 = len(tracker.getJobIdsForGroup(None) or [])
+                s0 = stat_ctr["epoch"]
                 t0 = time.monotonic()
                 df = vdb.knn_dot(q, 10, nprobe=8)
                 t1 = time.monotonic()
@@ -89,6 +105,7 @@ def main() -> int:
                         "construct_s": round(t1 - t0, 3),
                         "exec_s": round(t2 - t1, 3),
                         "jobs": j1 - j0,
+                        "epoch_stats": stat_ctr["epoch"] - s0,
                     }
                 )
             out["knn_dot_mips"] = rows

@@ -852,16 +852,18 @@ def bm25_scores(
     toks = F.split(F.lower(F.trim(F.col(text_col))), "[\\t\\n\\f\\r ]+")
     # token count per ROW without exploding: split never yields nulls,
     # so dropping '' elements and taking size == the exploded
-    # non-empty token count; null text -> null tokens -> 0 (matching
-    # the old shape, where a null doc simply contributed no rows)
-    dl_expr = F.coalesce(
-        F.size(F.array_remove(toks, "")), F.lit(0)
-    ).alias("dl")
+    # non-empty token count; null text -> 0 via an EXPLICIT null
+    # guard (a bare coalesce(size(...), 0) would admit legacy
+    # spark.sql.legacy.sizeOfNull=true's size(NULL) = -1 and skew
+    # dl/avgdl — the old exploded shape had no such config
+    # dependency, so neither may this one)
+    dl_one = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.array_remove(toks, ""))
+    )
+    dl_expr = dl_one.alias("dl")
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.coalesce(F.size(F.array_remove(toks, "")), F.lit(0))).alias(
-            "s"
-        ),
+        F.sum(dl_one).alias("s"),
     ).first()
     n_docs = int(row["n"] or 0)
     total_toks = int(row["s"] or 0)
