@@ -146,6 +146,94 @@ def main() -> int:
     plan.append(("knn_graph_blocked", _blocked_build))
     plan.append(("beam_search", _beam))
 
+    # ---- scale tier (round-13 verdict item 1) --------------------------
+    # Every sf0.1 entry is job/AQE-overhead bound (r13 scaling block:
+    # 8-core/32-core ratios 0.63-1.2 ~ 1), so shuffle-volume and
+    # parallelism wins are invisible to the wall clock. These three
+    # entries are sized so the WORK dominates scheduling (~5-25 s at 32
+    # cores) and each exercises a different axis: map-side aggregation
+    # throughput (rollup), shuffle+sort (sessionize window), and
+    # vectorized per-task compute (dgemm kNN graph). Inputs are
+    # deterministic spark.range / seeded generators built fresh inside
+    # every pass — nothing persists across passes (the no-precompute
+    # rule); the same host anchors bracket them as every other entry.
+    from vector_database_spark.operators import timeseries as _ts
+
+    def _scale_events(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + (
+                    F.abs(F.hash(F.col("id"), F.lit(7)).cast("long"))
+                    % (30 * 86_400)
+                )
+                * 1_000_000
+            ).alias("ts"),
+            F.concat(F.lit("k"), (F.col("id") % 32).cast("string")).alias(
+                "event_type"
+            ),
+            (
+                F.abs(F.hash(F.col("id"), F.lit(9)).cast("long")) % 100_000
+                / 100.0
+            ).alias("value"),
+            (F.col("id") % 1000).alias("user_id"),
+        )
+
+    _SCALE_N_EVENTS = 20_000_000
+    _SCALE_N_VECS, _SCALE_DIMS = 65_536, 64
+
+    def _scale_rollup_df():
+        return _ts.rollup_events(
+            _scale_events(_SCALE_N_EVENTS), 60, first_last=False
+        )
+
+    def _scale_sessionize_df():
+        from pyspark.sql.window import Window as _W
+
+        ev2 = _scale_events(_SCALE_N_EVENTS)
+        w2 = _W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(w2)
+        )
+        new_sess = F.when(
+            gap.isNull() | (gap > 1800), F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = ev2.withColumn(
+            "new_sess", new_sess
+        ).withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w2.rowsBetween(_W.unboundedPreceding, 0)
+            ),
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+
+    def _scale_knn_df():
+        from vector_database_spark.sources.generators import clusters as _cl
+
+        return knn_graph_blocked(
+            _cl(
+                spark, n=_SCALE_N_VECS, dims=_SCALE_DIMS, n_clusters=64,
+                seed=3,
+            ).select("id", "vector"),
+            4,
+            n_cells=64,
+            nprobe=2,
+            method="dgemm",
+        )
+
+    _scale_dfs = {
+        "scale_rollup_20m": _scale_rollup_df,
+        "scale_sessionize_20m": _scale_sessionize_df,
+        "scale_knn_dgemm_64k": _scale_knn_df,
+    }
+    for _sname, _sdf in _scale_dfs.items():
+        plan.append((_sname, lambda _sdf=_sdf: _force(_sdf())))
+
     # sub-scan MIPS tier (round-8 verdict item 3): the norm-augmented
     # IVF dgemm path — the v26 gate deliberately runs the expr oracle
     # twin; this benches SERVING off a prebuilt layout (the store-once
@@ -262,12 +350,52 @@ def main() -> int:
 
     anchor_pre = host_anchor(spark)
     samples: dict[str, list[float]] = {name: [] for name, _ in plan}
+    # per-entry Spark JOB counts (round-13 verdict item 1): at sf0.1
+    # every entry is job/AQE-stage-overhead bound, so the job count is
+    # the throttle-immune per-entry metric — a structural optimization
+    # (shuffle removed, listing job gone) moves it even when the wall
+    # clock can't see the win. Counted per pass via StatusTracker;
+    # "jobs" below reports the LAST pass (warm — pass 1 includes
+    # one-time setup like the beam graph build).
+    job_samples: dict[str, list[int]] = {name: [] for name, _ in plan}
+    tracker = spark.sparkContext.statusTracker()
+
+    def _n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup(None) or [])
+
     for _pass in range(3):
         for name, thunk in plan:
+            j0 = _n_jobs()
             t0 = time.time()
             thunk()
             samples[name].append(round(time.time() - t0, 3))
+            job_samples[name].append(_n_jobs() - j0)
     anchor_post = host_anchor(spark)
+
+    # per-entry shuffle-Exchange counts from the SAME DataFrames the
+    # bench forces (untimed, after the passes — construction only).
+    # BroadcastExchange is excluded: the number here is "how many
+    # shuffles does this entry plan", the scale-cost proxy.
+    import re as _re2
+
+    def _n_exchanges(df) -> int:
+        from tools.explain_audit import formatted_plan
+
+        # formatted mode prints each operator twice (tree + details) —
+        # count the details headers "(n) Exchange" only; Broadcast/
+        # ReusedExchange headers spell differently and don't match
+        p = formatted_plan(df)
+        return len(_re2.findall(r"(?m)^\(\d+\) Exchange\b", p))
+
+    exchange_counts: dict[str, int | None] = {}
+    _plan_dfs: dict = {name: (lambda name=name: qs[name](spark, sf_dir))
+                       for name in BENCH_QUERIES}
+    _plan_dfs.update(_scale_dfs)
+    for name, mk in _plan_dfs.items():
+        try:
+            exchange_counts[name] = _n_exchanges(mk())
+        except Exception:
+            exchange_counts[name] = None
 
     _shutil.rmtree(_facade_root, ignore_errors=True)
     timings = {name: min(s) for name, s in samples.items()}
@@ -367,14 +495,42 @@ def main() -> int:
         vs_prev_error = repr(e)
     else:
         vs_prev_error = None
+    metric = (
+        "headline-suite wall time, min of 3 spread passes "
+        "(build + search + dedup + relational + scale tier)"
+    )
+    # COMPACT line FIRST (round-13 verdict item 2): the driver's
+    # artifact wraps this script's stdout in a string a collector may
+    # head-truncate — r12's truncation ate the queries dict and emptied
+    # the whole PERF comparison. The per-query mins are ~1 KB; emitting
+    # them first (full contract fields, nothing else) means a reader
+    # parsing EITHER line gets the contract, and truncation from either
+    # end leaves at least one copy intact. The full samples/evidence
+    # line follows, unchanged in shape from r11+.
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time, min of 3 spread passes (build + search + dedup + relational)",
+                "metric": metric,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "jobs": {n: (s[-1] if s else None)
+                         for n, s in job_samples.items()},
+                "job_samples": job_samples,
+                "exchanges": exchange_counts,
                 "anchor": "r01_q1_agg",
                 "host_anchor_pre": anchor_pre,
                 "host_anchor_post": anchor_post,
@@ -384,7 +540,8 @@ def main() -> int:
                 "vs_prev_error": vs_prev_error,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 

@@ -440,7 +440,72 @@ def _facade_bq_serving_hd_df(spark, sf_dir):
     return db._bq_candidate_ids([0.1] * 8)
 
 
+def _facade_ivf_search_df(spark, sf_dir):
+    """One `search` call's full plan over a tiny all-compacted 'ivf'
+    store (round-14 verdict item 3: pin the cached-reader serving
+    shape in CI). Centroids and radii are invalidation-cycle-cached
+    driver literals — the plan may scan the cell-pruned vectors
+    layout and the text table, never the centroid/radius parquets."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.sources.generators import random_uniform
+
+    tmp = tempfile.mkdtemp()
+    rows = random_uniform(spark, 80, 8, seed=5).select(
+        (F.col("id") % 2).alias("doc_id"),
+        F.col("id").alias("text_id"),
+        "vector",
+    )
+    db = VectorDatabase(spark, f"{tmp}/s", index_type="ivf", n_cells=4)
+    db.add_documents(rows)
+    return db.search([0.1] * 8, 0.6)
+
+
+def _facade_mips_knn_dot_df(spark, sf_dir):
+    """One `knn_dot` call's full plan over a tiny all-compacted
+    'mips' store: centroids, radii and the m2 augmentation constant
+    are cached driver values (the round-12 rule: no per-call serving
+    path may re-read layout metadata parquets)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.api import VectorDatabase
+    from vector_database_spark.sources.generators import random_uniform
+
+    tmp = tempfile.mkdtemp()
+    rows = random_uniform(spark, 80, 8, seed=5).select(
+        (F.col("id") % 2).alias("doc_id"),
+        F.col("id").alias("text_id"),
+        "vector",
+    )
+    db = VectorDatabase(spark, f"{tmp}/s", index_type="mips", n_cells=4)
+    db.add_documents(rows)
+    return db.knn_dot([0.1] * 8, 5, nprobe=2)
+
+
 FACADE_CHECKS = {
+    "facade_ivf_search_serving": (
+        _facade_ivf_search_df,
+        ["ivf_index/vectors"],
+        ["ivf_index/centroids", "ivf_index/radius", "BatchEvalPython",
+         "ArrowEvalPython", "CartesianProduct"],
+        "facade 'ivf' search: the serving plan scans the cell-pruned "
+        "vectors layout + text only — centroid/radius parquets are "
+        "cached driver literals, never per-call scans",
+    ),
+    "facade_mips_knn_dot_serving": (
+        _facade_mips_knn_dot_df,
+        ["mips_index/vectors"],
+        ["mips_index/centroids", "mips_index/radius",
+         "mips_index/mips_meta", "BatchEvalPython", "ArrowEvalPython"],
+        "facade 'mips' knn_dot: the serving plan scans the stored "
+        "layout only — centroids/radius/m2 are cached driver values "
+        "(the round-12 no-per-call-metadata-read rule, pinned in CI)",
+    ),
     "facade_bq_serving_hd": (
         _facade_bq_serving_hd_df,
         ["bq_index/codes"],

@@ -429,13 +429,14 @@ def graph_beam_search(
     after the final hop.
 
     Design choices that make it Spark-shaped AND replayable: all
-    queries walk TOGETHER (one edge join + one distance projection +
-    one top-ef window per hop — hop count is fixed, so the plan is a
-    bounded chain, the BSP-search driver-loop pattern); re-visiting a
-    node is harmless (the beam is a distinct id set re-ranked each
-    hop), so no visited-set state is carried; and every distance is
-    the bit-exact L2 fold, so a hop-unrolled SQL replay matches the
-    beam node-for-node. Greedy per-query best-first search (the
+    queries walk TOGETHER (per hop: a broadcast of the tiny beam keys
+    probes the edge relation, one distance projection, one top-ef
+    window — ONE shuffle exchange per hop, r14; hop count is fixed,
+    so the plan is a bounded chain, the BSP-search driver-loop
+    pattern); re-visiting a node is harmless (the beam is a distinct
+    id set re-ranked each hop), so no visited-set state is carried;
+    and every distance is the bit-exact L2 fold, so a hop-unrolled
+    SQL replay matches the beam node-for-node. Greedy per-query best-first search (the
     literature's sequential form) trades those properties for fewer
     distance evaluations — on a cluster the batch-synchronous form
     wins until ef·|queries| approaches the corpus.
@@ -491,14 +492,36 @@ def graph_beam_search(
         )
 
     for _ in range(int(hops)):
-        nb = beam.select("qid", "id").join(out_edges_v, "id").select(
+        # hop expansion as a BROADCAST of the beam keys (<= ef x
+        # |queries| rows — the same smallness assumption qb already
+        # makes) probing the edge relation: no exchange moves
+        # corpus-sized edge rows per hop (round-13 verdict item 5 —
+        # the static plan used to sort-merge beam against the edges)
+        nb = out_edges_v.join(
+            F.broadcast(beam.select("qid", "id")), "id"
+        ).select(
             "qid", F.col("_dst").alias("id"), F.col("_dvec").alias("_vec")
         )
-        # dedup by (qid, id): every copy of an id carries the SAME
-        # vector bits (one source relation), so array-distinct == key
-        # dedup
-        cand = beam.select("qid", "id", "_vec").unionByName(nb).distinct()
-        beam = rank_beam(cand).select("qid", "id", "_vec")
+        cand = beam.select("qid", "id", "_vec").unionByName(nb)
+        # ONE exchange per hop (was two: a distinct on (qid, id, _vec)
+        # + the top-ef window on qid). Duplicates of an id carry the
+        # SAME vector bits (one source relation), hence the same
+        # bit-exact dist and the same (dist, id) sort key — so
+        # dense_rank over (dist, id) enumerates exactly the DISTINCT
+        # candidates in the old post-distinct row_number order, and
+        # dense_rank <= ef selects the identical beam set. The
+        # groupBy(qid, id) dedup then rides the window's qid hash
+        # partitioning (ClusteredDistribution(qid, id) is satisfied by
+        # hashpartitioning(qid)) — no second exchange; first(_vec) is
+        # deterministic because every row in a group holds the same
+        # bits.
+        top = (
+            cand.join(qb, "qid")
+            .withColumn("dist", euclidean(F.col("_vec"), F.col("qvec")))
+            .withColumn("rank", F.dense_rank().over(w))
+            .where(F.col("rank") <= int(ef))
+        )
+        beam = top.groupBy("qid", "id").agg(F.first("_vec").alias("_vec"))
         # bounded chain (hops is small and fixed), but cut lineage so
         # the final action doesn't re-execute every hop's join twice
         beam = beam.localCheckpoint(eager=False)
