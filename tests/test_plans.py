@@ -63,3 +63,48 @@ def test_facade_plan_properties(spark, sf_dir, name):
         f"FORBIDDEN `{frag}` present" for frag in must_not if frag in plan
     ]
     assert not problems, f"{name} ({note}): {problems}\n{plan[:4000]}"
+
+
+def test_rrf_fuse_single_fusion_exchange(spark):
+    """r14: the RRF fusion shares ONE qid exchange between its
+    groupBy(qid, id) aggregate and the per-qid top-k window
+    (hashpartitioning(qid) satisfies ClusteredDistribution(qid, id)
+    for the aggregate, and is exactly the window's requirement).
+    A regression to the naive shape re-plans hash(qid, id) for the
+    aggregate plus hash(qid) for the window — two shuffles of the
+    same O(queries x k x lists) rows."""
+    import re
+
+    from vector_database_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 10, 1)], "qid long, id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 13, 1)], "qid long, id long, rank long"
+    )
+    plan = explain_audit.formatted_plan(rrf_fuse([a, b], k=2))
+    n_shuffles = len(re.findall(r"(?m)^\(\d+\) Exchange\b", plan))
+    assert n_shuffles == 1, f"expected 1 fusion exchange, got {n_shuffles}\n{plan[:4000]}"
+
+
+def test_maxsim_two_exchanges(spark):
+    """r14: maxsim plans exactly 2 shuffle exchanges — the map-side
+    combinable (qid, qtok, doc) max, then ONE hash(qid) repartition
+    that both the (qid, doc) fold and the per-qid top-k window ride.
+    A regression re-plans the doc-score shuffle (3 exchanges)."""
+    import re
+
+    from vector_database_spark.operators.search import maxsim_topk
+
+    vecs = spark.createDataFrame(
+        [(1, 10, [1.0, 0.0]), (1, 11, [0.0, 1.0]), (2, 20, [1.0, 1.0])],
+        "doc_id long, id long, vector array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])],
+        "qid long, qtok long, qvec array<double>",
+    )
+    plan = explain_audit.formatted_plan(maxsim_topk(vecs, qs, k=2))
+    n_shuffles = len(re.findall(r"(?m)^\(\d+\) Exchange\b", plan))
+    assert n_shuffles == 2, f"expected 2 exchanges, got {n_shuffles}\n{plan[:4000]}"

@@ -1240,6 +1240,17 @@ def maxsim_topk(
         .groupBy("qid", "qtok", "doc")
         .agg(F.max(sim).alias("ms"))
     )
+    # ONE post-reduction exchange (r14): per_tok is already reduced to
+    # one double per (qid, qtok, doc) by the map-side-combinable max,
+    # so repartitioning it by qid moves the same rows the old
+    # hash(qid, doc) exchange moved — and BOTH the (qid, doc) fold
+    # (ClusteredDistribution(qid, doc) is satisfied by the qid
+    # clustering) and the per-qid top-k window then ride it, dropping
+    # the third, doc-score shuffle. Per-qid rows are bounded by
+    # |qtok| x |docs| — a |qtok|-factor over what the window
+    # partition already holds. The fold stays qtok-sorted, so scores
+    # are bit-identical under any partitioning.
+    per_tok = per_tok.repartition("qid")
     scored = per_tok.groupBy("qid", "doc").agg(
         F.aggregate(
             F.transform(
@@ -1298,6 +1309,17 @@ def rrf_fuse(
     u = u.withColumn(
         "c", F.lit(1.0) / (F.lit(float(k0)) + F.col("r"))
     )
+    # ONE fusion exchange (r14): partition the union by qid so BOTH
+    # keyed steps ride it — the groupBy(qid, id) needs only
+    # ClusteredDistribution(qid, id), which hashpartitioning(qid)
+    # satisfies (subset rule), and the top-k window is partitioned by
+    # qid. Without this the plan pays hash(qid, id) for the aggregate
+    # and a second hash(qid) shuffle for the window over the SAME
+    # O(queries x k x lists) rows. Per-qid skew is a non-issue: the
+    # window already bounds per-qid work to the same k x lists rows.
+    # Row set, grouping, and the per-group retriever-order fold are
+    # unchanged, so fused scores stay bit-identical.
+    u = u.repartition("qid")
     scored = u.groupBy("qid", "id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.aggregate(
